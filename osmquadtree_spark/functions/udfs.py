@@ -1,0 +1,76 @@
+"""Arrow-vectorized pandas UDFs + JVM-side column expressions for the
+quadtree kernel.
+
+Rule of thumb (enforced throughout the engine): anything expressible with
+built-in functions stays JVM-side inside whole-stage codegen
+(``round_qt_col``, ``is_ancestor_col``); only the float-recursive ``calculate``
+and the LCA ``common`` drop into numpy via Arrow batches — no per-row Python
+anywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..kernels import quadtree as qtk
+
+
+def make_qt_calculate(buffer: float = qtk.BUFFER_DEFAULT, max_depth: int = qtk.MAX_DEPTH_CLI):
+    """pandas UDF (minx, miny, maxx, maxy int64) → qt int64."""
+
+    @pandas_udf("bigint")
+    def qt_calculate(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+        out = qtk.calculate(
+            minx.to_numpy(), miny.to_numpy(), maxx.to_numpy(), maxy.to_numpy(),
+            buffer=buffer, max_depth=max_depth,
+        )
+        return pd.Series(out)
+
+    return qt_calculate
+
+
+def make_qt_common():
+    """pandas UDF factory: LCA of two cell ids (null-safe: null → -1)."""
+
+    @pandas_udf("bigint")
+    def qt_common(a: pd.Series, b: pd.Series) -> pd.Series:
+        av = a.fillna(-1).to_numpy("int64")
+        bv = b.fillna(-1).to_numpy("int64")
+        return pd.Series(qtk.common(av, bv))
+
+    return qt_common
+
+
+def round_qt_col(qt: Column, level: int) -> Column:
+    """quadtree::round as a pure JVM expression (stays in codegen)."""
+    sh = 63 - 2 * level
+    rounded = F.shiftleft(F.shiftright(qt, sh), sh) + F.lit(level)
+    return F.when(qt.bitwiseAND(F.lit(31)) < F.lit(level), qt).otherwise(rounded)
+
+
+def round_qt_sql(expr: str, level: int) -> str:
+    """Same rounding as ANSI SQL (works in both Spark SQL and DuckDB)."""
+    sh = 63 - 2 * level
+    return (
+        f"CASE WHEN ({expr}) & 31 < {level} THEN ({expr}) "
+        f"ELSE ((({expr}) >> {sh}) << {sh}) + {level} END"
+    )
+
+
+def is_ancestor_sql(anc: str, qt: str) -> str:
+    """SQL predicate: ``anc`` is ancestor-or-equal of ``qt``.
+
+    Written as an expression string because the shift amount depends on the
+    ancestor's depth (Spark SQL's shiftright accepts column shift amounts,
+    the Python ``F.shiftright`` wrapper does not). Valid in Spark SQL and
+    DuckDB (DuckDB uses ``>>``, Spark accepts both).
+    """
+    la = f"(({anc}) & 31)"
+    sh = f"(63 - 2 * {la})"
+    return (
+        f"({la} <= (({qt}) & 31) AND "
+        f"(shiftleft(shiftright({qt}, {sh}), {sh}) + {la}) = ({anc}))"
+    )
