@@ -15,17 +15,25 @@ from ..kernels.quadtree import BUFFER_DEFAULT, MAX_DEPTH_CLI
 
 def find_quad_case(bf: float) -> str:
     """The findQuad branch chain (quadtree.cpp:33-57) as a CASE expression
-    over normalized coords mx/my/ux/uy. Branch order is semantic."""
+    over normalized coords mx/my/ux/uy. Branch order is semantic.
+
+    All constants are forced to DOUBLE: DuckDB parses plain decimal literals
+    as DECIMAL and would evaluate the comparisons in exact decimal — the
+    engine kernel computes (±1 ± bf) in IEEE double, which differs in the
+    last ulp."""
+    b = f"CAST({bf!r} AS DOUBLE)"
+    lo = f"(-1e0 - {b})"
+    hi = f"(1e0 + {b})"
     return f"""CASE
-      WHEN mx < (-1 - {bf}) OR my < (-1 - {bf}) OR ux > (1 + {bf}) OR uy > (1 + {bf}) THEN -1
+      WHEN mx < {lo} OR my < {lo} OR ux > {hi} OR uy > {hi} THEN -1
       WHEN ux <= 0 AND my >= 0 THEN 0
       WHEN mx >= 0 AND my >= 0 THEN 1
       WHEN ux <= 0 AND uy <= 0 THEN 2
       WHEN mx >= 0 AND uy <= 0 THEN 3
-      WHEN ux < {bf} AND abs(ux) < abs(mx) AND my > -{bf} AND abs(uy) >= abs(my) THEN 0
-      WHEN mx > -{bf} AND abs(ux) >= abs(mx) AND my > -{bf} AND abs(uy) >= abs(my) THEN 1
-      WHEN ux < {bf} AND abs(ux) < abs(mx) AND uy < {bf} AND abs(uy) < abs(my) THEN 2
-      WHEN mx > -{bf} AND abs(ux) >= abs(mx) AND uy < {bf} AND abs(uy) < abs(my) THEN 3
+      WHEN ux < {b} AND abs(ux) < abs(mx) AND my > -{b} AND abs(uy) >= abs(my) THEN 0
+      WHEN mx > -{b} AND abs(ux) >= abs(mx) AND my > -{b} AND abs(uy) >= abs(my) THEN 1
+      WHEN ux < {b} AND abs(ux) < abs(mx) AND uy < {b} AND abs(uy) < abs(my) THEN 2
+      WHEN mx > -{b} AND abs(ux) >= abs(mx) AND uy < {b} AND abs(uy) < abs(my) THEN 3
       ELSE -1 END"""
 
 
@@ -45,36 +53,43 @@ def calculate_cte(
     mercator/90 normalization; per level the findQuad digit is packed at bits
     (61-2·level) and the box is recentered and doubled. ``acc`` is monotone
     nondecreasing, so the final qt per row is simply MAX(acc).
+
+    ``id_col`` need not be unique: the recursion keys on a synthetic per-row
+    id, so the result is one output row per input row (multiset semantics,
+    matching the engine). All float literals are e-notation/CAST → DOUBLE
+    (DuckDB would otherwise use exact DECIMAL arithmetic).
     """
     return f"""
 WITH RECURSIVE qtbase AS (
+  SELECT *, ROW_NUMBER() OVER () AS _rid FROM (
 {base_sql}
+  )
 ), qtprep AS (
-  SELECT {id_col},
+  SELECT _rid, {id_col},
          (minx > maxx OR miny > maxy) AS invalid,
-         (minx * 0.0000001) / 180.0 AS mx0,
-         (CASE WHEN maxx = minx THEN maxx * 0.0000001 + 0.0000001
-               ELSE maxx * 0.0000001 END) / 180.0 AS ux0,
-         ln(tan(pi() * (1.0 + (miny * 0.0000001) / 90.0) / 4.0)) / pi() AS my0,
-         ln(tan(pi() * (1.0 + (CASE WHEN maxy = miny THEN maxy * 0.0000001 + 0.0000001
-                                    ELSE maxy * 0.0000001 END) / 90.0) / 4.0)) / pi() AS uy0
+         (minx * 1e-7) / 180e0 AS mx0,
+         (CASE WHEN maxx = minx THEN maxx * 1e-7 + 1e-7
+               ELSE maxx * 1e-7 END) / 180e0 AS ux0,
+         ln(tan(pi() * (1e0 + (miny * 1e-7) / 90e0) / 4e0)) / pi() AS my0,
+         ln(tan(pi() * (1e0 + (CASE WHEN maxy = miny THEN maxy * 1e-7 + 1e-7
+                                    ELSE maxy * 1e-7 END) / 90e0) / 4e0)) / pi() AS uy0
   FROM qtbase
 ), qtrec AS (
-  SELECT {id_col}, mx0 AS mx, my0 AS my, ux0 AS ux, uy0 AS uy,
+  SELECT _rid, {id_col}, mx0 AS mx, my0 AS my, ux0 AS ux, uy0 AS uy,
          0 AS cl,
          CASE WHEN invalid THEN -1 ELSE 0 END::BIGINT AS acc,
          NOT invalid AS act
   FROM qtprep
   UNION ALL
-  SELECT {id_col},
-         2 * (mx + dx), 2 * (my + dy), 2 * (ux + dx), 2 * (uy + dy),
+  SELECT _rid, {id_col},
+         2e0 * (mx + dx), 2e0 * (my + dy), 2e0 * (ux + dx), 2e0 * (uy + dy),
          cl + 1,
          acc + (q::BIGINT << (61 - 2 * cl)) + 1,
          TRUE
   FROM (
     SELECT *,
-           CASE WHEN q IN (0, 2) THEN 0.5 ELSE -0.5 END AS dx,
-           CASE WHEN q IN (2, 3) THEN 0.5 ELSE -0.5 END AS dy
+           CASE WHEN q IN (0, 2) THEN 5e-1 ELSE -5e-1 END AS dx,
+           CASE WHEN q IN (2, 3) THEN 5e-1 ELSE -5e-1 END AS dy
     FROM (
       SELECT *, {find_quad_case(buffer)} AS q
       FROM qtrec
@@ -83,8 +98,31 @@ WITH RECURSIVE qtbase AS (
   )
   WHERE q >= 0
 )
-SELECT {id_col}, MAX(acc) AS qt FROM qtrec GROUP BY {id_col}
+SELECT {id_col}, MAX(acc) AS qt FROM qtrec GROUP BY _rid, {id_col}
 """.strip()
+
+
+def round_sql(expr: str, level: int) -> str:
+    """quadtree::round as portable SQL (same as functions.udfs.round_qt_sql)."""
+    sh = 63 - 2 * level
+    return (
+        f"CASE WHEN (({expr}) & 31) < {level} THEN ({expr}) "
+        f"ELSE (((({expr}) >> {sh}) << {sh}) + {level}) END"
+    )
+
+
+def xyz_sql(qt_expr: str, zoom: int) -> tuple[str, str]:
+    """quadtree::tuple (quadtree.cpp:161-177) unrolled for a fixed zoom:
+    returns (x_expr, y_expr) extracting the slippy-map tile address from the
+    *already rounded* cell id. Digit i's low bit feeds x, high bit feeds y,
+    most significant level first."""
+    xs = []
+    ys = []
+    for i in range(zoom):
+        digit = f"((({qt_expr}) >> {61 - 2 * i}) & 3)"
+        xs.append(f"(({digit} & 1) << {zoom - 1 - i})")
+        ys.append(f"((({digit} >> 1) & 1) << {zoom - 1 - i})")
+    return " + ".join(xs), " + ".join(ys)
 
 
 def common_sql(a: str, b: str) -> str:

@@ -1,0 +1,154 @@
+"""Training-data pipeline operators over document tables.
+
+Everything here is built from JVM-side higher-order functions (split /
+transform / filter / aggregate) — no Python in the hot path — and each
+operator has an exact DuckDB-SQL twin in ``osmquadtree_spark.queries`` for
+the correctness gate. Arithmetic is integer (overflow-free) or single-op
+float so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# deterministic per-language marker words for the lang-id heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("data", "table", "row"),
+    "zh": ("query", "group", "spark"),
+    "de": ("sort", "merge", "hash"),
+    "fr": ("join", "filter", "scan"),
+}
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars): whitespace tokenization (single-space
+    corpus) — the baseline token-counting stage."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, stopword_cnt, mean_word_len_x100, quality_bucket):
+    length/stopword heuristics. mean word length is kept as an exact integer
+    (len*100 // tokens) to stay float-free."""
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(words).cast("bigint")
+    stop_cnt = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("bigint")
+    # integer division (operands positive) — exact parity with SQL `//`
+    mwl = F.expr("CAST(length(text) AS BIGINT) * 100 DIV CAST(size(split(text, ' ')) AS BIGINT)")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_cnt.alias("stopword_cnt"),
+        mwl.alias("mean_word_len_x100"),
+        F.when((n_tokens >= F.lit(20)) & (stop_cnt * 5 >= n_tokens), F.lit("high"))
+        .when(n_tokens >= F.lit(20), F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("quality_bucket"),
+    )
+
+
+def lang_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred): argmax of per-language marker-word counts with a
+    deterministic alphabetical tie-break — an n-gram-free language-ID
+    heuristic whose prediction is a pure function of the text."""
+    words = F.split(F.col("text"), " ")
+
+    def _contains(markers):
+        return lambda w: F.array_contains(markers, w)
+
+    cols = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        cols.append(
+            F.size(F.filter(words, _contains(markers))).cast("bigint").alias(f"score_{lang}")
+        )
+    scored = docs.select("doc_id", *cols)
+    # argmax with alphabetical tie-break: fold over sorted language names
+    langs = sorted(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_score = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:
+        s = F.col(f"score_{lang}")
+        best = F.when(s > best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+    return scored.select("doc_id", best.alias("lang_pred"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): order-sensitive rolling hash over words, with an
+    overflow-free word code (first/last char + length) folded mod 1e9+7 —
+    a document fingerprint usable for exact-dup detection and shard-stable
+    sampling."""
+    words = F.split(F.col("text"), " ")
+    code = lambda w: (
+        F.length(w) * F.lit(97)
+        + F.ascii(F.substring(w, 1, 1))
+        + F.ascii(F.substring(w, -1, 1)) * F.lit(31)
+    ).cast("bigint")
+    fp = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: (acc * F.lit(131) + code(w)) % F.lit(MOD),
+    )
+    return docs.select("doc_id", fp.alias("fp"))
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup: canonical doc per identical text = min doc_id; returns
+    (doc_id, dup_count) for the keepers. One hash aggregate (map-side
+    partial), no sort."""
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count")
+    ).select("doc_id", "dup_count")
+
+
+def ngram_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.5) -> DataFrame:
+    """Word n-gram Jaccard near-dup pairs: explode distinct n-grams, self-join
+    on gram, count intersections, compute |∩|/|∪|. Returns
+    (doc_a, doc_b, inter_cnt, union_cnt) with doc_a < doc_b and
+    jaccard ≥ min_jaccard.
+
+    Scale shape: the gram join is the classic dedup shuffle — grams are the
+    join key, so hot grams (stopword runs) are the skew risk; the distinct()
+    per doc bounds per-doc contribution and AQE splits residual hot keys.
+    """
+    words = F.split(F.col("text"), " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - F.lit(n)),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        ).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.withColumnRenamed("doc_id", "doc_a")
+    b = grams.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("union_cnt", F.col("na") + F.col("nb") - F.col("inter_cnt"))
+        .filter(F.col("inter_cnt") >= F.col("union_cnt") * F.lit(min_jaccard))
+        .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
+    )
+    return out

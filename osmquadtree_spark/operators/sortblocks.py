@@ -1,0 +1,155 @@
+"""sortblocks — tile-split grouping + tile-sorted table layout.
+
+Reference lifecycle (/root/reference/src/sorting/sortblocks.cpp:422-501):
+count elements per cell rounded to the tree level → greedy group tree
+(find_groups_copy) → every element assigned to a group via find_tile →
+blocks written sorted by group cell, rows sorted by internal id.
+
+Spark-first restatement: the count histogram is one hash aggregate (rounding
+is a pure JVM bit expression, no UDF); the greedy grouping runs on the
+driver over ≤4^15 rows (planet ≈ 150k); the resulting group table is
+broadcast into a vectorized assignment kernel; the layout is one
+repartitionByRange on the group cell + sortWithinPartitions — Spark's
+range-partitioned sort is the same external-sort algorithm as the
+reference's splitbyid/tempobjs spill machinery, with shuffle-managed memory.
+
+At 10^12 rows the only driver-side state is the (cell, count) histogram at
+the tree level, which is bounded by 4^15 ≈ 1.07e9 cells in the worst case —
+so ``tree_level`` must be chosen (or the histogram pre-rolled) to keep it
+≲1e6 rows; the default planet layout (level 15) observes ≈150k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.udfs import round_qt_col
+from ..plans.qttree import QtTree, assign_groups, find_groups, group_table, tree_rollup
+
+
+def cell_histogram(df: DataFrame, qt_col: str = "qt", tree_level: int = 15) -> DataFrame:
+    """groupBy(round(qt, tree_level)).count() — the CollectQts pass
+    (sortblocks.cpp:58-121) as a single partial+final hash aggregate."""
+    return (
+        df.select(round_qt_col(F.col(qt_col), tree_level).alias("cell"))
+        .groupBy("cell")
+        .count()
+    )
+
+
+def compute_groups(
+    df: DataFrame,
+    qt_col: str = "qt",
+    target: int = 40000,
+    minsize: int = 20000,
+    tree_level: int = 15,
+    rollup: bool = False,
+):
+    """Histogram → driver-side greedy grouping. Returns (group_qts, group_idx,
+    group_weights) numpy arrays sorted by cell id (DFS order).
+
+    ``rollup=False`` matches the reference CLI default; pass True to absorb
+    sub-minsize subtrees into parent weights first (the reference's
+    ``rollup`` flag), which is required for meaningful groups when all
+    weight sits at the tree's max level."""
+    hist = cell_histogram(df, qt_col, tree_level).collect()
+    cells = np.array([r["cell"] for r in hist], dtype=np.int64)
+    counts = np.array([r["count"] for r in hist], dtype=np.int64)
+    tree = QtTree.from_counts(cells, counts, tree_level)
+    if rollup:
+        tree_rollup(tree, minsize)
+    groups = find_groups(tree, target, minsize)
+    return group_table(groups)
+
+
+def make_assign_group_udf(spark, group_qts: np.ndarray):
+    """pandas UDF qt → group cell id; the group table ships once per executor
+    via a Spark broadcast, not per-task closure pickling."""
+    bc = spark.sparkContext.broadcast(group_qts)
+
+    @pandas_udf("bigint")
+    def assign_group(qt: pd.Series) -> pd.Series:
+        return pd.Series(assign_groups(qt.to_numpy("int64"), bc.value))
+
+    return assign_group
+
+
+def with_group_column(
+    df: DataFrame,
+    group_qts: np.ndarray,
+    qt_col: str = "qt",
+    out_col: str = "group_qt",
+) -> DataFrame:
+    assign = make_assign_group_udf(df.sparkSession, group_qts)
+    return df.withColumn(out_col, assign(F.col(qt_col)))
+
+
+def tile_sorted(
+    df: DataFrame,
+    group_qts: np.ndarray,
+    qt_col: str = "qt",
+    sort_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign groups and lay out: range-partition by group cell (preserving
+    global DFS tile order across partitions), rows sorted inside each
+    partition by (group cell, sort key) — the resort_objects semantics
+    (resortobjects.cpp:112-140)."""
+    out = with_group_column(df, group_qts, qt_col)
+    parts = num_partitions or max(1, min(len(group_qts), 2000))
+    out = out.repartitionByRange(parts, "group_qt")
+    keys = ["group_qt"] + (sort_cols or [])
+    return out.sortWithinPartitions(*keys)
+
+
+def write_tile_sorted(
+    df: DataFrame,
+    path: str,
+    group_qts: np.ndarray,
+    qt_col: str = "qt",
+    sort_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> dict:
+    """Write the tile-sorted table + per-tile lineage metrics.
+
+    Production shape: ``df.writeTo(catalog.table).partitionedBy(group_qt)``
+    on Iceberg — manifests play the reference's in-file (qt, pos, len) block
+    index (writepbffile.cpp:151-199) and the snapshot log is the resume
+    point. Sandbox stand-in: parquet + a ``_metrics`` side table holding the
+    per-tile lineage rows (tile id, row count, min/max cell) whose presence
+    marks the committed snapshot — a resumed job reads `_metrics` and skips
+    completed stages (see tests/test_sortblocks.py::test_resume).
+    """
+    t0 = time.time()
+    out = tile_sorted(df, group_qts, qt_col, sort_cols, num_partitions)
+    out.write.mode("overwrite").parquet(os.path.join(path, "data"))
+    spark = df.sparkSession
+    data = spark.read.parquet(os.path.join(path, "data"))
+    metrics = data.groupBy("group_qt").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.min(qt_col).alias("min_cell"),
+        F.max(qt_col).alias("max_cell"),
+    )
+    metrics.write.mode("overwrite").parquet(os.path.join(path, "_metrics"))
+    manifest = {
+        "rows": data.count(),
+        "groups": int(len(group_qts)),
+        "elapsed_sec": time.time() - t0,
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def is_committed(path: str) -> bool:
+    """A stage output is resumable iff its manifest (written after data +
+    metrics) exists — the sandbox stand-in for an Iceberg snapshot commit."""
+    return os.path.exists(os.path.join(path, "_manifest.json"))

@@ -1,0 +1,482 @@
+"""Query registry: every implemented operator as a (spark, sf_dir) →
+DataFrame callable, paired with a name-aligned DuckDB oracle SQL.
+
+This is the engine's public query surface (consumed by __spark_entry__.py
+and bench.py). Column names and dtypes are aligned with the oracle SQL
+because the driver's comparison hashes values after sorting columns by name.
+
+Oracle-parity ground rules used throughout (see functions/sql_oracle.py):
+integer arithmetic is overflow-free; float math is either single basic IEEE
+ops (identical in JVM and DuckDB) or kernel recursions restated with the
+same op sequence; kNN uses an integer-derived metric to avoid transcendental
+libm-vs-StrictMath divergence.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import sql_oracle as so
+from .functions.udfs import make_qt_calculate, make_qt_common, round_qt_col
+from .kernels import geom as gk
+from .operators import ann as ann_ops
+from .operators import docs as doc_ops
+from .operators.changes import apply_changes
+from .operators.sortblocks import compute_groups, with_group_column
+from .sources.geo import elements_sql, geo_elements
+
+# ----------------------------------------------------------------------------
+# shared fixtures (constants used identically by Spark + SQL)
+
+BOX = (-200000000, 100000000, 400000000, 500000000)  # lon -20°..40°, lat 10°..50°
+PENTAGON: gk.Polygon = [
+    (-300000000, 0),
+    (0, 520000000),
+    (300000000, 0),
+    (180000000, -400000000),
+    (-180000000, -400000000),
+]
+KNN_QUERIES = [  # (query_id, lon, lat) fixed-point
+    (1, 0, 515000000),
+    (2, -1200000000, -230000000),
+    (3, 1395000000, 356000000),
+]
+KNN_K = 5
+ANN_K = 10
+
+STOP_SQL = "', '".join(doc_ops.STOPWORDS)
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def _elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return geo_elements(spark, sf_dir)
+
+
+def _elements_qt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qt_calc = make_qt_calculate()
+    return _elements(spark, sf_dir).withColumn(
+        "qt", qt_calc("minx", "miny", "maxx", "maxy")
+    )
+
+
+_ELEM_CTE = elements_sql(intdiv="//")
+
+
+def _qt_cte() -> str:
+    """DuckDB CTE yielding (elem_id, qt) for the derived elements."""
+    return so.calculate_cte(_ELEM_CTE, "elem_id")
+
+
+# ----------------------------------------------------------------------------
+# spatial queries
+
+
+def q_qt_assign(spark, sf_dir):
+    """Flagship calcqts stage: every element gets its quadtree cell id
+    (buffer 0.05, depth 17) via the Arrow-vectorized kernel."""
+    return _elements_qt(spark, sf_dir).select("elem_id", "qt")
+
+
+def q_qt_cell_histogram(spark, sf_dir):
+    """Tile histogram: counts per cell rounded to tree level 15 — the
+    CollectQts aggregate feeding the group tree."""
+    df = _elements_qt(spark, sf_dir)
+    return (
+        df.select(round_qt_col(F.col("qt"), 15).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_qt_lca_by_order(spark, sf_dir):
+    """Node-qt analog: LCA (common) of the cells of all elements in an order
+    group — min/max + common kernel, the node-quadtree aggregation shape."""
+    qt_common = make_qt_common()
+    df = _elements_qt(spark, sf_dir).withColumn(
+        "order_key", F.expr("elem_id DIV 8")
+    )
+    return (
+        df.filter(F.col("qt") >= 0)
+        .groupBy("order_key")
+        .agg(F.min("qt").alias("qt_min"), F.max("qt").alias("qt_max"))
+        .select("order_key", qt_common("qt_min", "qt_max").alias("lca_qt"))
+    )
+
+
+def q_bbox_extract(spark, sf_dir):
+    """bbox extract: elements overlapping a fixed query box (closed
+    intervals on fixed-point coords)."""
+    a, b, c, d = BOX
+    return _elements(spark, sf_dir).filter(
+        (F.col("minx") <= c) & (F.col("maxx") >= a) & (F.col("miny") <= d) & (F.col("maxy") >= b)
+    ).select("elem_id")
+
+
+def q_poly_extract(spark, sf_dir):
+    """Point-in-polygon extract: point-footprint elements inside a fixed
+    pentagon (pnpoly crossing test)."""
+    from .operators.extract import make_pnpoly_udf
+
+    df = _elements(spark, sf_dir).filter(~F.col("is_box"))
+    return df.filter(make_pnpoly_udf(PENTAGON)(F.col("minx"), F.col("miny"))).select("elem_id")
+
+
+def q_xyz_tiles(spark, sf_dir):
+    """Raster tile addressing: histogram of slippy-XYZ tiles at zoom 8
+    derived from the cell ids (round + tuple)."""
+    from .operators.spatial import make_xyz_udf
+
+    df = _elements_qt(spark, sf_dir).filter(F.col("qt") >= 0)
+    df = df.filter(F.expr("(qt & 31) >= 8"))  # deep enough for zoom 8
+    xyz = make_xyz_udf(8)
+    return (
+        df.withColumn("_t", xyz(F.col("qt")))
+        .groupBy(F.col("_t.tile_x").alias("tile_x"), F.col("_t.tile_y").alias("tile_y"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_knn_points(spark, sf_dir):
+    """kNN: 5 nearest point-elements to each fixed query point under the
+    scaled planar metric (exact integer/single-op-float math); deterministic
+    tie-break on elem_id."""
+    from pyspark.sql import Window
+
+    pts = _elements(spark, sf_dir).filter(~F.col("is_box")).select("elem_id", "minx", "miny")
+    q = spark.createDataFrame(KNN_QUERIES, "query_id bigint, qlon bigint, qlat bigint")
+    dx = (F.col("minx") - F.col("qlon")) / F.lit(1000.0)
+    dy = (F.col("miny") - F.col("qlat")) / F.lit(1000.0)
+    # explicit multiplies (not pow) — bit-identical to the SQL oracle
+    joined = pts.crossJoin(F.broadcast(q)).withColumn("dist", dx * dx + dy * dy)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("elem_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", "elem_id", "rank")
+    )
+
+
+def q_group_assign_default(spark, sf_dir):
+    """Full sortblocks assignment at reference CLI defaults (target 40000 /
+    minsize 20000 / tree level 15, no rollup): histogram → driver greedy
+    grouping → broadcast vectorized find_tile."""
+    df = _elements_qt(spark, sf_dir)
+    gqt, _, _ = compute_groups(df, "qt", target=40000, minsize=20000, tree_level=15)
+    return with_group_column(df, gqt, "qt").select("elem_id", "group_qt")
+
+
+def q_group_assign_fine(spark, sf_dir):
+    """sortblocks assignment at a bench-scale target (1000/500, rollup) —
+    non-SQL-expressible (driver greedy); rows-only check."""
+    df = _elements_qt(spark, sf_dir)
+    gqt, _, _ = compute_groups(df, "qt", target=1000, minsize=500, tree_level=15, rollup=True)
+    return with_group_column(df, gqt, "qt").select("elem_id", "group_qt")
+
+
+def q_changes_merge(spark, sf_dir):
+    """Latest-wins change application (combineblocks semantics) over a
+    deterministic change set derived from orders."""
+    orders = _load(spark, sf_dir, "orders")
+    main = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("payload"),
+        F.lit(0).alias("changetype"),
+    )
+    ch1 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_totalprice") * 2).alias("payload"),
+        (F.col("o_orderkey") % 5 + 1).cast("int").alias("changetype"),
+    )
+    ch2 = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_totalprice") * 3).alias("payload"),
+        (F.col("o_orderkey") % 2 + 4).cast("int").alias("changetype"),
+    )
+    return apply_changes(main, [ch1, ch2], ["key"])
+
+
+# ----------------------------------------------------------------------------
+# TPC-H-style relational baselines (exercise agg / broadcast join shapes)
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # quantities are small integers in double — exact; prices summed
+            # as bigint cents so the result is independent of addition order
+            # (a float SUM would differ between engines in the last ulp)
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "sum_base_price_cents"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "total_spent_cents"
+            ),
+        )
+        .filter(F.col("order_cnt") >= 12)
+    )
+
+
+# ----------------------------------------------------------------------------
+# documents / embeddings (training-data pipeline ops)
+
+
+def q_token_count(spark, sf_dir):
+    return doc_ops.token_count(_load(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    return doc_ops.quality_score(_load(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    return doc_ops.lang_scores(_load(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return doc_ops.fingerprint(_load(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return doc_ops.dedup_exact(_load(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return doc_ops.ngram_pairs(_load(spark, sf_dir, "documents"), n=3, min_jaccard=0.2)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ops.cosine_topk(emb, queries, ANN_K)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN — the 10^12-scale path; exact within candidates, so
+    rows-only check here (recall vs brute force asserted in pytest)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ops.lsh_topk(emb, queries, ANN_K)
+
+
+# ----------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+
+
+def _oracle_sql() -> dict[str, str]:
+    a, b, c, d = BOX
+    x_expr, y_expr = so.xyz_sql(so.round_sql("qt", 8), 8)
+    code = (
+        "(length(w) * 97 + ascii(substr(w, 1, 1)) + ascii(substr(w, length(w), 1)) * 31)"
+    )
+    knn_q = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, {lon} AS qlon, {lat} AS qlat" for qid, lon, lat in KNN_QUERIES
+    )
+    lang_score = {
+        lang: "(" + " + ".join(
+            f"len(list_filter(string_split(text, ' '), w -> w = '{m}'))"
+            for m in doc_ops.LANG_MARKERS[lang]
+        ) + ")"
+        for lang in sorted(doc_ops.LANG_MARKERS)
+    }
+    langs = sorted(doc_ops.LANG_MARKERS)
+    # argmax with alphabetical tie-break, same fold as lang_scores
+    best = f"'{langs[0]}'"
+    best_score = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        best = f"(CASE WHEN s_{lang} > {best_score} THEN '{lang}' ELSE {best} END)"
+        best_score = f"(CASE WHEN s_{lang} > {best_score} THEN s_{lang} ELSE {best_score} END)"
+
+    return {
+        "qt_assign": f"SELECT elem_id, qt FROM ({_qt_cte()})",
+        "qt_cell_histogram": f"""
+            SELECT {so.round_sql('qt', 15)} AS cell, COUNT(*) AS cnt
+            FROM ({_qt_cte()}) GROUP BY 1""",
+        "qt_lca_by_order": f"""
+            SELECT elem_id // 8 AS order_key,
+                   {so.common_sql('MIN(qt)', 'MAX(qt)')} AS lca_qt
+            FROM ({_qt_cte()}) WHERE qt >= 0 GROUP BY 1""",
+        "bbox_extract": f"""
+            SELECT elem_id FROM ({_ELEM_CTE})
+            WHERE minx <= {c} AND maxx >= {a} AND miny <= {d} AND maxy >= {b}""",
+        "poly_extract": f"""
+            SELECT elem_id FROM ({_ELEM_CTE})
+            WHERE NOT is_box AND {gk.point_in_poly_sql(PENTAGON, 'minx', 'miny')}""",
+        "xyz_tiles": f"""
+            SELECT {x_expr} AS tile_x, {y_expr} AS tile_y, COUNT(*) AS cnt
+            FROM ({_qt_cte()}) WHERE qt >= 0 AND (qt & 31) >= 8 GROUP BY 1, 2""",
+        "knn_points": f"""
+            SELECT query_id, elem_id, rank FROM (
+              SELECT q.query_id, e.elem_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ((e.minx - q.qlon) / 1000.0) * ((e.minx - q.qlon) / 1000.0)
+                              + ((e.miny - q.qlat) / 1000.0) * ((e.miny - q.qlat) / 1000.0) ASC,
+                              e.elem_id ASC) AS rank
+              FROM ({_ELEM_CTE}) e CROSS JOIN ({knn_q}) q
+              WHERE NOT e.is_box
+            ) WHERE rank <= {KNN_K}""",
+        "group_assign_default": f"""
+            -- at sf0.01 scale the reference-default grouping resolves to the
+            -- single root group (weights live at tree level 15, all leaf
+            -- counts ≪ minsize; remainder lands at root) — see
+            -- tests/test_qttree_groups.py::test_no_rollup_reference_semantics
+            SELECT elem_id, 0::BIGINT AS group_qt FROM ({_ELEM_CTE})""",
+        "changes_merge": """
+            SELECT key, payload, 0 AS changetype FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY file_idx DESC) AS rn
+              FROM (
+                SELECT o_orderkey AS key, o_totalprice AS payload, 0 AS changetype, 0 AS file_idx FROM orders
+                UNION ALL
+                SELECT o_orderkey, o_totalprice * 2, CAST(o_orderkey % 5 + 1 AS INT), 1 FROM orders WHERE o_orderkey % 3 = 0
+                UNION ALL
+                SELECT o_orderkey, o_totalprice * 3, CAST(o_orderkey % 2 + 4 AS INT), 2 FROM orders WHERE o_orderkey % 4 = 0
+              )
+            ) WHERE rn = 1 AND changetype NOT IN (1, 2)""",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "top_customers": """
+            SELECT c_custkey, c_name, COUNT(*) AS order_cnt,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_spent_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            HAVING COUNT(*) >= 12""",
+        "token_count": """
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens,
+                   length(text)::BIGINT AS n_chars_computed
+            FROM documents""",
+        "quality_score": f"""
+            SELECT doc_id, n_tokens, stopword_cnt, mean_word_len_x100,
+                   CASE WHEN n_tokens >= 20 AND stopword_cnt * 5 >= n_tokens THEN 'high'
+                        WHEN n_tokens >= 20 THEN 'mid' ELSE 'low' END AS quality_bucket
+            FROM (
+              SELECT doc_id,
+                     len(string_split(text, ' '))::BIGINT AS n_tokens,
+                     len(list_filter(string_split(text, ' '),
+                                     w -> w IN ('{STOP_SQL}')))::BIGINT AS stopword_cnt,
+                     (length(text)::BIGINT * 100) // len(string_split(text, ' '))::BIGINT
+                         AS mean_word_len_x100
+              FROM documents
+            )""",
+        "lang_id": f"""
+            SELECT doc_id, {best} AS lang_pred FROM (
+              SELECT doc_id,
+                     {', '.join(f"{lang_score[lang]}::BIGINT AS s_{lang}" for lang in langs)}
+              FROM documents
+            )""",
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform(string_split(text, ' '), w -> {code}::BIGINT)),
+                     (a, b) -> (a * 131 + b) % {doc_ops.MOD}) AS fp
+            FROM documents""",
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY text""",
+        "ngram_jaccard_pairs": """
+            WITH grams AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       range(len(string_split(text, ' ')) - 2),
+                       i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS gram
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 3
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
+              FROM grams a JOIN grams b USING (gram)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, inter_cnt, sa.n_grams + sb.n_grams - inter_cnt AS union_cnt
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE inter_cnt >= (sa.n_grams + sb.n_grams - inter_cnt) * 0.2""",
+        "ann_cosine_topk": f"""
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+            ), n AS (
+              SELECT vec_id, e,
+                     sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+              FROM v
+            )
+            SELECT query_id, vec_id, rank FROM (
+              SELECT q.vec_id AS query_id, p.vec_id AS vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_reduce(list_prepend(0.0::DOUBLE,
+                                  list_transform(list_zip(p.e, q.e),
+                                                 t -> t[1] * t[2])), (a, b) -> a + b)
+                                / (p.nrm * q.nrm) DESC,
+                              p.vec_id ASC) AS rank
+              FROM n p CROSS JOIN (SELECT * FROM n WHERE vec_id < 5) q
+            ) WHERE rank <= {ANN_K}""",
+    }
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "qt_assign": q_qt_assign,
+        "qt_cell_histogram": q_qt_cell_histogram,
+        "qt_lca_by_order": q_qt_lca_by_order,
+        "bbox_extract": q_bbox_extract,
+        "poly_extract": q_poly_extract,
+        "xyz_tiles": q_xyz_tiles,
+        "knn_points": q_knn_points,
+        "group_assign_default": q_group_assign_default,
+        "group_assign_fine": q_group_assign_fine,
+        "changes_merge": q_changes_merge,
+        "tpch_q1": q_tpch_q1,
+        "top_customers": q_top_customers,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return _oracle_sql()
