@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, ...}
+
+The primary north-rule metric (tiles+rows/sec on the quadtree-assignment +
+tile-split pipeline) is included as "rows_per_sec" alongside the per-query
+wall clocks. Every query is fully materialized via a noop-format write so
+column pruning can't skip work.
+
+Usage: python bench.py [--sf-dir DIR] [--cpus N] [--json-out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "qt_assign",
+    "qt_cell_histogram",
+    "qt_lca_by_order",
+    "group_assign_fine",
+    "bbox_extract",
+    "poly_extract",
+    "xyz_tiles",
+    "knn_points",
+    "changes_merge",
+    "tpch_q1",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "doc_fingerprint",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("osmquadtree-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--json-out", default=None)
+    ap.add_argument("--queries", default=None, help="comma-separated subset")
+    args = ap.parse_args()
+
+    from osmquadtree_spark import queries as Q
+
+    spark = build_spark(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = Q.spark_queries()
+    names = args.queries.split(",") if args.queries else HEADLINE
+
+    # input scale for the throughput metric: rows entering the flagship
+    # assignment pipeline (lineitem-derived elements)
+    n_rows = spark.read.parquet(f"{args.sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name]
+        t0 = time.time()
+        materialize(fn(spark, args.sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    pipeline_sec = timings.get("qt_assign", 0) + timings.get("group_assign_fine", 0)
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": args.sf_dir,
+        "cpus": args.cpus,
+        "input_rows": n_rows,
+        "pipeline_sec": round(pipeline_sec, 3),
+        "rows_per_sec": round(n_rows / pipeline_sec, 1) if pipeline_sec else None,
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

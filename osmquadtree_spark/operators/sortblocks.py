@@ -32,7 +32,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..functions.udfs import round_qt_col
-from ..plans.qttree import QtTree, assign_groups, find_groups, group_table, tree_rollup
+from ..plans.qttree import (
+    QtTreeArr,
+    assign_groups,
+    find_groups,
+    group_table,
+    tree_rollup_arr,
+)
 
 
 def cell_histogram(df: DataFrame, qt_col: str = "qt", tree_level: int = 15) -> DataFrame:
@@ -60,12 +66,12 @@ def compute_groups(
     sub-minsize subtrees into parent weights first (the reference's
     ``rollup`` flag), which is required for meaningful groups when all
     weight sits at the tree's max level."""
-    hist = cell_histogram(df, qt_col, tree_level).collect()
-    cells = np.array([r["cell"] for r in hist], dtype=np.int64)
-    counts = np.array([r["count"] for r in hist], dtype=np.int64)
-    tree = QtTree.from_counts(cells, counts, tree_level)
+    hist = cell_histogram(df, qt_col, tree_level).toPandas()
+    cells = hist["cell"].to_numpy("int64")
+    counts = hist["count"].to_numpy("int64")
+    tree = QtTreeArr.build(cells, counts, tree_level)
     if rollup:
-        tree_rollup(tree, minsize)
+        tree = tree_rollup_arr(tree, minsize)
     groups = find_groups(tree, target, minsize)
     return group_table(groups)
 

@@ -1,1 +1,9 @@
-from .qttree import QtTree, tree_rollup, find_groups, assign_groups  # noqa: F401
+from .qttree import (  # noqa: F401
+    QtTree,
+    QtTreeArr,
+    assign_groups,
+    find_groups,
+    group_table,
+    tree_rollup,
+    tree_rollup_arr,
+)

@@ -238,6 +238,129 @@ def group_table(result: QtTree) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return qt.astype(np.int64), idx.astype(np.int64), weight.astype(np.int64)
 
 
+class QtTreeArr:
+    """Array-backed count tree with the same structural contract as
+    :class:`QtTree`, built vectorized (no per-cell Python walk). Node order
+    is sorted by cell id = DFS preorder, root first. Used for planet-scale
+    histograms where the per-item-object tree costs tens of seconds.
+
+    Equivalence with the per-item reference port is asserted in
+    tests/test_qttree_groups.py (same node set, totals, weights, rollup
+    result, and find_groups output).
+    """
+
+    def __init__(self, qt, parent, children, weight, total):
+        self.qt = qt
+        self.parent = parent
+        self.children = children
+        self.weight = weight
+        self.total = total
+
+    @classmethod
+    def build(cls, cells, counts, maxlevel: int = 15) -> "QtTreeArr":
+        cells = np.asarray(cells, dtype=np.int64)
+        counts = np.asarray(counts, dtype=np.int64)
+        keep = cells >= 0
+        cells = qtk.round_qt(cells[keep], maxlevel)
+        counts = counts[keep]
+        # aggregate duplicate cells
+        ucells, inv = np.unique(cells, return_inverse=True)
+        ucounts = np.bincount(inv, weights=counts).astype(np.int64)
+        depths = (ucells & 31).astype(np.int64)
+
+        # node set: every prefix of every cell (round at L for depth ≥ L)
+        parts = [np.zeros(1, dtype=np.int64)]  # root
+        for lv in range(1, maxlevel + 1):
+            sel = depths >= lv
+            if not sel.any():
+                break
+            parts.append(np.unique(qtk.round_qt(ucells[sel], lv)))
+        nodes = np.unique(np.concatenate(parts))
+        n = len(nodes)
+
+        total = np.zeros(n, dtype=np.int64)
+        for lv in range(0, maxlevel + 1):
+            sel = depths >= lv
+            if not sel.any():
+                break
+            anc = qtk.round_qt(ucells[sel], lv)
+            u, ainv = np.unique(anc, return_inverse=True)
+            sums = np.bincount(ainv, weights=ucounts[sel]).astype(np.int64)
+            total[np.searchsorted(nodes, u)] += sums
+
+        weight = np.zeros(n, dtype=np.int64)
+        weight[np.searchsorted(nodes, ucells)] = ucounts
+
+        ndep = (nodes & 31).astype(np.int64)
+        parent = np.zeros(n, dtype=np.int64)
+        children = np.zeros((n, 4), dtype=np.int64)
+        nonroot = np.where(ndep > 0)[0]
+        if len(nonroot):
+            pd = ndep[nonroot] - 1
+            sh = 63 - 2 * pd
+            par_qt = ((nodes[nonroot] >> sh) << sh) + pd
+            ppos = np.searchsorted(nodes, par_qt)
+            parent[nonroot] = ppos
+            digit = (nodes[nonroot] >> (63 - 2 * ndep[nonroot])) & 3
+            children[ppos, digit] = nonroot
+        return cls(nodes, parent, children, weight, total)
+
+    def size(self) -> int:
+        return len(self.qt)
+
+    def at(self, i: int) -> _Item:
+        return _Item(
+            qt=int(self.qt[i]),
+            parent=int(self.parent[i]),
+            idx=0,
+            weight=int(self.weight[i]),
+            total=int(self.total[i]),
+            children=[int(c) for c in self.children[i]],
+        )
+
+    def next(self, curr: int, c: int = 0) -> int:
+        while True:
+            row = self.children[curr]
+            for ci in range(c, 4):
+                if row[ci] != 0:
+                    return int(row[ci])
+            p = int(self.parent[curr])
+            if p == curr:
+                return len(self.qt)
+            q = int(self.qt[curr])
+            pc = (q >> (63 - 2 * (q & 31))) & 3
+            curr, c = p, pc + 1
+
+
+def tree_rollup_arr(tree: QtTreeArr, minsize: int) -> QtTreeArr:
+    """Vectorized tree_rollup: totals are invariant under rollup and child
+    total ≤ parent total, so a non-root node survives iff total ≥ minsize;
+    a surviving node's weight absorbs the totals of its sub-minsize
+    children. Proven equivalent to the sequential reference port in tests."""
+    survive = (tree.total >= minsize) | (np.arange(tree.size()) == 0)
+    absorbed = np.zeros(tree.size(), dtype=np.int64)
+    child = tree.children  # (n, 4)
+    for c in range(4):
+        ch = child[:, c]
+        mask = (ch != 0) & survive & ~survive[ch]  # parent survives, child absorbed
+        absorbed[mask] += tree.total[ch[mask]]
+    keep = np.where(survive)[0]
+    remap = -np.ones(tree.size(), dtype=np.int64)
+    remap[keep] = np.arange(len(keep))
+    new_children = child[keep].copy()
+    for c in range(4):
+        col = new_children[:, c]
+        live = (col != 0) & (remap[col] >= 0)
+        new_children[:, c] = np.where(live, remap[col], 0)
+    return QtTreeArr(
+        tree.qt[keep],
+        np.maximum(remap[tree.parent[keep]], 0),
+        new_children,
+        tree.weight[keep] + absorbed[keep],
+        tree.total[keep],
+    )
+
+
 def assign_groups(qts, group_qts: np.ndarray) -> np.ndarray:
     """Vectorized ``find_tile``: map each element cell id to its group cell id.
 

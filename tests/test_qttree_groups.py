@@ -182,3 +182,34 @@ def test_determinism():
         outs.append(group_table(find_groups(tree, 1000, 500)))
     for a, b in zip(*outs):
         assert np.array_equal(a, b)
+
+
+def test_array_tree_equivalence():
+    """QtTreeArr.build / tree_rollup_arr must be structurally identical to
+    the sequential reference ports (same node set, weights, totals, and
+    find_groups output)."""
+    from osmquadtree_spark.plans.qttree import QtTreeArr, tree_rollup_arr
+
+    qts = _element_qts(np.random.default_rng(707), 40000)
+    cells, counts = np.unique(qtk.round_qt(qts, 15), return_counts=True)
+
+    slow = QtTree.from_counts(cells, counts, 15)
+    fast = QtTreeArr.build(cells, counts, 15)
+    sq = sorted((t.qt, t.weight, t.total) for t in slow.items)
+    fq = sorted(zip(fast.qt.tolist(), fast.weight.tolist(), fast.total.tolist()))
+    assert sq == fq
+
+    tree_rollup(slow, 500)
+    fr = tree_rollup_arr(fast, 500)
+    surv = []
+    i = 0
+    while i < slow.size():
+        t = slow.at(i)
+        surv.append((t.qt, t.weight, t.total))
+        i = slow.next(i)
+    assert sorted(surv) == sorted(zip(fr.qt.tolist(), fr.weight.tolist(), fr.total.tolist()))
+
+    g1 = group_table(find_groups(slow, 1000, 500))
+    g2 = group_table(find_groups(fr, 1000, 500))
+    for x, y in zip(g1, g2):
+        assert np.array_equal(x, y)
