@@ -125,17 +125,20 @@ def knn_cell_expansion(
     max_rounds: int = 4,
 ) -> DataFrame:
     """Scale-path kNN: per query, probe a growing square neighborhood of
-    level-``zoom`` cells around the query's cell, verify with exact distance,
-    stop when the k-th hit is provably closer than anything outside the
-    searched ring. Falls back to brute force for queries still unresolved
-    after ``max_rounds`` doublings (pathologically empty regions).
+    level-``zoom`` cells around the query's cell (x wraps at the
+    antimeridian), score exactly, and accept only when the k-th hit is
+    *provably* closer than anything outside the searched ring (conservative
+    spherical lower bound on the ring boundary — mercator distortion makes a
+    bare count check unsound near the poles). Unresolved queries after
+    ``max_rounds`` doublings fall back to brute force.
 
-    The candidate join is an equi-join on (tile_x, tile_y) — prunable,
-    shuffle-free on a table bucketed by cell — versus the brute-force cross
-    join; at 10^12 points only this shape is viable.
+    The candidate join is an equi-ish join on tile addresses — prunable and
+    broadcastable — versus the brute-force cross join; at 10^12 points only
+    this shape is viable.
     """
     xyz = make_xyz_udf(zoom)
     qt_point = make_qt_point_udf(zoom)
+    n = 1 << zoom
     p = points.withColumn("_t", xyz(F.col("qt"))).select(
         id_col,
         F.radians(F.col("lon") * 1e-7).alias("plon"),
@@ -143,11 +146,47 @@ def knn_cell_expansion(
         F.col("_t.tile_x").alias("px"),
         F.col("_t.tile_y").alias("py"),
     )
+
+    def _lat_of_tile_row(y: int) -> float:
+        """Latitude (deg) of the top edge of tile row y (scale-90 inverse
+        mercator of normalized 1 - y*2^(1-zoom))."""
+        my = 1.0 - y * (2.0 ** (1 - zoom))
+        return qtk.latitude_un_mercator(my * 90.0)
+
+    def _ring_bound_chord(qlon_deg, qlat_deg, qx, qy, radius) -> float:
+        """Lower bound (in squared-half-chord units, the scoring metric) on
+        the distance from the query to any point OUTSIDE the searched ring."""
+        x0, x1 = qx - radius, qx + radius + 1
+        y0, y1 = max(qy - radius, 0), min(qy + radius + 1, n)
+        bounds = []
+        # north/south edges: pure latitude gaps (exact lower bound)
+        if qy - radius >= 0:
+            bounds.append(abs(_lat_of_tile_row(y0) - qlat_deg))
+        if qy + radius + 1 <= n:
+            bounds.append(abs(qlat_deg - _lat_of_tile_row(y1)))
+        # east/west edges (skip when the ring wraps the full planet);
+        # scaled by the smallest cos(lat) in the ring's latitude range
+        if 2 * radius + 1 < n:
+            lat_top = _lat_of_tile_row(y0)
+            lat_bot = _lat_of_tile_row(y1)
+            min_cos = min(
+                float(np.cos(np.radians(lat_top))), float(np.cos(np.radians(lat_bot)))
+            )
+            lon_w = -180.0 + x0 * (360.0 / n)
+            lon_e = -180.0 + x1 * (360.0 / n)
+            dw = abs(qlon_deg - lon_w)
+            de = abs(lon_e - qlon_deg)
+            bounds.append(min(dw, de) * min_cos)
+        if not bounds:
+            return float("inf")
+        theta = np.radians(max(0.0, min(bounds)))
+        return float(np.sin(theta / 2.0) ** 2)
+
     spark = points.sparkSession
     results = None
     unresolved = [(r[qid_col], r["lon"], r["lat"]) for r in queries.collect()]
     radius = 1
-    for rnd in range(max_rounds):
+    for _ in range(max_rounds):
         if not unresolved:
             break
         qdf = spark.createDataFrame(unresolved, f"{qid_col} bigint, lon bigint, lat bigint")
@@ -158,9 +197,10 @@ def knn_cell_expansion(
             F.col("_t.tile_x").alias("qx"),
             F.col("_t.tile_y").alias("qy"),
         )
+        dx = F.abs(F.col("px") - F.col("qx"))
         cand = p.join(
             F.broadcast(qq),
-            (F.abs(F.col("px") - F.col("qx")) <= radius)
+            (F.least(dx, F.lit(n) - dx) <= radius)  # x wraps at the antimeridian
             & (F.abs(F.col("py") - F.col("qy")) <= radius),
         )
         scored = cand.withColumn(
@@ -169,20 +209,27 @@ def knn_cell_expansion(
             + F.cos("plat") * F.cos("qlat") * F.pow(F.sin((F.col("plon") - F.col("qlon")) / 2), 2),
         )
         w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
-        topk = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(qid_col, id_col, "rank")
-        )
-        counts = {r[0]: r[1] for r in topk.groupBy(qid_col).count().collect()}
-        # resolved = k hits found AND the searched ring demonstrably covers
-        # the k-th neighbor; the ring-bound check is the caller's verification
-        # at sandbox scale (tests compare against knn_bruteforce) — the
-        # conservative production check (k-th dist vs ring boundary) plugs in
-        # here without changing the join shape
-        resolved = {qid for qid, c in counts.items() if c >= k}
+        topk = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        stats = {
+            r[0]: (r[1], r[2])
+            for r in topk.groupBy(qid_col)
+            .agg(F.count(F.lit(1)), F.max("dist"))
+            .collect()
+        }
+        qmeta = {
+            r[qid_col]: (r["lon"] * 1e-7, r["lat"] * 1e-7, int(r["qx"]), int(r["qy"]))
+            for r in qdf.withColumn("_t", xyz(qt_point(F.col("lon"), F.col("lat"))))
+            .select(qid_col, "lon", "lat", F.col("_t.tile_x").alias("qx"), F.col("_t.tile_y").alias("qy"))
+            .collect()
+        }
+        resolved = set()
+        for qid, (cnt, kth) in stats.items():
+            if cnt >= k:
+                qlon_deg, qlat_deg, qx, qy = qmeta[qid]
+                if kth <= _ring_bound_chord(qlon_deg, qlat_deg, qx, qy, radius):
+                    resolved.add(qid)
         if resolved:
-            got = topk.filter(F.col(qid_col).isin(list(resolved)))
+            got = topk.filter(F.col(qid_col).isin(list(resolved))).select(qid_col, id_col, "rank")
             results = got if results is None else results.unionByName(got)
         unresolved = [u for u in unresolved if u[0] not in resolved]
         radius *= 2

@@ -1,0 +1,84 @@
+"""Extract semantics (mergechanges IdSet filter): semi-join expansion vs a
+brute-force oracle; latest-wins change merge edge cases; tile pruning
+soundness on the tile-sorted layout."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from osmquadtree_spark.kernels import quadtree as qtk
+from osmquadtree_spark.operators.changes import apply_changes
+from osmquadtree_spark.operators.extract import extract_with_expansion, prune_tiles
+from test_calcqts import make_fixture, to_spark
+
+BOX = (-300000000, -200000000, 500000000, 600000000)
+
+
+def oracle_extract(nodes, ways, rels, box):
+    a, b, c, d = box
+    node_hits = {nid for nid, lon, lat in nodes if a <= lon <= c and b <= lat <= d}
+    node_set = {n[0] for n in nodes}
+    way_ids = {wid for wid, refs in ways if any(r in node_hits for r in refs)}
+    extra = set()
+    for wid, refs in ways:
+        if wid in way_ids:
+            extra.update(r for r in refs if r in node_set)
+    node_ids = node_hits | extra
+    rel_ids = set()
+    for rid, members in rels:
+        for t, m in members:
+            if (t == 0 and m in node_ids) or (t == 1 and m in way_ids):
+                rel_ids.add(rid)
+                break
+    for _ in range(5):
+        for rid, members in rels:
+            if rid not in rel_ids and any(t == 2 and m in rel_ids for t, m in members):
+                rel_ids.add(rid)
+    return node_ids, way_ids, rel_ids
+
+
+def test_extract_expansion_matches_oracle(spark):
+    nodes, ways, rels, _ = make_fixture(7)
+    onodes, oways, orels = oracle_extract(nodes, ways, rels, BOX)
+    ndf, wdf, rdf = to_spark(spark, nodes, ways, rels)
+    out = extract_with_expansion(ndf, wdf, rdf, BOX)
+    got_nodes = {r.node_id for r in out["node_ids"].collect()}
+    got_ways = {r.way_id for r in out["way_ids"].collect()}
+    got_rels = {r.rel_id for r in out["rel_ids"].collect()}
+    # engine's "extra nodes" include only ids that exist in the node table
+    # (semi-joins); the oracle above applies the same rule
+    assert got_nodes == onodes
+    assert got_ways == oways
+    assert got_rels == orels
+
+
+def test_prune_tiles_is_sound():
+    rng = np.random.default_rng(11)
+    lon = rng.integers(-1800000000, 1800000000, 20000)
+    lat = rng.integers(-850000000, 850000000, 20000)
+    qts = qtk.calculate(lon, lat, lon, lat)
+    box = (-100000000, -100000000, 300000000, 400000000)
+    a, b, c, d = box
+    tiles = np.unique(qtk.round_qt(qts, 10))
+    kept = set(prune_tiles(tiles, box).tolist())
+    # every element inside the box must live in a kept tile
+    inside = (lon >= a) & (lon <= c) & (lat >= b) & (lat <= d)
+    elem_tiles = qtk.round_qt(qts[inside], 10)
+    assert set(elem_tiles.tolist()) <= kept
+    # and pruning must actually prune (planet >> box)
+    assert len(kept) < len(tiles) * 0.2
+
+
+def test_apply_changes_edge_cases(spark):
+    main = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0)], "key bigint, payload string, changetype int"
+    )
+    ch1 = spark.createDataFrame(
+        [(2, "b1", 4), (4, "d1", 5), (3, "c1", 1)], "key bigint, payload string, changetype int"
+    )
+    ch2 = spark.createDataFrame(
+        [(4, "d2", 1), (5, "e2", 5), (2, "b2", 2)], "key bigint, payload string, changetype int"
+    )
+    got = {r.key: (r.payload, r.changetype) for r in apply_changes(main, [ch1, ch2], ["key"]).collect()}
+    # 1: untouched; 2: newest says Remove → dropped; 3: Delete → dropped;
+    # 4: created then deleted → dropped; 5: created → kept, normalized
+    assert got == {1: ("a", 0), 5: ("e2", 0)}

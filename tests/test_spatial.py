@@ -1,0 +1,95 @@
+"""New-engine spatial ops: kNN (cell expansion vs brute force), raster↔vector
+join coverage, LSH ANN recall vs exact cosine top-k, sortblocks resume."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmquadtree_spark.kernels import quadtree as qtk
+from osmquadtree_spark.operators.ann import cosine_topk, lsh_topk
+from osmquadtree_spark.operators.sortblocks import (
+    compute_groups,
+    is_committed,
+    write_tile_sorted,
+)
+from osmquadtree_spark.operators.spatial import (
+    knn_bruteforce,
+    knn_cell_expansion,
+    raster_vector_join,
+)
+
+
+def _points_df(spark, n=5000, seed=3):
+    rng = np.random.default_rng(seed)
+    lon = rng.integers(-1800000000, 1800000000, n)
+    lat = rng.integers(-850000000, 850000000, n)
+    qt = qtk.calculate(lon, lat, lon, lat)
+    return spark.createDataFrame(
+        list(zip(range(n), lon.tolist(), lat.tolist(), qt.tolist())),
+        "point_id bigint, lon bigint, lat bigint, qt bigint",
+    )
+
+
+def test_knn_cell_expansion_matches_bruteforce(spark):
+    pts = _points_df(spark)
+    queries = spark.createDataFrame(
+        [(1, 0, 515000000), (2, -1200000000, -230000000), (3, 1395000000, 356000000),
+         (4, 1799000000, 840000000)],
+        "query_id bigint, lon bigint, lat bigint",
+    )
+    bf = {(r.query_id, r.point_id, r.rank) for r in knn_bruteforce(pts, queries, 5).collect()}
+    ce = {(r.query_id, r.point_id, r.rank) for r in knn_cell_expansion(
+        pts, queries, 5, zoom=6, max_rounds=2).collect()}
+    # cell expansion is exact here because unresolved queries fall back to
+    # brute force and resolved rings at this density cover the k-th neighbor
+    assert ce == bf
+
+
+def test_raster_vector_join_covers_all_elements(spark):
+    pts = _points_df(spark, 2000)
+    zoom = 4
+    # raster side: every tile at zoom 4 (16x16 grid)
+    tiles = [(x, y, float(x * 16 + y)) for x in range(16) for y in range(16)]
+    rasters = spark.createDataFrame(tiles, "tile_x bigint, tile_y bigint, payload double")
+    joined = raster_vector_join(pts.filter(F.col("qt") >= 0), rasters, zoom)
+    deep = pts.filter(F.expr(f"qt >= 0 AND (qt & 31) >= {zoom}"))
+    assert joined.count() == deep.count()  # full cover → every deep element hits
+    # salted variant returns the same multiset
+    salted = raster_vector_join(pts.filter(F.col("qt") >= 0), rasters, zoom, salt=4)
+    assert salted.count() == joined.count()
+    a = {(r.point_id, r.tile_x, r.tile_y) for r in joined.select("point_id", "tile_x", "tile_y").collect()}
+    b = {(r.point_id, r.tile_x, r.tile_y) for r in salted.select("point_id", "tile_x", "tile_y").collect()}
+    assert a == b
+
+
+def test_lsh_recall_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, queries, 10).collect()}
+    # 64-dim random embeddings: shallow buckets (4 planes) across many tables
+    # give a large-enough candidate union for decent recall at 500 vectors
+    approx = {(r.query_id, r.vec_id) for r in lsh_topk(emb, queries, 10, n_tables=8, n_planes=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # bucketed candidates; recall tunable via tables/planes
+
+
+def test_sortblocks_resume(spark, tmp_path):
+    """A completed stage is recognized by its commit marker; an interrupted
+    stage (no marker) is not — the resume contract of the lineage/metrics
+    design."""
+    pts = _points_df(spark, 3000)
+    gqt, _, _ = compute_groups(pts, "qt", target=200, minsize=100, rollup=True)
+    path = str(tmp_path / "stage1")
+    assert not is_committed(path)
+    write_tile_sorted(pts, path, gqt, qt_col="qt", sort_cols=["point_id"])
+    assert is_committed(path)
+    # a resumed run can skip the stage and read the committed output
+    back = spark.read.parquet(f"{path}/data")
+    assert back.count() == 3000
+    metrics = spark.read.parquet(f"{path}/_metrics")
+    assert metrics.agg(F.sum("row_count")).first()[0] == 3000
+    # rows are tile-clustered: within each partition file group_qt is sorted
+    pdf = back.select("group_qt", "point_id").toPandas()
+    assert set(pdf["group_qt"].unique()) <= set(gqt.tolist()) | {0}
