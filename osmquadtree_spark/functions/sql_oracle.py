@@ -102,6 +102,57 @@ SELECT {id_col}, MAX(acc) AS qt FROM qtrec GROUP BY _rid, {id_col}
 """.strip()
 
 
+_M64 = "CAST('18446744073709551616' AS HUGEINT)"  # 2^64
+_M32 = 4294967296
+_SM_C0 = "CAST('11400714819323198485' AS HUGEINT)"  # 0x9E3779B97F4A7C15
+_SM_C1 = "CAST('13787848793156543929' AS HUGEINT)"  # 0xBF58476D1CE4E5B9
+_SM_C2 = "CAST('10723151780598845931' AS HUGEINT)"  # 0x94D049BB133111EB
+
+
+def mulmod64_sql(a: str, b: str) -> str:
+    """(a*b) mod 2^64 for HUGEINT operands in [0, 2^64): 32-bit split so no
+    intermediate exceeds int128."""
+    return (
+        f"((({a}) % {_M32}) * (({b}) % {_M32}) "
+        f"+ (((({a}) // {_M32}) * (({b}) % {_M32}) "
+        f"+ (({a}) % {_M32}) * (({b}) // {_M32})) % {_M32}) * {_M32}) % {_M64}"
+    )
+
+
+def splitmix64_sql(x: str) -> str:
+    """splitmix64 (public algorithm) restated over DuckDB HUGEINT — exact
+    uint64 wraparound semantics, validated bit-for-bit against the numpy
+    generator (sources/images.py:splitmix64) in tests."""
+    z1 = f"((({x})::HUGEINT + {_SM_C0}) % {_M64})"
+    z2 = f"xor({z1}, ({z1}) >> 30)"
+    z3 = "(" + mulmod64_sql(z2, _SM_C1) + ")"
+    z4 = f"xor({z3}, ({z3}) >> 27)"
+    z5 = "(" + mulmod64_sql(z4, _SM_C2) + ")"
+    return f"xor({z5}, ({z5}) >> 31)"
+
+
+def image_elements_sql(i_source_sql: str) -> str:
+    """DuckDB twin of sources/images.py: row index → (img_idx, minx, miny,
+    maxx, maxy) via the FIXTURES.md §1 georeferencing rule (phash =
+    splitmix64(i); even rows point footprint, odd rows bbox scaled by the
+    w/h cycles, clamped to the planet box).
+
+    ``i_source_sql`` must yield a single column ``i`` (the row index)."""
+    return f"""
+SELECT i AS img_idx,
+       lon AS minx, lat AS miny,
+       CASE WHEN i % 2 = 1 THEN LEAST(lon + wv * 1000, 1799999999) ELSE lon END AS maxx,
+       CASE WHEN i % 2 = 1 THEN LEAST(lat + hv * 1000, 849999999) ELSE lat END AS maxy
+FROM (
+  SELECT i,
+         (u % 3600000000)::BIGINT - 1800000000 AS lon,
+         ((u // 3600000000) % 1700000000)::BIGINT - 850000000 AS lat,
+         (CASE i % 4 WHEN 0 THEN 16 WHEN 1 THEN 32 WHEN 2 THEN 64 ELSE 128 END)::BIGINT AS wv,
+         (CASE (i // 4) % 4 WHEN 0 THEN 16 WHEN 1 THEN 24 WHEN 2 THEN 48 ELSE 96 END)::BIGINT AS hv
+  FROM (SELECT i, {splitmix64_sql('i')} AS u FROM ({i_source_sql}))
+)""".strip()
+
+
 def round_sql(expr: str, level: int) -> str:
     """quadtree::round as portable SQL (same as functions.udfs.round_qt_sql)."""
     sh = 63 - 2 * level

@@ -24,6 +24,7 @@ from .functions.udfs import make_qt_calculate, make_qt_common, round_qt_col
 from .kernels import geom as gk
 from .operators import ann as ann_ops
 from .operators import docs as doc_ops
+from .operators import images as img_ops
 from .operators.changes import apply_changes
 from .operators.sortblocks import compute_groups, with_group_column
 from .sources.geo import elements_sql, geo_elements
@@ -204,6 +205,62 @@ def q_changes_merge(spark, sf_dir):
 
 
 # ----------------------------------------------------------------------------
+# image+caption table (the engine's primary input shape, BASELINE.json)
+
+
+def _images(spark, sf_dir):
+    """Deterministic image+caption table sized by the sf's `part` row count
+    (p_partkey is 0..N-1, mirrored by the oracle's row-index source)."""
+    from .sources.images import images_df
+
+    n = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    return images_df(spark, n)
+
+
+def q_image_qt_assign(spark, sf_dir):
+    """North-star stage 1 over the image table: deterministic footprint
+    (FIXTURES.md §1) → quadtree cell id (buffer 0.05, depth 17). The DuckDB
+    twin re-derives phash via splitmix64 restated over HUGEINT."""
+    _load(spark, sf_dir, "part")  # register the view for the oracle
+    df = img_ops.with_footprint(_images(spark, sf_dir))
+    return df.select(
+        F.substring("image_id", 4, 12).cast("bigint").alias("img_idx"), "qt"
+    )
+
+
+def q_image_tiles(spark, sf_dir):
+    """North-star stages 1-3 over the image table: footprint → cell → tile
+    split (rollup, bench-scale target) → per-tile counts. Driver-greedy
+    grouping ⇒ rows-only check here; grouping parity vs the reference
+    algorithm is asserted in tests/test_qttree_groups.py."""
+    df = img_ops.with_footprint(_images(spark, sf_dir))
+    gqt, _, _ = compute_groups(df, "qt", target=200, minsize=100, tree_level=15, rollup=True)
+    return (
+        with_group_column(df, gqt, "qt")
+        .groupBy("group_qt")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("qt").alias("min_cell"),
+            F.max("qt").alias("max_cell"),
+        )
+    )
+
+
+def q_image_verify(spark, sf_dir):
+    """Round-trip invariant gate (north rule): decoded pixels byte-exact for
+    lossless fmts / PSNR ≥ 40 dB for lossy, captions byte-equal — aggregated
+    per format. Binary codecs aren't SQL-expressible ⇒ rows-only check; the
+    per-row assertions run in tests/test_images.py."""
+    v = img_ops.verify_roundtrip(_images(spark, sf_dir))
+    return v.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("exact"), 1).otherwise(0)).alias("n_exact"),
+        F.sum(F.when(F.col("psnr") >= 40.0, 1).otherwise(0)).alias("n_psnr_ok"),
+        F.sum(F.when(F.col("caption_ok"), 1).otherwise(0)).alias("n_caption_ok"),
+    )
+
+
+# ----------------------------------------------------------------------------
 # TPC-H-style relational baselines (exercise agg / broadcast join shapes)
 
 
@@ -350,6 +407,9 @@ def _oracle_sql() -> dict[str, str]:
             -- counts ≪ minsize; remainder lands at root) — see
             -- tests/test_qttree_groups.py::test_no_rollup_reference_semantics
             SELECT elem_id, 0::BIGINT AS group_qt FROM ({_ELEM_CTE})""",
+        "image_qt_assign": so.calculate_cte(
+            so.image_elements_sql("SELECT p_partkey AS i FROM part"), "img_idx"
+        ),
         "changes_merge": """
             SELECT key, payload, 0 AS changetype FROM (
               SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY file_idx DESC) AS rn
@@ -465,6 +525,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_assign_default": q_group_assign_default,
         "group_assign_fine": q_group_assign_fine,
         "changes_merge": q_changes_merge,
+        "image_qt_assign": q_image_qt_assign,
+        "image_tiles": q_image_tiles,
+        "image_verify": q_image_verify,
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
         "token_count": q_token_count,
