@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions import calcqts_oracle as cqo
 from .functions import sql_oracle as so
 from .functions.udfs import make_qt_calculate, make_qt_common, round_qt_col
 from .kernels import geom as gk
@@ -202,6 +203,49 @@ def q_changes_merge(spark, sf_dir):
         (F.col("o_orderkey") % 2 + 4).cast("int").alias("changetype"),
     )
     return apply_changes(main, [ch1, ch2], ["key"])
+
+
+# ----------------------------------------------------------------------------
+# calcqts parity over the OSM-shaped fixture (way/node/relation paths)
+
+
+def _osm_fixture(spark, sf_dir):
+    from .sources import osm_fixture as fx
+
+    _load(spark, sf_dir, "orders")
+    _load(spark, sf_dir, "customer")
+    nodes = fx.fixture_nodes(spark, sf_dir)
+    ways = fx.fixture_ways(spark, sf_dir)
+    rels = fx.fixture_relations(spark, sf_dir)
+    return nodes, ways, rels
+
+
+def q_way_qts(spark, sf_dir):
+    """calcqts way path: explode refs → join node locations → bbox agg →
+    calculate kernel (wayqts.cpp:159-186 semantics)."""
+    from .operators.calcqts import way_quadtrees
+
+    nodes, ways, _ = _osm_fixture(spark, sf_dir)
+    return way_quadtrees(ways, nodes)
+
+
+def q_node_qts(spark, sf_dir):
+    """calcqts node path: LCA (common of min/max) of containing ways' qts
+    with point-cell fallback (calcqts.cpp:48-124 semantics)."""
+    from .operators.calcqts import node_quadtrees, way_quadtrees
+
+    nodes, ways, _ = _osm_fixture(spark, sf_dir)
+    wq = way_quadtrees(ways, nodes)
+    return node_quadtrees(nodes, ways, wq)
+
+
+def q_rel_qts(spark, sf_dir):
+    """calcqts relation path: member LCA + the exact 5-pass rel→rel closure
+    (calcqtsinmem.cpp:139-207 semantics)."""
+    from .operators.calcqts import calc_all_quadtrees
+
+    nodes, ways, rels = _osm_fixture(spark, sf_dir)
+    return calc_all_quadtrees(nodes, ways, rels)["relations"]
 
 
 # ----------------------------------------------------------------------------
@@ -407,6 +451,9 @@ def _oracle_sql() -> dict[str, str]:
             -- counts ≪ minsize; remainder lands at root) — see
             -- tests/test_qttree_groups.py::test_no_rollup_reference_semantics
             SELECT elem_id, 0::BIGINT AS group_qt FROM ({_ELEM_CTE})""",
+        "way_qts": cqo.way_qts_sql(),
+        "node_qts": cqo.node_qts_sql(),
+        "rel_qts": cqo.rel_qts_sql(),
         "image_qt_assign": so.calculate_cte(
             so.image_elements_sql("SELECT p_partkey AS i FROM part"), "img_idx"
         ),
@@ -525,6 +572,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_assign_default": q_group_assign_default,
         "group_assign_fine": q_group_assign_fine,
         "changes_merge": q_changes_merge,
+        "way_qts": q_way_qts,
+        "node_qts": q_node_qts,
+        "rel_qts": q_rel_qts,
         "image_qt_assign": q_image_qt_assign,
         "image_tiles": q_image_tiles,
         "image_verify": q_image_verify,
