@@ -136,17 +136,24 @@ def write_tile_sorted(
     """
     t0 = time.time()
     out = tile_sorted(df, group_qts, qt_col, sort_cols, num_partitions)
+    # stamp the physical partition so lineage rows are per (partition, tile)
+    out = out.withColumn("_part_id", F.spark_partition_id())
     out.write.mode("overwrite").parquet(os.path.join(path, "data"))
     spark = df.sparkSession
     data = spark.read.parquet(os.path.join(path, "data"))
-    metrics = data.groupBy("group_qt").agg(
+    metrics = data.groupBy("_part_id", "group_qt").agg(
         F.count(F.lit(1)).alias("row_count"),
         F.min(qt_col).alias("min_cell"),
         F.max(qt_col).alias("max_cell"),
     )
     metrics.write.mode("overwrite").parquet(os.path.join(path, "_metrics"))
+    agg = data.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("group_qt").alias("tiles"),
+    ).collect()[0]
     manifest = {
-        "rows": data.count(),
+        "rows": int(agg["rows"]),
+        "tiles": int(agg["tiles"]),
         "groups": int(len(group_qts)),
         "elapsed_sec": time.time() - t0,
     }
