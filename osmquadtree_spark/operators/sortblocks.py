@@ -76,6 +76,101 @@ def compute_groups(
     return group_table(groups)
 
 
+def compute_groups_scalable(
+    df: DataFrame,
+    qt_col: str = "qt",
+    target: int = 40000,
+    minsize: int = 20000,
+    tree_level: int = 15,
+):
+    """Rollup-mode grouping with a driver collect bounded by the OUTPUT size,
+    not the input histogram — the planet/10^12-row path.
+
+    Key observation: the reference's ``tree_rollup`` (qttreegroups.cpp:149-172)
+    absorbs a child iff ``total < minsize`` and totals are invariant under
+    absorption, so the surviving node set is exactly ``{total >= minsize}``
+    (plus the root) and a survivor's rolled weight is
+    ``total - sum(totals of surviving children)``. Both are computable from
+    per-level ancestor totals — a pure Spark aggregate — so the driver only
+    ever sees nodes that survive: at most ``(tree_level+1) * N / minsize``
+    rows regardless of how many distinct cells the data has. The dense-
+    histogram path (``compute_groups``) collects every distinct cell, which
+    is fine for clustered planet data (~150k level-15 cells) but unbounded
+    for uniform data; this path is skew-proof.
+
+    Two-phase aggregation keeps the hash-agg key space small (a single
+    all-levels explode makes ~N distinct keys and spills): levels 0..shallow
+    are aggregated directly (≤ 4^shallow keys); deeper survivors can only
+    exist under a depth-``shallow`` survivor (child total ≤ parent total, and
+    there are ≤ N/minsize survivors per level), so the deep pass re-aggregates
+    only rows inside those hot subtrees — for uniform data it never runs, for
+    skewed data it touches exactly the skewed fraction.
+
+    Returns the same ``(group_qts, group_idx, group_weights)`` as
+    ``compute_groups(rollup=True)`` — equivalence is asserted in
+    tests/test_qttree_groups.py and test_sortblocks.py.
+    """
+    shallow = min(10, tree_level)
+    # hist is NOT persisted: the deep phase usually never runs (it needs a
+    # depth-`shallow` cell holding ≥ minsize rows), and when it does, callers
+    # of this function at scale have already materialized `df` upstream, so
+    # recomputing the histogram is one cheap cache-scan aggregate
+    hist = cell_histogram(df, qt_col, tree_level).filter(F.col("cell") >= 0)
+    anc_shallow = F.array_distinct(
+        F.array(*[round_qt_col(F.col("cell"), lv) for lv in range(shallow + 1)])
+    )
+    nodes = (
+        hist.select(F.explode(anc_shallow).alias("node"), "count")
+        .groupBy("node")
+        .agg(F.sum("count").alias("total"))
+        .filter((F.col("total") >= minsize) | (F.col("node") == 0))
+        .toPandas()
+    )
+    if tree_level > shallow:
+        hot = nodes.loc[(nodes["node"] & 31) == shallow, "node"]
+        hot_parents = [int(q) for q in hot if int(q) & 31 == shallow]
+        if hot_parents:
+            anc_deep = F.array_distinct(
+                F.array(
+                    *[
+                        round_qt_col(F.col("cell"), lv)
+                        for lv in range(shallow + 1, tree_level + 1)
+                    ]
+                )
+            )
+            deep_cells = hist.filter(F.col("cell").bitwiseAND(F.lit(31)) > shallow)
+            if len(hot_parents) <= 10_000:
+                deep_cells = deep_cells.filter(
+                    round_qt_col(F.col("cell"), shallow).isin(hot_parents)
+                )
+            else:
+                # at extreme skew the hot-parent list outgrows an In
+                # expression — semi-join against a broadcast table instead
+                spark = df.sparkSession
+                hp = spark.createDataFrame(
+                    pd.DataFrame({"hot": np.asarray(hot_parents, dtype=np.int64)})
+                )
+                deep_cells = deep_cells.join(
+                    F.broadcast(hp),
+                    round_qt_col(F.col("cell"), shallow) == F.col("hot"),
+                    "left_semi",
+                )
+            deep = (
+                deep_cells
+                .select(F.explode(anc_deep).alias("node"), "count")
+                .groupBy("node")
+                .agg(F.sum("count").alias("total"))
+                .filter(F.col("total") >= minsize)
+                .toPandas()
+            )
+            nodes = pd.concat([nodes, deep], ignore_index=True)
+    qts = nodes["node"].to_numpy("int64")
+    totals = nodes["total"].to_numpy("int64")
+    tree = QtTreeArr.from_rolled_nodes(qts, totals)
+    groups = find_groups(tree, target, minsize)
+    return group_table(groups)
+
+
 def make_assign_group_udf(spark, group_qts: np.ndarray):
     """pandas UDF qt → group cell id; the group table ships once per executor
     via a Spark broadcast, not per-task closure pickling."""

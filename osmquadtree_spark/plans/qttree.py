@@ -305,6 +305,36 @@ class QtTreeArr:
             children[ppos, digit] = nonroot
         return cls(nodes, parent, children, weight, total)
 
+    @classmethod
+    def from_rolled_nodes(cls, qts: np.ndarray, totals: np.ndarray) -> "QtTreeArr":
+        """Build a post-rollup survivor tree directly from (qt, total) rows
+        of nodes with total >= minsize (ancestor-closed because a parent's
+        total bounds its children's). Rolled weight = total − Σ surviving
+        children totals — identical to ``tree_rollup_arr(build(...))``."""
+        order = np.argsort(qts, kind="stable")
+        qt = np.asarray(qts, dtype=np.int64)[order]
+        total = np.asarray(totals, dtype=np.int64)[order]
+        if len(qt) == 0 or qt[0] != 0:
+            qt = np.concatenate([np.zeros(1, dtype=np.int64), qt])
+            total = np.concatenate([total.sum(keepdims=True), total])
+        n = len(qt)
+        dep = (qt & 31).astype(np.int64)
+        parent = np.zeros(n, dtype=np.int64)
+        children = np.zeros((n, 4), dtype=np.int64)
+        nonroot = np.where(dep > 0)[0]
+        if len(nonroot):
+            pd_ = dep[nonroot] - 1
+            sh = 63 - 2 * pd_
+            par_qt = ((qt[nonroot] >> sh) << sh) + pd_
+            ppos = np.searchsorted(qt, par_qt)
+            parent[nonroot] = ppos
+            digit = (qt[nonroot] >> (63 - 2 * dep[nonroot])) & 3
+            children[ppos, digit] = nonroot
+        child_sum = np.zeros(n, dtype=np.int64)
+        if len(nonroot):
+            np.add.at(child_sum, parent[nonroot], total[nonroot])
+        return cls(qt, parent, children, total - child_sum, total)
+
     def size(self) -> int:
         return len(self.qt)
 

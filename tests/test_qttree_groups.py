@@ -213,3 +213,46 @@ def test_array_tree_equivalence():
     g2 = group_table(find_groups(fr, 1000, 500))
     for x, y in zip(g1, g2):
         assert np.array_equal(x, y)
+
+
+def test_from_rolled_nodes_equivalence():
+    """The survivor-tree constructor (fed by the Spark-side rollup aggregate)
+    must equal tree_rollup_arr(QtTreeArr.build(...)): same nodes, weights,
+    totals, and identical find_groups output — for several minsizes and for
+    both clustered and uniform cell distributions."""
+    from osmquadtree_spark.plans.qttree import QtTreeArr, tree_rollup_arr
+
+    rng = np.random.default_rng(808)
+    for hot in (0.0, 0.5):
+        qts = _element_qts(rng, 40000, hot_frac=hot)
+        cells, counts = np.unique(qtk.round_qt(qts, 15), return_counts=True)
+        for minsize, target in ((500, 1000), (50, 100), (20000, 40000)):
+            full = tree_rollup_arr(QtTreeArr.build(cells, counts, 15), minsize)
+            # what the Spark aggregate produces: per-level ancestor totals of
+            # surviving nodes (total >= minsize, root always kept)
+            node_totals = {}
+            for lv in range(16):
+                anc = qtk.round_qt(cells, lv)
+                for a, c in zip(anc.tolist(), counts.tolist()):
+                    node_totals[a] = node_totals.get(a, 0) + int(c)
+            # a cell shallower than lv rounds to itself — dedupe per cell/level
+            node_totals = {}
+            for cell, cnt in zip(cells.tolist(), counts.tolist()):
+                seen = set()
+                for lv in range(16):
+                    a = int(qtk.round_qt(np.asarray([cell]), lv)[0])
+                    if a not in seen:
+                        seen.add(a)
+                        node_totals[a] = node_totals.get(a, 0) + int(cnt)
+            surv = {q: t for q, t in node_totals.items() if t >= minsize or q == 0}
+            got = QtTreeArr.from_rolled_nodes(
+                np.asarray(list(surv.keys()), dtype=np.int64),
+                np.asarray(list(surv.values()), dtype=np.int64),
+            )
+            assert sorted(zip(got.qt.tolist(), got.weight.tolist(), got.total.tolist())) == sorted(
+                zip(full.qt.tolist(), full.weight.tolist(), full.total.tolist())
+            )
+            g1 = group_table(find_groups(full, target, minsize))
+            g2 = group_table(find_groups(got, target, minsize))
+            for x, y in zip(g1, g2):
+                assert np.array_equal(x, y)

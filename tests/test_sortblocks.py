@@ -100,3 +100,29 @@ def test_resume(spark, tmp_path):
 def test_resume_without_checkpoint_fails(spark, tmp_path):
     with pytest.raises(ValueError):
         run_image_tiling(spark, None, str(tmp_path / "missing"))
+
+
+def test_compute_groups_scalable_matches_dense(spark):
+    """The output-bounded rollup grouping (Spark-side survivor aggregate)
+    must produce the identical group table as the dense-histogram path with
+    rollup=True — on skewed element cells at several split sizes."""
+    from osmquadtree_spark.kernels import quadtree as qtk
+    from osmquadtree_spark.operators.sortblocks import (
+        compute_groups,
+        compute_groups_scalable,
+    )
+
+    rng = np.random.default_rng(909)
+    n = 50000
+    lon = rng.integers(-1800000000, 1800000000, n)
+    lat = rng.integers(-850000000, 850000000, n)
+    k = n // 3
+    lon[:k] = rng.integers(-1000000, 1000000, k)
+    lat[:k] = rng.integers(514000000, 516000000, k)
+    qts = qtk.calculate(lon, lat, lon, lat, 0.05, 17)
+    df = spark.createDataFrame(pd.DataFrame({"qt": qts}))
+    for target, minsize in ((1000, 500), (100, 50)):
+        dense = compute_groups(df, "qt", target, minsize, 15, rollup=True)
+        scal = compute_groups_scalable(df, "qt", target, minsize, 15)
+        for a, b in zip(dense, scal):
+            assert np.array_equal(a, b)
