@@ -33,6 +33,9 @@ HEADLINE = [
     "changes_merge",
     "tpch_q1",
     "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
     "ngram_jaccard_pairs",
     "doc_fingerprint",
     "ann_cosine_topk",

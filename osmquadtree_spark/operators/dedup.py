@@ -1,0 +1,358 @@
+"""Near-duplicate detection operators: MinHash+LSH, SimHash, embedding
+cosine pairs.
+
+All signature math is JVM-side higher-order functions over the word array —
+no Python in the hot path — and every constant-arithmetic step is
+overflow-free int64 so the DuckDB oracle twins (queries.py) reproduce the
+signatures bit-for-bit.
+
+Scale shapes (the 10^12-row design points):
+- MinHash: signatures are one narrow projection pass; candidate generation
+  is an equi-join on (band, bucket) — the only pairwise-comparison-free
+  join shape that survives web scale. Band width tunes the
+  candidate-volume/recall trade.
+- SimHash: 32-bit signature; the pigeonhole block join (4 blocks of 8 bits)
+  guarantees every pair within hamming ≤ 3 shares a block, so candidates
+  are again an equi-join, verified by bit_count(xor).
+- Embedding pairs: exact all-pairs is the oracle baseline; the bucketed
+  variant reuses the ANN LSH machinery (operators/ann.py) for scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+P = 1_000_000_007  # signature modulus (same as docs.MOD)
+KNUTH = 2654435761  # Knuth multiplicative constant: spreads 14-bit word codes
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+SIM_BITS = 32
+SIM_BLOCKS = 4  # 8 bits per block → complete for hamming <= 3
+
+# deterministic (a, b) per hash function, from a fixed LCG (seeded so the
+# oracle SQL embeds the same literals)
+
+
+def _hash_params(n: int = N_HASHES) -> list[tuple[int, int]]:
+    state = 88172645463325252
+    out = []
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % P
+        out.append((a, b))
+    return out
+
+
+HASH_PARAMS = _hash_params()
+
+
+def _word_code(w):
+    """Overflow-free word code (same formula as docs.fingerprint)."""
+    return (
+        F.length(w) * F.lit(97)
+        + F.ascii(F.substring(w, 1, 1))
+        + F.ascii(F.substring(w, -1, 1)) * F.lit(31)
+    ).cast("bigint")
+
+
+def _gram_codes(words, n: int):
+    """array<bigint> of word-n-gram codes: fold word codes base-131 mod P.
+    codes fit: acc < P, acc*131 + c < 1.4e11 < 2^63. Docs shorter than n
+    words yield an empty array (sequence(1, size-n+1) would DESCEND for
+    size < n — guarded)."""
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def code_at(i):
+        acc = _word_code(F.element_at(words, i))
+        for j in range(1, n):
+            acc = (acc * F.lit(131) + _word_code(F.element_at(words, i + j))) % F.lit(P)
+        return acc
+
+    return F.transform(idx, code_at)
+
+
+def minhash_signature(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, sig array<bigint> of N_HASHES minhashes) over word n-grams.
+    Docs with fewer than n words get an empty signature and never pair.
+
+    Implemented as a vectorized Arrow batch kernel (mapInPandas): JVM
+    higher-order-function lambdas evaluate interpreted (no whole-stage
+    codegen) at ~4 ms/doc for a 16-hash family, while the numpy kernel —
+    one exploded word-code array per batch, shifted base-131 gram folds,
+    per-hash affine maps, `minimum.reduceat` over doc runs — is ~100×
+    faster and doubles as the materialization barrier that stops the band
+    join from re-deriving signatures per candidate. Integer math is
+    identical to the DuckDB oracle spec (all intermediates < 2^63)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    A = np.asarray([a for a, _ in HASH_PARAMS], dtype=np.int64)
+    B = np.asarray([b for _, b in HASH_PARAMS], dtype=np.int64)
+    id_field = docs.schema["doc_id"].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            split = pdf[text_col].str.split(" ")
+            ex = split.explode()
+            row = ex.index.to_numpy(np.int64)  # input row per word
+            w = ex.to_numpy(dtype=object)
+            lens = np.asarray([len(x) for x in w], dtype=np.int64)
+            first = np.asarray([ord(x[0]) if x else 0 for x in w], dtype=np.int64)
+            last = np.asarray([ord(x[-1]) if x else 0 for x in w], dtype=np.int64)
+            c = lens * 97 + first + last * 31
+            # gram fold over n consecutive words within the same input row
+            g = c.copy()
+            ok = np.ones(len(c), dtype=bool)
+            for j in range(1, n):
+                cj = np.roll(c, -j)
+                rj = np.roll(row, -j)
+                g = (g * 131 + cj) % P
+                ok &= rj == row
+            if n > 1 and len(ok):
+                ok[-(n - 1):] = False  # np.roll wraps; kill the tail grams
+            starts = np.flatnonzero(np.r_[True, row[1:] != row[:-1]]) if len(row) else np.zeros(0, np.int64)
+            sigs = []
+            gm = np.where(ok, g, 0)
+            for h in range(len(A)):
+                v = np.where(ok, (A[h] * gm + B[h]) % P, np.iinfo(np.int64).max)
+                sigs.append(np.minimum.reduceat(v, starts) if len(starts) else np.zeros(0, np.int64))
+            sig_mat = np.stack(sigs, axis=1) if sigs else np.zeros((0, len(A)), np.int64)
+            has_gram = (np.add.reduceat(ok.astype(np.int64), starts) > 0) if len(starts) else np.zeros(0, bool)
+            out_rows = row[starts] if len(starts) else np.zeros(0, np.int64)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids).iloc[out_rows].to_numpy(),
+                    "sig": [
+                        sig_mat[i].tolist() if has_gram[i] else []
+                        for i in range(len(out_rows))
+                    ],
+                }
+            )
+            yield out
+
+    return docs.select("doc_id", F.col(text_col)).mapInPandas(
+        gen, f"doc_id {id_field}, sig array<bigint>"
+    )
+
+
+def _band_key(sig, band: int, rows: int):
+    """Fold one band's minhashes into a single int64 bucket key (base-P mod P
+    — collision-tolerant, deterministic in both engines)."""
+    acc = F.element_at(sig, band * rows + 1) % F.lit(P)
+    for r in range(1, rows):
+        acc = (acc * F.lit(131) + F.element_at(sig, band * rows + r + 1)) % F.lit(P)
+    return acc
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_matches: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash near-dup pairs via LSH banding.
+
+    Candidates = pairs sharing any of N_BANDS band buckets (equi-join on
+    (band, bucket) — no pairwise scan); survivors have ≥ min_matches equal
+    minhashes out of N_HASHES (estimated jaccard ≥ min_matches/N_HASHES).
+    Returns (doc_a, doc_b, match_cnt) with doc_a < doc_b.
+
+    Reference has no dedup ops; this is a training-data-pipeline extension
+    (north-rule axes) using the same banding as Broder's original scheme.
+    """
+    rows = N_HASHES // N_BANDS
+    sigs = minhash_signature(docs, n, text_col).filter(F.size("sig") > 0)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), _band_key(F.col("sig"), b, rows).alias("bucket"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("_bb"),
+    ).select("doc_id", "sig", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    match_cnt = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    ).cast("bigint")
+    return (
+        cand.withColumn("match_cnt", match_cnt)
+        .filter(F.col("match_cnt") >= min_matches)
+        .select("doc_a", "doc_b", "match_cnt")
+    )
+
+
+def _word_hash(w):
+    """Spread the 14-bit word code over 32 bits (Knuth multiplicative)."""
+    return (_word_code(w) * F.lit(KNUTH)) % F.lit(1 << 32)
+
+
+def simhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sig): 32-bit SimHash over word hashes. Bit j of the
+    signature is set iff the j-th bits of the word hashes are set in at
+    least half the words (2*ones_j >= n_words) — the classic sign-of-votes
+    rule. Expression shape (see minhash_signature): word hashes are hoisted
+    into one array so the string ops run once per word, and the 32 per-bit
+    vote counts come from a single fold with an array accumulator — not 32
+    separate aggregates that would each re-touch every word. (The DuckDB
+    twin stays the flat 32-term per-bit spec — oracles optimize for
+    readability, operators for the interpreter.)"""
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words).cast("bigint")
+    hashes = F.transform(words, _word_hash)
+    zeros = F.array_repeat(F.lit(0).cast("bigint"), SIM_BITS)
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(SIM_BITS - 1)),
+                lambda j: F.call_function("shiftright", h, j).bitwiseAND(F.lit(1)).cast("bigint"),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(SIM_BITS - 1)),
+            lambda ones, j: F.when(
+                ones * 2 >= n_words, F.call_function("shiftleft", F.lit(1).cast("bigint"), j)
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """SimHash near-dup pairs: block-join candidates + exact hamming filter.
+
+    With SIM_BLOCKS=4 blocks of 8 bits, any pair within hamming ≤ 3 shares
+    at least one whole block (pigeonhole), so the equi-join on (block_idx,
+    block_value) is complete for max_hamming ≤ 3. Returns
+    (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    if max_hamming >= SIM_BLOCKS:
+        raise ValueError("block join is only complete for max_hamming < SIM_BLOCKS")
+    sigs = simhash_signature(docs, text_col)
+    blocks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("blk"),
+                    F.shiftright(F.col("sig"), 8 * k).bitwiseAND(F.lit(255)).alias("val"),
+                )
+                for k in range(SIM_BLOCKS)
+            ])
+        ).alias("_b"),
+    ).select("doc_id", "sig", F.col("_b.blk").alias("blk"), F.col("_b.val").alias("val"))
+    a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "blk", "val")
+    b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "blk", "val")
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint")
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_dup_pairs(
+    vectors: DataFrame,
+    min_cos: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup pairs: all pairs with cosine ≥ min_cos
+    (id_a < id_b). The exactness baseline; the scale path buckets with
+    operators/ann.py LSH first (embedding_dup_pairs_lsh)."""
+    from .ann import _dot, with_norm
+
+    v = with_norm(vectors, vec_col).select(id_col, "_v", "_norm")
+    a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("cos") >= min_cos)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_dup_pairs_lsh(
+    vectors: DataFrame,
+    min_cos: float,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs — the 10^12-scale path: candidates
+    share a random-hyperplane bucket in any table; exact cosine re-score.
+    Recall < 1 by construction (tunable via n_planes/n_tables); compared
+    against the exact operator in tests."""
+    import numpy as np
+
+    from .ann import _dot, with_norm
+
+    rng = np.random.default_rng(seed)
+    first = vectors.select(vec_col).first()
+    d = len(first[0])
+    planes = rng.standard_normal((n_tables, n_planes, d))
+
+    v = with_norm(vectors, vec_col).select(id_col, "_v", "_norm")
+    rows = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            coeff = F.array(*[F.lit(float(c)) for c in planes[t, p]])
+            bits.append(
+                F.when(_dot(F.col("_v"), coeff) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            )
+        rows.append(F.struct(F.lit(t).alias("tbl"), sum(bits[1:], bits[0]).cast("bigint").alias("bucket")))
+    bucketed = v.withColumn("_b", F.explode(F.array(*rows))).select(
+        id_col, "_v", "_norm", F.col("_b.tbl").alias("tbl"), F.col("_b.bucket").alias("bucket")
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"), "tbl", "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"), "tbl", "bucket"
+    )
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("cos") >= min_cos)
+        .select("id_a", "id_b", "cos")
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import calcqts_oracle as cqo
+from .functions import dedup_oracle as do
 from .functions import sql_oracle as so
 from .functions.udfs import make_qt_calculate, make_qt_common, round_qt_col
 from .kernels import geom as gk
@@ -370,6 +371,42 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return doc_ops.ngram_pairs(_load(spark, sf_dir, "documents"), n=3, min_jaccard=0.2)
 
 
+EMB_DUP_MIN_COS = 0.4  # synthetic embeddings top out at cos ≈ 0.51
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (16 hashes, 4 bands); the DuckDB twin is
+    the all-pairs semantic spec, so a match also proves band-join
+    completeness at this threshold."""
+    from .operators import dedup as dd
+
+    return dd.minhash_lsh_pairs(_load(spark, sf_dir, "documents"), n=3, min_matches=8)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (32-bit signature, pigeonhole block join,
+    hamming ≤ 3); oracle = all-pairs hamming spec."""
+    from .operators import dedup as dd
+
+    return dd.simhash_pairs(_load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_dedup_embedding_pairs(spark, sf_dir):
+    """Exact embedding near-dup pairs (cosine ≥ 0.4 on the synthetic
+    corpus); the LSH-bucketed scale path is q_dedup_embedding_lsh."""
+    from .operators import dedup as dd
+
+    return dd.embedding_dup_pairs(_load(spark, sf_dir, "embeddings"), EMB_DUP_MIN_COS)
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Bucketed embedding near-dup pairs — recall < 1 by construction
+    (rows-only check; recall vs exact asserted in tests/test_dedup.py)."""
+    from .operators import dedup as dd
+
+    return dd.embedding_dup_pairs_lsh(_load(spark, sf_dir, "embeddings"), EMB_DUP_MIN_COS)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -516,6 +553,9 @@ def _oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
             FROM documents GROUP BY text""",
+        "dedup_minhash": do.minhash_pairs_sql(n=3, min_matches=8),
+        "dedup_simhash": do.simhash_pairs_sql(max_hamming=3),
+        "dedup_embedding_pairs": do.embedding_pairs_sql(EMB_DUP_MIN_COS),
         "ngram_jaccard_pairs": """
             WITH grams AS (
               SELECT DISTINCT doc_id,
@@ -585,6 +625,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,

@@ -1,0 +1,133 @@
+"""Near-dup operator tests: signature determinism, candidate-join
+completeness vs brute force, recall of the bucketed paths, and the
+short-document guard. The bit-exact oracle parity runs through the driver
+gate (queries.py twins); these tests check the algorithmic properties."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from osmquadtree_spark.operators import dedup as dd
+
+
+def _corpus(spark):
+    # ~40-word texts: a 1-word edit keeps 3-gram jaccard ≈ 0.86, where the
+    # 4x4 banding's hit probability is ~0.96 — and minhash is deterministic
+    # given the text, so found-ness is stable run to run
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away today "
+        "while the hunter watches from the hill and the river flows quietly "
+        "past the old mill where children play every single summer afternoon",
+        "spark shuffles data across the cluster to group and sort by key "
+        "then each executor spills sorted runs to local disk and merges them "
+        "back while the driver tracks every map output location for reducers",
+        "a tile sorted file keeps blocks in depth first quadtree order "
+        "so that readers can prune entire subtrees with one index lookup "
+        "and writers can append new tiles without rewriting older block data",
+        "captions describe images and embeddings describe captions in vectors "
+        "so a similarity search over the embedding space finds related pictures "
+        "even when their pixel content differs in color crop or compression",
+    ]
+    rows = []
+    i = 0
+    for b in base:
+        rows.append((i, b)); i += 1
+        rows.append((i, b)); i += 1  # exact dup
+        w = b.split(" "); w[3] = "XX"
+        rows.append((i, " ".join(w))); i += 1  # near dup (1 word changed)
+    rows.append((i, "short doc")); i += 1  # < 3 words: must not pair or crash
+    rows.append((i, "completely different text about nothing in particular whatsoever")); i += 1
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def _exact_jaccard(a: str, b: str, n=3):
+    ga = set(" ".join(a.split(" ")[i:i + n]) for i in range(len(a.split(" ")) - n + 1))
+    gb = set(" ".join(b.split(" ")[i:i + n]) for i in range(len(b.split(" ")) - n + 1))
+    return len(ga & gb) / len(ga | gb) if ga | gb else 0.0
+
+
+def test_minhash_finds_dups_and_near_dups(spark):
+    docs = _corpus(spark)
+    pairs = {
+        (r.doc_a, r.doc_b): r.match_cnt
+        for r in dd.minhash_lsh_pairs(docs, n=3, min_matches=8).collect()
+    }
+    # every exact-dup pair found with a full 16/16 signature match
+    for base in range(0, 12, 3):
+        assert pairs.get((base, base + 1)) == dd.N_HASHES
+    # near dups (1 word of ~40 changed → jaccard ≈ 0.85) found too
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for base in range(0, 12, 3):
+        j = _exact_jaccard(texts[base], texts[base + 2])
+        assert j >= 0.8
+        assert (base, base + 2) in pairs, (base, j)
+    # and no gross false positives: every reported pair is actually similar
+    for a, b in pairs:
+        assert _exact_jaccard(texts[a], texts[b]) >= 0.3, (a, b)
+    # the unrelated doc pairs with nothing
+    assert not any(13 in p for p in pairs)
+
+
+def test_minhash_estimates_track_jaccard(spark):
+    docs = _corpus(spark)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    got = {
+        (r.doc_a, r.doc_b): r.match_cnt / dd.N_HASHES
+        for r in dd.minhash_lsh_pairs(docs, n=3, min_matches=1).collect()
+    }
+    for (a, b), est in got.items():
+        j = _exact_jaccard(texts[a], texts[b])
+        assert abs(est - j) <= 0.35, (a, b, est, j)  # 16 hashes → coarse but unbiased
+
+
+def test_simhash_block_join_complete(spark):
+    """The pigeonhole block join must return EXACTLY the brute-force pairs
+    with hamming <= 3 (completeness is the whole point of the blocks)."""
+    docs = _corpus(spark)
+    sigs = {r.doc_id: r.sig for r in dd.simhash_signature(docs).collect()}
+    brute = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+            brute.add((a, b))
+    got = {(r.doc_a, r.doc_b) for r in dd.simhash_pairs(docs, max_hamming=3).collect()}
+    assert got == brute
+    for base in range(0, 12, 3):
+        assert (base, base + 1) in got  # exact dups at hamming 0
+
+
+def test_simhash_guard():
+    with pytest.raises(ValueError):
+        # blocks only guarantee completeness below SIM_BLOCKS
+        dd.simhash_pairs(None, max_hamming=dd.SIM_BLOCKS)
+
+
+def test_embedding_lsh_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b) for r in dd.embedding_dup_pairs(emb, 0.4).collect()}
+    lsh = {(r.id_a, r.id_b) for r in dd.embedding_dup_pairs_lsh(emb, 0.4).collect()}
+    assert lsh <= exact  # exact re-score: no false positives
+    assert len(lsh) >= 0.3 * len(exact)  # cos 0.4 is a WEAK signal; floor only
+    # at a realistic near-dup threshold the same buckets give high recall —
+    # checked on planted duplicates
+    import pandas as pd
+    v = emb.limit(20).toPandas()
+    dup = v.copy()
+    dup["vec_id"] = dup["vec_id"] + 100000
+    dup["embedding"] = dup["embedding"].map(
+        lambda e: [float(x) + 0.001 for x in e]  # near-identical copy
+    )
+    planted = spark.createDataFrame(pd.concat([v, dup], ignore_index=True))
+    got = {(r.id_a, r.id_b) for r in dd.embedding_dup_pairs_lsh(planted, 0.999).collect()}
+    want = {(int(i), int(i) + 100000) for i in v["vec_id"]}
+    assert len(got & want) >= 0.9 * len(want)
+
+
+def test_short_docs_never_pair(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["one two", "one two", "x"]})
+    )
+    assert dd.minhash_lsh_pairs(docs, n=3, min_matches=1).count() == 0
+    # simhash pairs 2-word exact dups (hamming 0) — fine, just must not crash
+    dd.simhash_pairs(docs).collect()
