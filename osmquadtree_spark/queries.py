@@ -371,6 +371,73 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return doc_ops.ngram_pairs(_load(spark, sf_dir, "documents"), n=3, min_jaccard=0.2)
 
 
+def q_changes_stream(spark, sf_dir):
+    """Structured-Streaming change application: the same orders-derived
+    change set as changes_merge replayed as 3 micro-batches through the
+    stateful latest-wins operator (streaming/changes.py); the converged
+    survivor state must equal the batch result, so it shares the
+    changes_merge oracle SQL."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.changes import apply_changes_stream
+
+    orders = _load(spark, sf_dir, "orders")
+    batches = [
+        orders.select(
+            F.col("o_orderkey").alias("key"),
+            F.lit(0).cast("bigint").alias("seq"),
+            F.col("o_totalprice").alias("payload"),
+            F.lit(0).cast("int").alias("changetype"),
+        ),
+        orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("key"),
+            F.lit(1).cast("bigint").alias("seq"),
+            (F.col("o_totalprice") * 2).alias("payload"),
+            (F.col("o_orderkey") % 5 + 1).cast("int").alias("changetype"),
+        ),
+        orders.filter(F.col("o_orderkey") % 4 == 0).select(
+            F.col("o_orderkey").alias("key"),
+            F.lit(2).cast("bigint").alias("seq"),
+            (F.col("o_totalprice") * 3).alias("payload"),
+            (F.col("o_orderkey") % 2 + 4).cast("int").alias("changetype"),
+        ),
+    ]
+    root = tempfile.mkdtemp(prefix="oqt_stream_")
+    try:
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.mode("overwrite").parquet(f"{root}/src/b{i}")
+        stream = spark.readStream.schema(
+            "key bigint, seq bigint, payload double, changetype int"
+        ).option("maxFilesPerTrigger", "1").parquet(root + "/src/*")
+        sink = f"oqt_stream_sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            apply_changes_stream(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", root + "/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+        final = (
+            spark.table(sink)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & ~F.col("is_deleted"))
+            .select("key", "payload", "changetype")
+        )
+        # materialize before the temp dir disappears
+        out = spark.createDataFrame(final.toPandas(), "key bigint, payload double, changetype int")
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 EMB_DUP_MIN_COS = 0.4  # synthetic embeddings top out at cos ≈ 0.51
 
 
@@ -505,6 +572,19 @@ def _oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey, o_totalprice * 3, CAST(o_orderkey % 2 + 4 AS INT), 2 FROM orders WHERE o_orderkey % 4 = 0
               )
             ) WHERE rn = 1 AND changetype NOT IN (1, 2)""",
+        # converged streaming state must equal the batch merge (same change
+        # set; seq plays file_idx)
+        "changes_stream": """
+            SELECT key, payload, 0 AS changetype FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY file_idx DESC) AS rn
+              FROM (
+                SELECT o_orderkey AS key, o_totalprice AS payload, 0 AS changetype, 0 AS file_idx FROM orders
+                UNION ALL
+                SELECT o_orderkey, o_totalprice * 2, CAST(o_orderkey % 5 + 1 AS INT), 1 FROM orders WHERE o_orderkey % 3 = 0
+                UNION ALL
+                SELECT o_orderkey, o_totalprice * 3, CAST(o_orderkey % 2 + 4 AS INT), 2 FROM orders WHERE o_orderkey % 4 = 0
+              )
+            ) WHERE rn = 1 AND changetype NOT IN (1, 2)""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
@@ -612,6 +692,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_assign_default": q_group_assign_default,
         "group_assign_fine": q_group_assign_fine,
         "changes_merge": q_changes_merge,
+        "changes_stream": q_changes_stream,
         "way_qts": q_way_qts,
         "node_qts": q_node_qts,
         "rel_qts": q_rel_qts,

@@ -1,0 +1,66 @@
+"""Streaming element ingest: assign quadtree cells + group tiles to rows as
+they arrive, maintain a live per-tile count aggregate, and append
+tile-partitioned output.
+
+The reference is batch-only; this is the Structured-Streaming face of the
+same kernels: the qt assignment is stateless (the Arrow kernel runs
+per micro-batch), the group table is a broadcast computed offline by
+``operators.sortblocks.compute_groups*`` (the reference also fixes the
+grouping before writing, sortblocks.cpp:422-501), and per-tile counts are a
+streaming groupBy in update mode — the metrics side of the north rule's
+lineage table, live.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import make_qt_calculate
+from ..kernels import quadtree as qtk
+from ..operators.sortblocks import make_assign_group_udf
+
+
+def with_cells_stream(
+    elements: DataFrame,
+    group_qts: np.ndarray | None = None,
+    buffer: float = qtk.BUFFER_DEFAULT,
+    max_depth: int = qtk.MAX_DEPTH_CLI,
+) -> DataFrame:
+    """Stateless enrichment of a streaming element frame (minx, miny, maxx,
+    maxy int64 fixed-point): adds ``qt`` and, when a group table is given,
+    ``group_qt``. Works identically on batch frames."""
+    qt = make_qt_calculate(buffer, max_depth)
+    out = elements.withColumn("qt", qt("minx", "miny", "maxx", "maxy"))
+    if group_qts is not None:
+        assign = make_assign_group_udf(elements.sparkSession, group_qts)
+        out = out.withColumn("group_qt", assign(F.col("qt")))
+    return out
+
+
+def tile_counts_stream(enriched: DataFrame, tile_col: str = "group_qt") -> DataFrame:
+    """Live per-tile row counts (update-mode aggregate) — the streaming
+    lineage/metrics feed. State is one counter per tile (≤ number of
+    groups), hash-sharded by tile."""
+    return enriched.groupBy(tile_col).agg(F.count(F.lit(1)).alias("row_count"))
+
+
+def write_tiles_stream(
+    enriched: DataFrame,
+    path: str,
+    checkpoint: str,
+    tile_col: str = "group_qt",
+):
+    """Append stream to a tile-partitioned parquet table (Iceberg partition
+    transform in production; partitionBy here). The checkpoint directory is
+    the resume point — a restarted query continues from the last committed
+    micro-batch, which is the streaming analog of the pipeline's staged
+    ``_manifest.json`` commits."""
+    return (
+        enriched.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(tile_col)
+        .outputMode("append")
+    )

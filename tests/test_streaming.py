@@ -1,0 +1,138 @@
+"""Structured-Streaming tests: file-source micro-batches with availableNow
+triggers. Checks (1) the stateful latest-wins change stream converges to the
+batch apply_changes result, (2) state carries across separate runs via the
+checkpoint, (3) streaming ingest output rows equal the batch kernel's."""
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from osmquadtree_spark.operators.changes import apply_changes
+from osmquadtree_spark.streaming.changes import apply_changes_stream
+from osmquadtree_spark.streaming.ingest import tile_counts_stream, with_cells_stream
+
+CH_SCHEMA = "key bigint, seq bigint, payload double, changetype int"
+
+
+def _write_batch(spark, path, rows, i):
+    pdf = pd.DataFrame(rows, columns=["key", "seq", "payload", "changetype"])
+    spark.createDataFrame(pdf, CH_SCHEMA).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, f"b{i}")
+    )
+
+
+def _run_stream(spark, src, chk, sink_name):
+    stream = spark.readStream.schema(CH_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src + "/*")
+    q = (
+        apply_changes_stream(stream)
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {sink_name}")
+
+
+def test_stream_matches_batch_apply_changes(spark, tmp_path):
+    src, chk = str(tmp_path / "src"), str(tmp_path / "chk")
+    b0 = [(k, 0, float(k), 0) for k in range(20)]
+    b1 = [(k, 1, k * 2.0, 4) for k in range(0, 20, 3)] + [(5, 1, 0.0, 1)]
+    b2 = [(k, 2, k * 3.0, 5) for k in range(0, 20, 4)] + [(7, 2, 0.0, 2)]
+    _write_batch(spark, src, b0, 0)
+    _write_batch(spark, src, b1, 1)
+    _write_batch(spark, src, b2, 2)
+
+    out = _run_stream(spark, src, chk, "chsink").toPandas()
+    # memory sink in update mode appends every update — last row per key wins
+    final = out.sort_values("seq").groupby("key").last().reset_index()
+    live = final[~final["is_deleted"]][["key", "payload", "changetype"]]
+
+    main = spark.createDataFrame(pd.DataFrame(b0, columns=["key", "seq", "payload", "changetype"])).drop("seq")
+    ch1 = spark.createDataFrame(pd.DataFrame(b1, columns=["key", "seq", "payload", "changetype"])).drop("seq")
+    ch2 = spark.createDataFrame(pd.DataFrame(b2, columns=["key", "seq", "payload", "changetype"])).drop("seq")
+    want = apply_changes(main, [ch1, ch2], ["key"]).toPandas()
+
+    got = live.sort_values("key").reset_index(drop=True)
+    want = want[["key", "payload", "changetype"]].sort_values("key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"key": "int64"}), want.astype({"key": "int64"}), check_dtype=False)
+    # tombstoned keys are flagged, not silently dropped
+    assert set(final[final["is_deleted"]]["key"]) == {5, 7}
+
+
+def test_stream_state_survives_restart(spark, tmp_path):
+    src, chk, out = str(tmp_path / "src"), str(tmp_path / "chk"), str(tmp_path / "out")
+
+    def run():
+        stream = spark.readStream.schema(CH_SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src + "/*")
+
+        def sink(bdf, bid):
+            if bdf.count():
+                bdf.write.mode("append").parquet(out)
+
+        q = (
+            apply_changes_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(spark, src, [(1, 0, 10.0, 0), (2, 0, 20.0, 0)], 0)
+    run()
+    r1 = spark.read.parquet(out).toPandas()
+    assert len(r1) == 2
+
+    # second run from the SAME checkpoint: only new files are processed and
+    # the keyed state still remembers seq 0
+    _write_batch(spark, src, [(1, 1, 11.0, 4)], 1)
+    _write_batch(spark, src, [(1, 0, 99.0, 4)], 2)  # stale seq → ignored by state
+    run()
+    r2 = spark.read.parquet(out).toPandas()
+    upd = r2.sort_values("seq").groupby("key").last()
+    assert upd.loc[1, "payload"] == 11.0  # stale seq-0 row did not win
+    assert upd.loc[2, "payload"] == 20.0
+
+
+def test_stream_ingest_matches_batch_kernel(spark, tmp_path):
+    from osmquadtree_spark.functions.udfs import make_qt_calculate
+
+    src = str(tmp_path / "elems")
+    rng = np.random.default_rng(11)
+    n = 2000
+    lon = rng.integers(-1700000000, 1700000000, n)
+    lat = rng.integers(-800000000, 800000000, n)
+    pdf = pd.DataFrame({"elem_id": np.arange(n), "minx": lon, "miny": lat, "maxx": lon, "maxy": lat})
+    schema = "elem_id bigint, minx bigint, miny bigint, maxx bigint, maxy bigint"
+    spark.createDataFrame(pdf, schema).coalesce(2).write.parquet(src + "/b0")
+
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    from osmquadtree_spark.kernels import quadtree as qtk
+
+    # group table: root + the four depth-1 tiles (A B C D)
+    gqt = np.sort(np.array(
+        [0] + [qtk.from_string_scalar(s) for s in "ABCD"], dtype=np.int64
+    ))
+    enriched = with_cells_stream(stream, gqt)
+    q = (
+        tile_counts_stream(enriched)
+        .writeStream.format("memory").queryName("tilecounts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.group_qt: r.row_count for r in spark.sql("SELECT * FROM tilecounts").collect()}
+
+    batch = spark.read.parquet(src + "/b0")
+    bdf = with_cells_stream(batch, gqt).groupBy("group_qt").count()
+    want = {r.group_qt: r["count"] for r in bdf.collect()}
+    assert got == want
+    assert sum(got.values()) == n
