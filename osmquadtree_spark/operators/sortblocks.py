@@ -178,6 +178,10 @@ def make_assign_group_udf(spark, group_qts: np.ndarray):
 
     @pandas_udf("bigint")
     def assign_group(qt: pd.Series) -> pd.Series:
+        # a single NULL makes the Arrow batch float64, silently destroying
+        # the low (depth) bits of every qt > 2^53 — fail loudly instead
+        if qt.isna().any():
+            raise ValueError("assign_group: NULL cell id in batch")
         return pd.Series(assign_groups(qt.to_numpy("int64"), bc.value))
 
     return assign_group

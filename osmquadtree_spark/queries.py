@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from .functions import calcqts_oracle as cqo
 from .functions import dedup_oracle as do
 from .functions import sql_oracle as so
+from .functions import update_oracle as uo
 from .functions.udfs import make_qt_calculate, make_qt_common, round_qt_col
 from .kernels import geom as gk
 from .operators import ann as ann_ops
@@ -247,6 +248,114 @@ def q_rel_qts(spark, sf_dir):
 
     nodes, ways, rels = _osm_fixture(spark, sf_dir)
     return calc_all_quadtrees(nodes, ways, rels)["relations"]
+
+
+# ----------------------------------------------------------------------------
+# incremental update (calc_change_qts + find_change_tiles, update.cpp)
+
+
+def _change_set(spark, sf_dir):
+    """Deterministic change map over the OSM fixture (mirrored by
+    functions/update_oracle.py): node %7==0 → Modify with negated lon,
+    node %7==1 ∧ %3==0 → Delete, way %5==0 → Modify, rel %3==0 → Modify,
+    plus Normal context nodes (resolvable refs of active ways). old_qt =
+    full-fixture calcqts at CLI depth 17."""
+    from .operators.calcqts import calc_all_quadtrees, way_node_pairs
+
+    nodes, ways, rels = _osm_fixture(spark, sf_dir)
+    old = calc_all_quadtrees(nodes, ways, rels)
+
+    nid = F.col("node_id")
+    act_n = nid % 7 == 0
+    del_n = (nid % 7 == 1) & (nid % 3 == 0)
+    act_ways = ways.filter(F.col("way_id") % 5 == 0)
+    ctx = way_node_pairs(act_ways).select("node_id").distinct()
+    ch_nodes = (
+        nodes.join(ctx.withColumn("_ctx", F.lit(True)), "node_id", "left")
+        .filter(act_n | del_n | F.col("_ctx").isNotNull())
+        .select(
+            "node_id",
+            F.when(act_n, -F.col("lon")).otherwise(F.col("lon")).alias("lon"),
+            "lat",
+            F.when(act_n, F.lit(4)).when(del_n, F.lit(1)).otherwise(F.lit(0)).alias("changetype"),
+        )
+        .join(old["nodes"].withColumnRenamed("qt", "old_qt"), "node_id", "left")
+    )
+    ch_ways = (
+        act_ways.withColumn("changetype", F.lit(4))
+        .join(old["ways"].withColumnRenamed("qt", "old_qt"), "way_id", "left")
+    )
+    ch_rels = (
+        rels.filter(F.col("rel_id") % 3 == 0)
+        .withColumn("changetype", F.lit(4))
+        .join(old["relations"].withColumnRenamed("qt", "old_qt"), "rel_id", "left")
+    )
+    orig_allocs = None  # built lazily by q_update_change_tiles
+    return ch_nodes, ch_ways, ch_rels, old
+
+
+def _resolved_elements(spark, sf_dir):
+    from .operators.update import calc_change_qts
+
+    ch_nodes, ch_ways, ch_rels, old = _change_set(spark, sf_dir)
+    res = calc_change_qts(ch_nodes, ch_ways, ch_rels)
+    parts = [
+        res["nodes"].select(
+            F.lit(0).alias("element_type"), F.col("node_id").alias("id"), "qt", "changetype"
+        ),
+        res["ways"].select(
+            F.lit(1).alias("element_type"), F.col("way_id").alias("id"), "qt", "changetype"
+        ),
+        res["relations"].select(
+            F.lit(2).alias("element_type"), F.col("rel_id").alias("id"), "qt", "changetype"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, old
+
+
+def q_update_change_qts(spark, sf_dir):
+    """calc_change_qts parity: re-derived cells (depth 18) + final status
+    resolution over the deterministic change set."""
+    out, _ = _resolved_elements(spark, sf_dir)
+    return out
+
+
+def _level3_groups() -> "np.ndarray":
+    import numpy as np
+
+    cells = []
+    for d0 in range(4):
+        for d1 in range(4):
+            for d2 in range(4):
+                cells.append((d0 << 61) | (d1 << 59) | (d2 << 57) | 3)
+    return np.sort(np.asarray(cells, dtype=np.int64))
+
+
+def q_update_change_tiles(spark, sf_dir):
+    """find_change_tiles parity: survivors to their new tile, Remove
+    tombstones in vacated tiles, deletes to their original tile — against
+    the complete depth-3 group table (SQL-exact find_tile)."""
+    from .operators.update import find_change_tiles
+
+    out, old = _resolved_elements(spark, sf_dir)
+    allocs = None
+    parts = [
+        old["nodes"].select(F.lit(0).alias("element_type"), F.col("node_id").alias("id"), "qt"),
+        old["ways"].select(F.lit(1).alias("element_type"), F.col("way_id").alias("id"), "qt"),
+        old["relations"].select(F.lit(2).alias("element_type"), F.col("rel_id").alias("id"), "qt"),
+    ]
+    allocs = parts[0]
+    for p in parts[1:]:
+        allocs = allocs.unionByName(p)
+    gqt = _level3_groups()
+    from .operators.sortblocks import make_assign_group_udf
+
+    assign = make_assign_group_udf(spark, gqt)
+    allocs = allocs.select("element_type", "id", assign(F.col("qt")).alias("alloc"))
+    return find_change_tiles(out, allocs, gqt)
 
 
 # ----------------------------------------------------------------------------
@@ -556,6 +665,8 @@ def _oracle_sql() -> dict[str, str]:
             -- tests/test_qttree_groups.py::test_no_rollup_reference_semantics
             SELECT elem_id, 0::BIGINT AS group_qt FROM ({_ELEM_CTE})""",
         "way_qts": cqo.way_qts_sql(),
+        "update_change_qts": uo.change_qts_sql(),
+        "update_change_tiles": uo.change_tiles_sql(),
         "node_qts": cqo.node_qts_sql(),
         "rel_qts": cqo.rel_qts_sql(),
         "image_qt_assign": so.calculate_cte(
@@ -693,6 +804,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_assign_fine": q_group_assign_fine,
         "changes_merge": q_changes_merge,
         "changes_stream": q_changes_stream,
+        "update_change_qts": q_update_change_qts,
+        "update_change_tiles": q_update_change_tiles,
         "way_qts": q_way_qts,
         "node_qts": q_node_qts,
         "rel_qts": q_rel_qts,

@@ -1,0 +1,96 @@
+"""Unit tests for the incremental-update operators (update.cpp semantics):
+tombstones on tile moves, context-row erasure, delete routing, and the
+null-batch guard. Full-value oracle parity runs through the driver gate
+(update_change_qts / update_change_tiles)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osmquadtree_spark.kernels import quadtree as qtk
+from osmquadtree_spark.operators.update import calc_change_qts, find_change_tiles, missing_ref_count
+
+NODE_SCHEMA = "node_id bigint, lon bigint, lat bigint, changetype int, old_qt bigint"
+WAY_SCHEMA = "way_id bigint, refs array<bigint>, changetype int, old_qt bigint"
+REL_SCHEMA = (
+    "rel_id bigint, members array<struct<m_type:int,m_ref:bigint>>, changetype int, old_qt bigint"
+)
+ELEM_SCHEMA = "element_type int, id bigint, qt bigint, changetype int"
+ALLOC_SCHEMA = "element_type int, id bigint, alloc bigint"
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_calc_change_qts_statuses(spark):
+    a = qtk.from_string_scalar("A")
+    nodes = _df(spark, [
+        (1, 100, 100, 4, 7),          # Modify → point qt
+        (2, -100000000, 50000000, 0, 99),  # Normal context, qt will change → Unchanged
+        (3, 200, 200, 0, None),       # Normal, not referenced → dropped (no new qt)
+        (4, 300, 300, 1, 42),         # Delete → keeps old qt
+    ], NODE_SCHEMA)
+    ways = _df(spark, [(10, [1, 2], 4, 5)], WAY_SCHEMA)
+    rels = _df(spark, [(20, [{"m_type": 1, "m_ref": 10}], 4, 6)], REL_SCHEMA)
+    res = calc_change_qts(nodes, ways, rels)
+
+    n = {r.node_id: r for r in res["nodes"].collect()}
+    assert 3 not in n                      # erased "extra node"
+    assert n[4].qt == 42 and n[4].changetype == 1
+    assert n[2].changetype == 3            # Normal → Unchanged with new cell
+    w = res["ways"].collect()[0]
+    assert w.changetype == 4 and w.qt >= 0
+    # node qts under the way fold are ancestors-or-equal of the way's cell
+    assert qtk.common_scalar(n[1].qt, w.qt) == n[1].qt
+    r = res["relations"].collect()[0]
+    assert r.qt == w.qt                    # single way member → same cell
+
+
+def test_unresolvable_way_dropped_and_counted(spark):
+    nodes = _df(spark, [(1, 0, 0, 4, None)], NODE_SCHEMA)
+    ways = _df(spark, [(10, [777, 778], 4, 5)], WAY_SCHEMA)
+    rels = _df(spark, [], REL_SCHEMA)
+    assert missing_ref_count(nodes, ways) == 2
+    res = calc_change_qts(nodes, ways, rels)
+    assert res["ways"].count() == 0        # no derivable cell → skipped
+
+
+def test_find_change_tiles_tombstones(spark):
+    a = qtk.from_string_scalar("A")
+    b = qtk.from_string_scalar("B")
+    gqt = np.sort(np.asarray([a, b], dtype=np.int64))
+    aa = qtk.from_string_scalar("AA")
+    bb = qtk.from_string_scalar("BB")
+    elements = _df(spark, [
+        (0, 1, aa, 4),   # moved: was in tile B, now tile A → tombstone in B
+        (0, 2, bb, 4),   # stayed in tile B
+        (0, 3, aa, 5),   # created: no orig alloc → no tombstone
+        (0, 4, None, 1), # deleted: routed to orig tile with qt 0
+    ], ELEM_SCHEMA)
+    allocs = _df(spark, [(0, 1, b), (0, 2, b), (0, 4, a)], ALLOC_SCHEMA)
+    out = find_change_tiles(elements, allocs, gqt)
+    rows = {(r.element_type, r.id, r.changetype): (r.tile_qt, r.qt) for r in out.collect()}
+    assert rows[(0, 1, 4)] == (a, aa)          # survivor in new tile
+    assert rows[(0, 1, 2)] == (b, 0)           # tombstone in vacated tile
+    assert rows[(0, 2, 4)] == (b, bb)          # no move → no tombstone
+    assert (0, 2, 2) not in rows
+    assert rows[(0, 3, 5)] == (a, aa)
+    assert rows[(0, 4, 1)] == (a, 0)           # delete → orig tile, qt 0
+    assert len(rows) == 5
+
+
+def test_assign_group_rejects_nulls(spark):
+    """A NULL in the batch coerces Arrow→pandas to float64, silently
+    corrupting depth bits of every qt > 2^53 — must fail loudly."""
+    from osmquadtree_spark.operators.sortblocks import make_assign_group_udf
+    from py4j.protocol import Py4JJavaError
+
+    gqt = np.asarray([0], dtype=np.int64)
+    df = spark.createDataFrame(pd.DataFrame({"qt": [1.0, None]})).select(
+        F.col("qt").cast("bigint").alias("qt")
+    )
+    assign = make_assign_group_udf(spark, gqt)
+    with pytest.raises(Exception, match="NULL cell id|PythonException|assign_group"):
+        df.select(assign(F.col("qt"))).collect()
