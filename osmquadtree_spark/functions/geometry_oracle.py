@@ -1,0 +1,219 @@
+"""DuckDB oracle SQL for the geometry-enrichment operators, generated from
+the SAME rule tables as the fixture (sources/osm_fixture.py WAY/NODE/REL_TAG_RULES)
+and the SAME style tables (functions/geostyle.py) the Spark operators compile.
+
+The oracles restate each stage as flat per-key columns (the fixture's tag
+rules are static, so "tags array" logic lowers to CASE columns) — a match
+therefore validates the operator's array/map algebra against the plain
+relational spec.
+"""
+
+from __future__ import annotations
+
+from . import geostyle as gs
+from ..sources.osm_fixture import (
+    NODE_TAG_RULES,
+    REL_TAG_RULES,
+    WAY_TAG_RULES,
+    nodes_sql,
+    way_pairs_sql,
+)
+
+EW = "CAST('20037508.342789244' AS DOUBLE)"
+
+
+def _kv_cte(rules, src_sql: str, id_col: str) -> str:
+    """One row per element with a v_<key> column per rule (NULL = absent)."""
+    cols = []
+    for key, val_sql, cond_sql in rules:
+        w = f"CAST({id_col} AS BIGINT)"
+        v = val_sql.replace("{w}", w)
+        c = cond_sql.replace("{w}", w)
+        cname = key.replace(":", "__")
+        cols.append(f"CASE WHEN {c} THEN {v} END AS v_{cname}")
+    return f"SELECT {id_col}, {', '.join(cols)} FROM ({src_sql})"
+
+
+def _ways_src() -> str:
+    return "SELECT o_orderkey AS way_id FROM orders"
+
+
+def _present(rules):
+    return [k for k, _, _ in rules]
+
+
+def _z_order_sql(present_keys) -> str:
+    per_key = []
+    for key in sorted(gs.Z_ORDER):
+        if key not in present_keys:
+            continue
+        cname = key.replace(":", "__")
+        whens = " ".join(
+            f"WHEN '{v}' THEN {z}" for v, z in sorted(gs.Z_ORDER[key].items())
+        )
+        per_key.append(f"CASE v_{cname} {whens} END")
+    return "GREATEST(" + ", ".join(per_key) + ")" if per_key else "NULL"
+
+
+def _is_polygon_sql(present_keys) -> str:
+    conds = []
+    for key in sorted(gs.POLYGON_TAGS):
+        if key not in present_keys:
+            continue
+        typ, vals = gs.POLYGON_TAGS[key]
+        cname = key.replace(":", "__")
+        if typ == "all":
+            conds.append(f"v_{cname} IS NOT NULL")
+        elif typ == "include":
+            vs = ", ".join(f"'{v}'" for v in sorted(vals))
+            conds.append(f"v_{cname} IN ({vs})")
+        else:
+            vs = ", ".join(f"'{v}'" for v in sorted(vals))
+            conds.append(f"(v_{cname} IS NOT NULL AND v_{cname} NOT IN ({vs}))")
+    return "COALESCE(" + " OR ".join(conds) + ", FALSE)"
+
+
+def geom_ways_sql() -> str:
+    """(way_id, has_feature, n_kept, layer, z_order, is_polygon, geom_type):
+    the make_geometries summary. geom_type: 2=Linestring,
+    5=SimplePolygon (ring AND polygon-tagged) — baseelement.hpp:44-54."""
+    keys = _present(WAY_TAG_RULES)
+    feat = [k for k in keys if k in gs.FEATURE_KEYS]
+    has_feature = " OR ".join(f"v_{k.replace(':','__')} IS NOT NULL" for k in feat)
+
+    kept_terms = []
+    for k in keys:
+        cname = k.replace(":", "__")
+        if k in gs.FEATURE_KEYS:
+            kept_terms.append(f"(v_{cname} IS NOT NULL)::BIGINT")
+        else:
+            dropped = k in gs.DROP_KEYS or (
+                ":" in k and (k.split(":", 1)[0] + ":") in gs.DROP_KEYS
+            )
+            if not dropped:  # all_other_keys=True
+                kept_terms.append(f"(v_{cname} IS NOT NULL)::BIGINT")
+    return f"""
+WITH kv AS ({_kv_cte(WAY_TAG_RULES, _ways_src(), "way_id")})
+SELECT way_id,
+       ({has_feature}) AS has_feature,
+       ({' + '.join(kept_terms)}) AS n_kept,
+       TRY_CAST(v_layer AS BIGINT) AS layer,
+       ({_z_order_sql(keys)})::BIGINT AS z_order,
+       {_is_polygon_sql(keys)} AS is_polygon,
+       CASE WHEN way_id % 6 = 0 AND {_is_polygon_sql(keys)} THEN 5 ELSE 2 END AS geom_type
+FROM kv
+""".strip()
+
+
+def geom_parent_tags_sql() -> str:
+    """(node_id, parent_highway, parent_service) for qualifying nodes —
+    max-priority (ties/no-priority → min way_id) value of the containing
+    ways' spec key."""
+    prio_whens = " ".join(f"WHEN '{v}' THEN {p}" for v, p in sorted(gs.HIGHWAY_PRIO.items()))
+    return f"""
+WITH nkv AS ({_kv_cte(NODE_TAG_RULES, nodes_sql(), "node_id")}),
+wkv AS ({_kv_cte(WAY_TAG_RULES, _ways_src(), "way_id")}),
+pairs AS (SELECT way_id, node_id FROM ({way_pairs_sql()})
+          WHERE way_id IN (SELECT way_id FROM wkv)),
+hw AS (
+  SELECT node_id, v_highway AS val,
+         ROW_NUMBER() OVER (PARTITION BY node_id
+                            ORDER BY (CASE v_highway {prio_whens} END) DESC, way_id ASC) AS rn
+  FROM pairs JOIN wkv USING (way_id)
+  WHERE (CASE v_highway {prio_whens} END) IS NOT NULL
+),
+sv AS (
+  SELECT node_id, v_service AS val,
+         ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY way_id ASC) AS rn
+  FROM pairs JOIN wkv USING (way_id)
+  WHERE v_service IS NOT NULL
+)
+SELECT n.node_id,
+       CASE WHEN n.v_highway IS NOT NULL OR n.v_railway IS NOT NULL
+            THEN h.val END AS parent_highway,
+       CASE WHEN n.v_highway IS NOT NULL THEN s.val END AS parent_service
+FROM nkv n
+LEFT JOIN (SELECT node_id, val FROM hw WHERE rn = 1) h ON h.node_id = n.node_id
+LEFT JOIN (SELECT node_id, val FROM sv WHERE rn = 1) s ON s.node_id = n.node_id
+WHERE n.v_highway IS NOT NULL OR n.v_railway IS NOT NULL
+""".strip()
+
+
+def geom_rel_tags_sql() -> str:
+    """(way_id, min_admin_level, max_admin_level, bus_routes,
+    bicycle_routes) for ways receiving at least one value."""
+    return """
+WITH rkv AS ({kv}),
+members AS (
+  SELECT CAST(c_custkey AS BIGINT) AS rel_id,
+         unnest([CAST(c_custkey AS BIGINT) * 3, CAST(c_custkey AS BIGINT) * 3 + 1]) AS way_id
+  FROM customer
+),
+wexist AS (SELECT o_orderkey AS way_id FROM orders),
+admin AS (
+  SELECT m.way_id, TRY_CAST(r.v_admin_level AS BIGINT) AS av
+  FROM rkv r JOIN members m USING (rel_id) JOIN wexist USING (way_id)
+  WHERE r.v_type = 'boundary' AND r.v_boundary = 'administrative'
+    AND r.v_admin_level IS NOT NULL
+),
+routes AS (
+  SELECT m.way_id, r.v_route AS route, r.v_ref AS ref
+  FROM rkv r JOIN members m USING (rel_id) JOIN wexist USING (way_id)
+  WHERE r.v_type = 'route' AND r.v_ref IS NOT NULL
+),
+agg AS (
+  -- all-unparsable values yield an empty result → tag omitted
+  -- (handlerelations.cpp find_min/find_max return "")
+  SELECT way_id,
+         CAST(MIN(av) AS VARCHAR) AS min_admin_level,
+         CAST(MAX(av) AS VARCHAR) AS max_admin_level
+  FROM admin GROUP BY way_id
+  HAVING MIN(av) IS NOT NULL
+),
+bus AS (
+  SELECT way_id, string_agg(DISTINCT ref, '; ' ORDER BY ref) AS bus_routes
+  FROM routes WHERE route = 'bus' GROUP BY way_id
+),
+bike AS (
+  SELECT way_id, string_agg(DISTINCT ref, '; ' ORDER BY ref) AS bicycle_routes
+  FROM routes WHERE route = 'bicycle' GROUP BY way_id
+)
+SELECT COALESCE(a.way_id, b.way_id, k.way_id) AS way_id,
+       a.min_admin_level, a.max_admin_level, b.bus_routes, k.bicycle_routes
+FROM agg a
+FULL OUTER JOIN bus b ON b.way_id = a.way_id
+FULL OUTER JOIN bike k ON k.way_id = COALESCE(a.way_id, b.way_id)
+""".format(kv=_kv_cte(REL_TAG_RULES, "SELECT CAST(c_custkey AS BIGINT) AS rel_id FROM customer", "rel_id")).strip()
+
+
+def geom_way_stats_sql() -> str:
+    """(way_id, length_3857, ring_area): fold-ordered segment sums in 3857;
+    rings (way_id % 6 = 0) are closed by appending the first point."""
+    x = f"(lon * 1e-7) * {EW} / 180e0"
+    y = f"ln(tan(pi() * (1e0 + (lat * 1e-7) / 90e0) / 4e0)) * {EW} / pi()"
+    return f"""
+WITH pts AS (
+  SELECT way_id,
+         list({x} ORDER BY node_id) AS xs0,
+         list({y} ORDER BY node_id) AS ys0
+  FROM ({way_pairs_sql()}) p JOIN ({nodes_sql()}) n USING (node_id)
+  GROUP BY way_id
+), closed AS (
+  SELECT way_id,
+         CASE WHEN way_id % 6 = 0 THEN list_append(xs0, xs0[1]) ELSE xs0 END AS xs,
+         CASE WHEN way_id % 6 = 0 THEN list_append(ys0, ys0[1]) ELSE ys0 END AS ys
+  FROM pts
+)
+SELECT way_id,
+       CAST(floor(CASE WHEN len(xs) >= 2 THEN
+         list_reduce(list_prepend(0e0, list_transform(range(2, len(xs) + 1),
+           i -> sqrt((xs[i] - xs[i-1]) * (xs[i] - xs[i-1])
+                   + (ys[i] - ys[i-1]) * (ys[i] - ys[i-1])))), (a, b) -> a + b)
+       ELSE 0e0 END) AS BIGINT) AS length_m_floor,
+       CASE WHEN way_id % 6 = 0 AND len(xs) < 4 THEN NULL ELSE
+       CAST(floor((CASE WHEN len(xs) >= 3 THEN
+         -1e0 * list_reduce(list_prepend(0e0, flatten(list_transform(range(2, len(xs) + 1),
+           i -> [xs[i-1] * ys[i], -(ys[i-1] * xs[i])]))), (a, b) -> a + b) / 2e0
+       ELSE 0e0 END) / 65536e0) AS BIGINT) END AS ring_area_64k
+FROM closed
+""".strip()

@@ -1,0 +1,94 @@
+"""Style/spec tables for the geometry-enrichment operators — the data-driven
+config the reference ships as GeometryStyle JSON
+(/root/reference/python/oqt/geometry/style.py:182-365, to/from_json 377-460).
+
+Single source of truth: the Spark column expressions (operators/geometry.py)
+and the DuckDB oracle SQL (functions/geometry_oracle.py) are both generated
+from these dicts, so a table edit cannot de-synchronize engine and oracle.
+"""
+
+from __future__ import annotations
+
+# z_order value tables (makegeometries.cpp:37-131, verbatim)
+Z_ORDER: dict[str, dict[str, int]] = {
+    "highway": {
+        "motorway": 380, "trunk": 370, "primary": 360, "secondary": 350,
+        "tertiary": 340, "residential": 330, "unclassified": 330, "road": 330,
+        "living_street": 320, "pedestrian": 310, "raceway": 300,
+        "motorway_link": 240, "trunk_link": 230, "primary_link": 220,
+        "secondary_link": 210, "tertiary_link": 200, "service": 150,
+        "track": 110, "path": 100, "footway": 100, "bridleway": 100,
+        "cycleway": 100, "steps": 90, "platform": 90,
+    },
+    "construction": {
+        "motorway": 33, "trunk": 33, "primary": 33, "secondary": 33,
+        "tertiary": 33, "residential": 33, "unclassified": 33, "road": 33,
+        "living_street": 32, "pedestrian": 31, "raceway": 30,
+        "motorway_link": 24, "trunk_link": 23, "primary_link": 2,
+        "secondary_link": 21, "tertiary_link": 20, "service": 15,
+        "track": 11, "path": 10, "footway": 10, "bridleway": 10,
+        "cycleway": 10, "steps": 9, "platform": 9,
+    },
+    "railway": {
+        "rail": 440, "subway": 420, "narrow_gauge": 420, "light_rail": 420,
+        "funicular": 420, "preserved": 420, "monorail": 420, "miniature": 420,
+        "turntable": 420, "tram": 410, "disused": 400, "construction": 400,
+        "platform": 90,
+    },
+    "aeroway": {"runway": 60, "taxiway": 50},
+}
+
+# polygon typing (style.py:182-206): key → "all" | ("include", set) | ("exclude", set)
+POLYGON_TAGS: dict[str, tuple[str, frozenset[str]]] = {
+    "aeroway": ("exclude", frozenset({"taxiway"})),
+    "amenity": ("all", frozenset()),
+    "area": ("all", frozenset()),
+    "barrier": ("include", frozenset({"city_wall", "ditch", "wall", "spikes"})),
+    "boundary": ("all", frozenset()),
+    "building": ("all", frozenset()),
+    "highway": ("include", frozenset({"services", "rest_area", "escape", "elevator"})),
+    "landuse": ("all", frozenset()),
+    "leisure": ("all", frozenset()),
+    "man_made": ("exclude", frozenset({"cutline", "embankment", "pipeline"})),
+    "natural": ("exclude", frozenset({"coastline", "cliff", "ridge", "arete", "tree_row"})),
+    "railway": ("include", frozenset({"station", "turntable", "roundhouse", "platform"})),
+    "waterway": ("include", frozenset({"riverbank", "dock", "boatyard", "dam"})),
+}
+
+# way-tag priority for parent-tag propagation (style.py:222-233)
+HIGHWAY_PRIO: dict[str, int] = {
+    h: i
+    for i, h in enumerate([
+        "footway", "cycleway", "bridleway",
+        "path", "steps", "pedestrian",
+        "service", "track", "byway",
+        "living_street", "residential", "road", "unclassified",
+        "tertiary", "tertiary_link",
+        "secondary", "secondary_link",
+        "primary", "primary_link",
+        "trunk", "trunk_link",
+        "motorway", "motorway_link",
+        "siding", "rail",
+    ])
+}
+
+# (out_tag, node-qualifier keys, way key, priority map) — style.py:320-323
+PARENT_TAG_SPECS: list[tuple[str, tuple[str, ...], str, dict[str, int]]] = [
+    ("parent_highway", ("highway", "railway"), "highway", HIGHWAY_PRIO),
+    ("parent_service", ("highway",), "service", {}),
+]
+
+# (target_key, source_filter {k: v|*}, source_key, agg type) — style.py:356-361
+RELATION_TAG_SPECS: list[tuple[str, dict[str, str], str, str]] = [
+    ("min_admin_level", {"type": "boundary", "boundary": "administrative"}, "admin_level", "min"),
+    ("max_admin_level", {"type": "boundary", "boundary": "administrative"}, "admin_level", "max"),
+    ("bus_routes", {"type": "route", "route": "bus"}, "ref", "list"),
+    ("bicycle_routes", {"type": "route", "route": "bicycle"}, "ref", "list"),
+]
+
+# tag-filter sets (a compact instance of the osm-carto defaults)
+FEATURE_KEYS = frozenset({"highway", "railway", "building", "natural", "waterway", "landuse", "amenity"})
+OTHER_KEYS = frozenset({"layer", "area", "ref", "name", "service", "crossing", "admin_level"})
+DROP_KEYS = frozenset({"note", "created_by", "source", "source:"})
+
+EARTH_WIDTH = 20037508.342789244  # geometry.hpp:55

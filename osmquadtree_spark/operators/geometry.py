@@ -1,0 +1,266 @@
+"""Geometry-enrichment operators — the reference's process_geometry stages
+(tag filter / typing / z_order, parent-tag join, relation-tag join, line
+length + ring area) as DataFrame transformations.
+
+Tags are `array<struct<key:string,val:string>>` (the reference's ordered tag
+vector). Everything here is JVM-side column algebra over a broadcast-size
+style spec (functions/geostyle.py) — the reference drives the same tables
+through per-element C++ loops (makegeometries.cpp, addparenttags.cpp,
+handlerelations.cpp); in Spark each stage is one join + one aggregate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import geostyle as gs
+
+
+def _tag_map(tags_col):
+    return F.map_from_entries(tags_col)
+
+
+def filter_tags_summary(
+    df: DataFrame,
+    tags_col: str = "tags",
+    feature_keys=gs.FEATURE_KEYS,
+    other_keys=gs.OTHER_KEYS,
+    drop_keys=gs.DROP_KEYS,
+    all_other_keys: bool = True,
+    all_objs: bool = False,
+) -> DataFrame:
+    """Adds has_feature / n_kept / layer per filter_tags
+    (makegeometries.cpp:156-195): feature keys always kept and set
+    has_feature; other keys kept unless dropped (exact key or its
+    ``prefix:`` up to the first colon ∈ drop_keys); ``layer`` parsed from
+    the raw tags (invalid integers ignored)."""
+    tags = F.col(tags_col)
+    feats = F.array(*[F.lit(k) for k in sorted(feature_keys)])
+    others = F.array(*[F.lit(k) for k in sorted(other_keys)])
+    drops = F.array(*[F.lit(k) for k in sorted(drop_keys)])
+
+    def is_drop(k):
+        prefix = F.concat(F.substring_index(k, ":", 1), F.lit(":"))
+        return F.array_contains(drops, k) | (
+            k.contains(":") & F.array_contains(drops, prefix)
+        )
+
+    def kept(t):
+        k = t["key"]
+        is_feat = F.array_contains(feats, k)
+        is_other = F.lit(all_other_keys) | F.array_contains(others, k)
+        return is_feat | (is_other & ~is_drop(k))
+
+    n_kept = F.size(F.filter(tags, kept))
+    has_feature = F.exists(tags, lambda t: F.array_contains(feats, t["key"]))
+    if all_objs:
+        has_feature = has_feature | (n_kept > 0)
+    layer_vals = F.filter(tags, lambda t: t["key"] == F.lit("layer"))
+    layer = F.when(
+        F.size(layer_vals) > 0,
+        F.element_at(layer_vals, 1)["val"].try_cast("bigint"),
+    )
+    return df.withColumn("has_feature", has_feature).withColumn(
+        "n_kept", n_kept.cast("bigint")
+    ).withColumn("layer", layer)
+
+
+def z_order_col(tags_col):
+    """calc_zorder (makegeometries.cpp:124-131): max over the per-key value
+    tables; absent → NULL. The tables are compiled into one CASE chain."""
+    m = _tag_map(F.col(tags_col))
+    per_key = []
+    for key in sorted(gs.Z_ORDER):
+        v = m[key]
+        expr = None
+        for val, z in sorted(gs.Z_ORDER[key].items()):
+            cond = v == F.lit(val)
+            expr = F.when(cond, F.lit(z)) if expr is None else expr.when(cond, F.lit(z))
+        per_key.append(expr)
+    return F.greatest(*per_key).cast("bigint")
+
+
+def is_polygon_col(tags_col):
+    """check_polygon_tags (makegeometries.cpp:197-222): any tag whose key's
+    rule accepts the value (All / Include-set / Exclude-set)."""
+    m = _tag_map(F.col(tags_col))
+    conds = []
+    for key in sorted(gs.POLYGON_TAGS):
+        typ, vals = gs.POLYGON_TAGS[key]
+        v = m[key]
+        if typ == "all":
+            conds.append(v.isNotNull())
+        elif typ == "include":
+            conds.append(v.isin(*sorted(vals)))
+        else:
+            conds.append(v.isNotNull() & ~v.isin(*sorted(vals)))
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return F.coalesce(out, F.lit(False))
+
+
+def parent_tags(
+    node_tags: DataFrame,
+    way_tags: DataFrame,
+    way_refs: DataFrame,
+    specs=gs.PARENT_TAG_SPECS,
+) -> DataFrame:
+    """Parent-tag join (addparenttags.cpp:53-209): a node carrying any
+    qualifier key receives, per spec, the containing way's value of
+    ``way_key`` — the highest-priority value when the spec has a priority
+    table (ties and the no-priority case resolve to the smallest way_id,
+    the reference's first-in-stream order for id-sorted tiles).
+
+    node_tags: (node_id, tags); way_tags: (way_id, tags);
+    way_refs: (way_id, node_id). Output: (node_id, <out_tag> per spec)."""
+    out = None
+    for out_tag, node_keys, way_key, prio in specs:
+        nk = F.array(*[F.lit(k) for k in node_keys])
+        qual = node_tags.filter(
+            F.exists(F.col("tags"), lambda t: F.array_contains(nk, t["key"]))
+        ).select("node_id")
+        wval = _tag_map(F.col("tags"))[way_key]
+        ways = way_tags.select("way_id", wval.alias("_val")).filter(F.col("_val").isNotNull())
+        if prio:
+            pr = None
+            for val, p in sorted(prio.items()):
+                c = F.col("_val") == F.lit(val)
+                pr = F.when(c, F.lit(p)) if pr is None else pr.when(c, F.lit(p))
+            ways = ways.withColumn("_prio", pr).filter(F.col("_prio").isNotNull())
+        else:
+            ways = ways.withColumn("_prio", F.lit(0))
+        cand = qual.join(way_refs, "node_id").join(ways, "way_id")
+        w = Window.partitionBy("node_id").orderBy(
+            F.col("_prio").desc(), F.col("way_id").asc()
+        )
+        best = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node_id", F.col("_val").alias(out_tag))
+        )
+        picked = qual.join(best, "node_id", "left")
+        out = picked if out is None else out.join(picked, "node_id", "outer")
+    return out
+
+
+def relation_tags(
+    rel_tags: DataFrame,
+    rel_way_members: DataFrame,
+    specs=gs.RELATION_TAG_SPECS,
+) -> DataFrame:
+    """Relation-tag join (handlerelations.cpp:37-167): relations passing a
+    spec's source filter send their ``source_key`` value to every way
+    member; each way aggregates per spec — min / max over integer-parsed
+    values (unparsable skipped, stringified back) or the "; "-joined sorted
+    distinct list. Ways with no non-empty result are omitted.
+
+    rel_tags: (rel_id, tags); rel_way_members: (rel_id, way_id)."""
+    m = _tag_map(F.col("tags"))
+    per_spec = []
+    for idx, (target, source_filter, source_key, typ) in enumerate(specs):
+        cond = m[source_key].isNotNull()
+        for k, v in sorted(source_filter.items()):
+            cond = cond & ((m[k] == F.lit(v)) if v != "*" else m[k].isNotNull())
+        vals = (
+            rel_tags.filter(cond)
+            .select("rel_id", m[source_key].alias("_val"))
+            .join(rel_way_members, "rel_id")
+        )
+        if typ in ("min", "max"):
+            iv = F.col("_val").try_cast("bigint")
+            agg = F.min(iv) if typ == "min" else F.max(iv)
+            res = (
+                vals.groupBy("way_id")
+                .agg(agg.alias("_i"))
+                .select("way_id", F.col("_i").cast("string").alias(target))
+            )
+        else:
+            res = (
+                vals.groupBy("way_id")
+                .agg(F.array_sort(F.collect_set("_val")).alias("_l"))
+                .select("way_id", F.array_join("_l", "; ").alias(target))
+            )
+        per_spec.append(res.filter(F.col(target).isNotNull()))
+    out = per_spec[0]
+    for p in per_spec[1:]:
+        out = out.join(p, "way_id", "outer")
+    return out
+
+
+# -- metric geometry (EPSG:3857 fold math, utils.cpp:51-105) ------------------
+
+
+def way_coord_arrays(way_refs: DataFrame, nodes: DataFrame, close_ring=None) -> DataFrame:
+    """(way_id, xs, ys): member coordinates projected to 3857, ordered by
+    ref position; when ``close_ring`` (a way_id predicate column) holds, the
+    first point is appended to close the ring (OSM rings store first==last;
+    the fixture stores open rings)."""
+    located = way_refs.join(nodes.select("node_id", "lon", "lat"), "node_id")
+    pts = (
+        located.groupBy("way_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("_pts"))
+        .select(
+            "way_id",
+            F.transform("_pts", lambda p: p["lon"]).alias("_lons"),
+            F.transform("_pts", lambda p: p["lat"]).alias("_lats"),
+        )
+    )
+    if close_ring is not None:
+        pts = pts.select(
+            "way_id",
+            F.when(close_ring, F.concat("_lons", F.slice("_lons", 1, 1))).otherwise(F.col("_lons")).alias("_lons"),
+            F.when(close_ring, F.concat("_lats", F.slice("_lats", 1, 1))).otherwise(F.col("_lats")).alias("_lats"),
+        )
+    xs = F.transform("_lons", lambda v: v * F.lit(1e-7) * F.lit(gs.EARTH_WIDTH) / F.lit(180.0))
+    ys = F.transform(
+        "_lats",
+        lambda v: F.log(
+            F.tan(F.lit(math.pi) * (F.lit(1.0) + v * F.lit(1e-7) / F.lit(90.0)) / F.lit(4.0))
+        )
+        * F.lit(gs.EARTH_WIDTH)
+        / F.lit(math.pi),
+    )
+    return pts.select("way_id", xs.alias("xs"), ys.alias("ys"))
+
+
+def line_length_col(xs, ys):
+    """calc_line_length (utils.cpp:68-81): left-to-right fold of segment
+    hypotenuses — the fold order fixes float associativity so the DuckDB
+    twin is bit-identical."""
+    idx = F.sequence(F.lit(2), F.size(xs))
+    seg = F.transform(
+        idx,
+        lambda i: F.sqrt(
+            (F.element_at(xs, i) - F.element_at(xs, i - 1))
+            * (F.element_at(xs, i) - F.element_at(xs, i - 1))
+            + (F.element_at(ys, i) - F.element_at(ys, i - 1))
+            * (F.element_at(ys, i) - F.element_at(ys, i - 1))
+        ),
+    )
+    total = F.aggregate(seg, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(F.size(xs) >= 2, total).otherwise(F.lit(0.0))
+
+
+def ring_area_col(xs, ys):
+    """calc_ring_area (utils.cpp:84-105): shoelace fold in 3857,
+    anticlockwise-positive via the final -area/2. Same accumulation order
+    as the reference (x*y' added, y*x' subtracted per step)."""
+    idx = F.sequence(F.lit(2), F.size(xs))
+    # two single-product terms per step — the reference adds x·y' then
+    # subtracts y·x' as SEPARATE accumulations (utils.cpp:98-99), and a
+    # combined x·y'-y·x' expression invites engine-dependent FMA fusion
+    terms = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.array(
+                F.element_at(xs, i - 1) * F.element_at(ys, i),
+                -(F.element_at(ys, i - 1) * F.element_at(xs, i)),
+            ),
+        )
+    )
+    area = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(F.size(xs) >= 3, F.lit(-1.0) * area / F.lit(2.0)).otherwise(F.lit(0.0))

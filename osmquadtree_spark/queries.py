@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from .functions import calcqts_oracle as cqo
 from .functions import dedup_oracle as do
+from .functions import geometry_oracle as go
 from .functions import sql_oracle as so
 from .functions import update_oracle as uo
 from .functions.udfs import make_qt_calculate, make_qt_common, round_qt_col
@@ -359,6 +360,99 @@ def q_update_change_tiles(spark, sf_dir):
 
 
 # ----------------------------------------------------------------------------
+# geometry enrichment (makegeometries / addparenttags / handlerelations)
+
+
+def q_geom_ways(spark, sf_dir):
+    """make_geometries summary per way: tag filter (has_feature, kept count,
+    layer), z_order, polygon typing, geometry type (2=Linestring,
+    5=SimplePolygon for polygon-tagged rings)."""
+    from .operators import geometry as geo
+    from .sources import osm_fixture as fx
+
+    _load(spark, sf_dir, "orders")
+    wt = fx.fixture_way_tags(spark, sf_dir)
+    out = geo.filter_tags_summary(wt, "tags", all_other_keys=True)
+    is_ring = F.col("way_id") % 6 == 0
+    return out.select(
+        "way_id",
+        "has_feature",
+        "n_kept",
+        "layer",
+        geo.z_order_col("tags").alias("z_order"),
+        geo.is_polygon_col("tags").alias("is_polygon"),
+        F.when(is_ring & geo.is_polygon_col("tags"), F.lit(5)).otherwise(F.lit(2)).alias("geom_type"),
+    )
+
+
+def q_geom_parent_tags(spark, sf_dir):
+    """Parent-tag join: qualifying nodes receive the max-priority highway
+    (and first service) value of their containing ways."""
+    from .operators import geometry as geo
+    from .operators.calcqts import way_node_pairs
+    from .sources import osm_fixture as fx
+
+    _load(spark, sf_dir, "orders")
+    _load(spark, sf_dir, "lineitem")
+    nt = fx.fixture_node_tags(spark, sf_dir)
+    wt = fx.fixture_way_tags(spark, sf_dir)
+    refs = way_node_pairs(fx.fixture_ways(spark, sf_dir))
+    return geo.parent_tags(nt, wt, refs)
+
+
+def q_geom_rel_tags(spark, sf_dir):
+    """Relation-tag join: boundary admin levels (min/max) and route refs
+    ("; "-joined sorted lists) pushed onto member ways."""
+    from .operators import geometry as geo
+    from .sources import osm_fixture as fx
+
+    _load(spark, sf_dir, "orders")
+    _load(spark, sf_dir, "customer")
+    rt = fx.fixture_rel_tags(spark, sf_dir)
+    rels = fx.fixture_relations(spark, sf_dir)
+    ways = fx.fixture_ways(spark, sf_dir).select("way_id")
+    members = (
+        rels.select("rel_id", F.explode("members").alias("m"))
+        .filter(F.col("m.m_type") == 1)
+        .select("rel_id", F.col("m.m_ref").alias("way_id"))
+        .join(ways, "way_id")
+    )
+    return geo.relation_tags(rt, members)
+
+
+def q_geom_way_stats(spark, sf_dir):
+    """Metric geometry: line length and (for rings, way_id % 6 == 0,
+    closed by appending the first point) the anticlockwise-positive
+    shoelace area — both as ordered folds in EPSG:3857."""
+    from .operators import geometry as geo
+    from .sources import osm_fixture as fx
+
+    _load(spark, sf_dir, "orders")
+    _load(spark, sf_dir, "lineitem")
+    nodes = fx.fixture_nodes(spark, sf_dir)
+    ways = fx.fixture_ways(spark, sf_dir)
+    refs = ways.select(
+        "way_id", F.explode("refs").alias("node_id")
+    ).withColumn("pos", F.col("node_id"))
+    coords = geo.way_coord_arrays(refs, nodes, close_ring=F.col("way_id") % 6 == 0)
+    # gate on floor-scaled integers: the shoelace cancels ~1e14 intermediates
+    # down to ~1e10, amplifying cross-engine libm (log/tan) last-ulp
+    # differences to ~0.04 absolute — /65536 + floor bounds the flip
+    # probability at ~1e-6/row while still pinning 11+ significant digits
+    # degenerate closed rings (<3 real points) cancel the shoelace exactly,
+    # leaving only sign-unstable float noise — emit NULL for those
+    degenerate = (F.col("way_id") % 6 == 0) & (F.size("xs") < 4)
+    return coords.select(
+        "way_id",
+        F.floor(geo.line_length_col(F.col("xs"), F.col("ys"))).cast("bigint").alias("length_m_floor"),
+        F.when(
+            ~degenerate,
+            F.floor(geo.ring_area_col(F.col("xs"), F.col("ys")) / F.lit(65536.0)).cast("bigint"),
+        ).alias("ring_area_64k"),
+    )
+
+
+# ----------------------------------------------------------------------------
 # image+caption table (the engine's primary input shape, BASELINE.json)
 
 
@@ -667,6 +761,10 @@ def _oracle_sql() -> dict[str, str]:
         "way_qts": cqo.way_qts_sql(),
         "update_change_qts": uo.change_qts_sql(),
         "update_change_tiles": uo.change_tiles_sql(),
+        "geom_ways": go.geom_ways_sql(),
+        "geom_parent_tags": go.geom_parent_tags_sql(),
+        "geom_rel_tags": go.geom_rel_tags_sql(),
+        "geom_way_stats": go.geom_way_stats_sql(),
         "node_qts": cqo.node_qts_sql(),
         "rel_qts": cqo.rel_qts_sql(),
         "image_qt_assign": so.calculate_cte(
@@ -806,6 +904,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changes_stream": q_changes_stream,
         "update_change_qts": q_update_change_qts,
         "update_change_tiles": q_update_change_tiles,
+        "geom_ways": q_geom_ways,
+        "geom_parent_tags": q_geom_parent_tags,
+        "geom_rel_tags": q_geom_rel_tags,
+        "geom_way_stats": q_geom_way_stats,
         "way_qts": q_way_qts,
         "node_qts": q_node_qts,
         "rel_qts": q_rel_qts,

@@ -102,6 +102,107 @@ def fixture_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tag_entry(key, val):
+    return F.struct(F.lit(key).alias("key"), val.alias("val"))
+
+
+def _tag_array(entries):
+    null_t = F.lit(None).cast("struct<key:string,val:string>")
+    guarded = [
+        F.when(cond, _tag_entry(key, val)).otherwise(null_t) for key, val, cond in entries
+    ]
+    return F.filter(F.array(*guarded), lambda x: x.isNotNull())
+
+
+# deterministic way tag rules (shared by the Spark fixture and the SQL
+# oracle generator in functions/geometry_oracle.py — keep in sync with
+# WAY_TAG_RULES below, which is the single source of truth)
+HW_VALS = [None, "motorway", "residential", "footway", "services",
+           "construction_zone", "service", "track", "rest_area"]
+
+# (key, value_sql_template, cond_sql_template) with {w} the way id; the Spark
+# side derives from the same table via _rule_col
+WAY_TAG_RULES = [
+    ("highway", "CASE ({w}) % 9 " + " ".join(
+        f"WHEN {i} THEN '{v}'" for i, v in enumerate(HW_VALS) if v) + " END",
+        "({w}) % 9 != 0"),
+    ("construction", "'primary'", "({w}) % 17 = 0"),
+    ("railway", "CASE ({w}) % 13 WHEN 0 THEN 'rail' WHEN 1 THEN 'tram' WHEN 2 THEN 'station' END",
+        "({w}) % 13 IN (0, 1, 2)"),
+    ("aeroway", "CASE ({w}) % 21 WHEN 5 THEN 'runway' WHEN 6 THEN 'taxiway' END",
+        "({w}) % 21 IN (5, 6)"),
+    ("building", "'yes'", "({w}) % 7 = 3"),
+    ("natural", "CASE ({w}) % 19 WHEN 2 THEN 'water' WHEN 3 THEN 'coastline' END",
+        "({w}) % 19 IN (2, 3)"),
+    ("waterway", "CASE ({w}) % 23 WHEN 4 THEN 'riverbank' WHEN 5 THEN 'stream' END",
+        "({w}) % 23 IN (4, 5)"),
+    ("man_made", "CASE ({w}) % 27 WHEN 6 THEN 'pier' WHEN 7 THEN 'cutline' END",
+        "({w}) % 27 IN (6, 7)"),
+    ("area", "CASE ({w}) % 31 WHEN 8 THEN 'yes' WHEN 9 THEN 'no' END",
+        "({w}) % 31 IN (8, 9)"),
+    ("service", "CASE ({w}) % 10 WHEN 7 THEN 'alley' WHEN 8 THEN 'driveway' END",
+        "({w}) % 10 IN (7, 8)"),
+    ("layer", "CAST(({w}) % 7 - 3 AS VARCHAR)", "({w}) % 5 = 1"),
+    ("ref", "'A' || CAST(({w}) % 12 AS VARCHAR)", "({w}) % 3 = 0"),
+    ("note", "'tmp'", "({w}) % 11 = 0"),
+    ("source:date", "'2020'", "({w}) % 11 = 1"),
+    ("name", "'way ' || CAST(({w}) % 50 AS VARCHAR)", "({w}) % 2 = 0"),
+]
+
+NODE_TAG_RULES = [
+    ("crossing", "'zebra'", "({w}) % 17 = 0"),
+    ("highway", "'bus_stop'", "({w}) % 23 = 0"),
+    ("railway", "'halt'", "({w}) % 23 = 1"),
+    ("name", "'n' || CAST(({w}) % 9 AS VARCHAR)", "({w}) % 13 = 0"),
+]
+
+REL_TAG_RULES = [
+    ("type", "CASE ({w}) % 5 WHEN 0 THEN 'boundary' WHEN 1 THEN 'route' END",
+        "({w}) % 5 IN (0, 1)"),
+    ("boundary", "CASE ({w}) % 10 WHEN 0 THEN 'administrative' WHEN 5 THEN 'historic' END",
+        "({w}) % 10 IN (0, 5)"),
+    ("route", "CASE (({w}) // 5) % 3 WHEN 0 THEN 'bus' WHEN 1 THEN 'bicycle' ELSE 'train' END",
+        "({w}) % 5 = 1"),
+    ("admin_level", "CASE WHEN ({w}) % 3 = 2 THEN 'x' ELSE CAST(({w}) % 13 - 1 AS VARCHAR) END",
+        "({w}) % 2 = 0"),
+    ("ref", "'R' || CAST(({w}) % 8 AS VARCHAR)", "({w}) % 3 != 1"),
+]
+
+
+def _rules_to_tags(id_col, rules):
+    """Build the ordered tags array column from the SQL rule table (Spark
+    parses the same SQL snippets via F.expr, so both engines share one
+    definition)."""
+    entries = []
+    for key, val_sql, cond_sql in rules:
+        w = f"CAST({id_col} AS BIGINT)"
+        # dialect shims: Spark's parser wants STRING (not bare VARCHAR) and
+        # DIV (not //) for integer division
+        val = F.expr(
+            val_sql.replace("{w}", w).replace("//", " DIV ").replace("VARCHAR", "STRING")
+        )
+        cond = F.expr(cond_sql.replace("{w}", w).replace("//", " DIV "))
+        entries.append((key, val, cond))
+    return _tag_array(entries)
+
+
+def fixture_way_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ways = fixture_ways(spark, sf_dir)
+    return ways.select("way_id", _rules_to_tags("way_id", WAY_TAG_RULES).alias("tags"))
+
+
+def fixture_node_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = fixture_nodes(spark, sf_dir)
+    return nodes.select(
+        "node_id", _rules_to_tags("node_id", NODE_TAG_RULES).alias("tags")
+    )
+
+
+def fixture_rel_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = fixture_relations(spark, sf_dir)
+    return rels.select("rel_id", _rules_to_tags("rel_id", REL_TAG_RULES).alias("tags"))
+
+
 def rel_members_sql() -> str:
     """DuckDB: exploded (rel_id, pos, m_type, m_ref) member rows (same order
     as the Spark array construction)."""

@@ -69,7 +69,13 @@ ORACLES = entrymod.oracle_sql()
 
 # rows-only ops: driver-greedy grouping / LSH candidate sets / binary codecs
 # are not SQL-expressible; their semantics are pytest-asserted instead
-ROWS_ONLY = {"group_assign_fine", "ann_lsh_topk", "image_tiles", "image_verify"}
+ROWS_ONLY = {
+    "group_assign_fine",
+    "ann_lsh_topk",
+    "image_tiles",
+    "image_verify",
+    "dedup_embedding_lsh",
+}
 
 
 def test_all_queries_have_oracles_or_are_flagged():

@@ -1,0 +1,135 @@
+"""Geometry-enrichment operator tests: style-table lookups, parent/relation
+tag joins on constructed cases, and the 3857 fold math vs a scalar numpy
+re-implementation of the reference formulas (utils.cpp:51-105). Full-value
+oracle parity runs through the driver gate (geom_* queries)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from osmquadtree_spark.functions import geostyle as gs
+from osmquadtree_spark.operators import geometry as geo
+
+TAGS_SCHEMA = "id bigint, tags array<struct<key:string,val:string>>"
+
+
+def _tags_df(spark, rows, id_name="id"):
+    df = spark.createDataFrame(
+        [(i, [{"key": k, "val": v} for k, v in tags]) for i, tags in rows], TAGS_SCHEMA
+    )
+    return df.withColumnRenamed("id", id_name)
+
+
+def test_z_order_and_polygon(spark):
+    df = _tags_df(spark, [
+        (1, [("highway", "motorway")]),                      # 380
+        (2, [("highway", "footway"), ("railway", "rail")]),  # max(100, 440)
+        (3, [("building", "yes")]),                          # no z entry → NULL
+        (4, [("natural", "coastline")]),                     # polygon-excluded
+        (5, [("natural", "water")]),                         # polygon
+        (6, [("highway", "services")]),                      # polygon-include
+        (7, [("area", "no")]),                               # 'all' → polygon even for "no"
+    ])
+    out = {r.id: (r.z, r.poly) for r in df.select(
+        "id", geo.z_order_col("tags").alias("z"), geo.is_polygon_col("tags").alias("poly")
+    ).collect()}
+    assert out[1] == (380, False)
+    assert out[2] == (440, False)
+    assert out[3] == (None, True)   # building → polygon
+    assert out[4][1] is False
+    assert out[5][1] is True
+    assert out[6] == (None, True)
+    assert out[7][1] is True        # reference check_polygon_tags: All matches any value
+
+
+def test_filter_tags_drop_and_layer(spark):
+    df = _tags_df(spark, [
+        (1, [("highway", "track"), ("note", "x"), ("source:date", "y"), ("name", "n")]),
+        (2, [("layer", "-2"), ("building", "yes")]),
+        (3, [("layer", "abc")]),
+    ])
+    out = {r.id: r for r in geo.filter_tags_summary(df).collect()}
+    assert out[1].n_kept == 2           # note dropped (exact), source:date dropped (prefix)
+    assert out[1].has_feature is True
+    assert out[2].layer == -2 and out[2].n_kept == 2
+    assert out[3].layer is None and out[3].has_feature is False
+
+
+def test_parent_tags_priority(spark):
+    nodes = _tags_df(spark, [
+        (1, [("highway", "bus_stop")]),
+        (2, [("railway", "halt")]),
+        (3, [("name", "x")]),           # not qualifying
+    ], "node_id")
+    ways = _tags_df(spark, [
+        (10, [("highway", "footway"), ("service", "alley")]),
+        (11, [("highway", "motorway")]),
+        (12, [("highway", "services")]),  # not in priority table → ignored
+    ], "way_id")
+    refs = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (10, 2), (10, 3)], "way_id bigint, node_id bigint"
+    )
+    out = {r.node_id: r for r in geo.parent_tags(nodes, ways, refs).collect()}
+    assert out[1].parent_highway == "motorway"   # prio 21 beats footway 0
+    assert out[1].parent_service == "alley"
+    assert out[2].parent_highway == "footway"
+    assert 3 not in out
+
+
+def test_relation_tags_aggregation(spark):
+    rels = _tags_df(spark, [
+        (1, [("type", "boundary"), ("boundary", "administrative"), ("admin_level", "4")]),
+        (2, [("type", "boundary"), ("boundary", "administrative"), ("admin_level", "2")]),
+        (3, [("type", "boundary"), ("boundary", "administrative"), ("admin_level", "x")]),
+        (4, [("type", "route"), ("route", "bus"), ("ref", "12")]),
+        (5, [("type", "route"), ("route", "bus"), ("ref", "3")]),
+    ], "rel_id")
+    members = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 100), (5, 100), (3, 200)],
+        "rel_id bigint, way_id bigint",
+    )
+    out = {r.way_id: r for r in geo.relation_tags(rels, members).collect()}
+    assert out[100].min_admin_level == "2"      # "x" skipped (unparsable)
+    assert out[100].max_admin_level == "4"
+    assert out[100].bus_routes == "12; 3"       # sorted-string distinct join
+    assert 200 not in out                       # only unparsable values → omitted
+
+
+def _fwd(lon, lat):
+    x = (lon * 1e-7) * gs.EARTH_WIDTH / 180.0
+    y = math.log(math.tan(math.pi * (1.0 + (lat * 1e-7) / 90.0) / 4.0)) * gs.EARTH_WIDTH / math.pi
+    return x, y
+
+
+def test_fold_math_matches_scalar_reference(spark):
+    rng = np.random.default_rng(3)
+    lons = rng.integers(-1500000000, 1500000000, 7).tolist()
+    lats = rng.integers(-800000000, 800000000, 7).tolist()
+    lons.append(lons[0]); lats.append(lats[0])  # closed ring
+
+    pts = [_fwd(a, b) for a, b in zip(lons, lats)]
+    exp_len = sum(
+        math.sqrt((pts[i][0] - pts[i-1][0]) ** 2 + (pts[i][1] - pts[i-1][1]) ** 2)
+        for i in range(1, len(pts))
+    )
+    area = 0.0
+    for i in range(1, len(pts)):
+        area += pts[i-1][0] * pts[i][1]
+        area -= pts[i-1][1] * pts[i][0]
+    exp_area = -1.0 * area / 2.0
+
+    nodes = spark.createDataFrame(
+        list(zip(range(len(lons)), lons, lats)), "node_id bigint, lon bigint, lat bigint"
+    )
+    refs = spark.createDataFrame(
+        [(1, i, i) for i in range(len(lons))], "way_id bigint, node_id bigint, pos bigint"
+    )
+    coords = geo.way_coord_arrays(refs, nodes)
+    row = coords.select(
+        geo.line_length_col(F.col("xs"), F.col("ys")).alias("ln"),
+        geo.ring_area_col(F.col("xs"), F.col("ys")).alias("ar"),
+    ).collect()[0]
+    assert math.isclose(row.ln, exp_len, rel_tol=1e-12)
+    assert math.isclose(row.ar, exp_area, rel_tol=1e-9)
