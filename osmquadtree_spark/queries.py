@@ -32,6 +32,7 @@ from .operators import images as img_ops
 from .operators.changes import apply_changes
 from .operators.sortblocks import compute_groups, with_group_column
 from .sources.geo import elements_sql, geo_elements
+from .sources.osm_fixture import nodes_sql as fx_nodes_sql
 
 # ----------------------------------------------------------------------------
 # shared fixtures (constants used identically by Spark + SQL)
@@ -357,6 +358,127 @@ def q_update_change_tiles(spark, sf_dir):
     assign = make_assign_group_udf(spark, gqt)
     allocs = allocs.select("element_type", "id", assign(F.col("qt")).alias("alloc"))
     return find_change_tiles(out, allocs, gqt)
+
+
+# ----------------------------------------------------------------------------
+# count / poly source / osc source
+
+HEXAGON: gk.Polygon = [
+    (-400000000, 0),
+    (-200000000, 350000000),
+    (200000000, 350000000),
+    (400000000, 0),
+    (200000000, -350000000),
+    (-200000000, -350000000),
+]
+
+
+def q_count_stats(spark, sf_dir):
+    """`oqt count` reconciliation statistics per element type (count.cpp
+    semantics): counts, id extrema, node bbox, way/relation ref stats."""
+    from .operators.stats import count_elements
+
+    nodes, ways, rels = _osm_fixture(spark, sf_dir)
+    return count_elements(nodes, ways, rels)
+
+
+def q_poly_file_extract(spark, sf_dir):
+    """.poly file round-trip + point-in-polygon extract: the hexagon is
+    serialized to Osmosis .poly text, re-parsed (sources/poly.py), and the
+    parsed ring drives the pnpoly kernel — same result as filtering with
+    the original constant (which is what the oracle does)."""
+    from .operators.extract import make_pnpoly_udf
+    from .sources.poly import outer_ring, write_poly
+
+    text = write_poly("hexagon", [("area_1", HEXAGON)])
+    ring = outer_ring(text)
+    df = _elements(spark, sf_dir).filter(~F.col("is_box"))
+    return df.filter(make_pnpoly_udf(ring)(F.col("minx"), F.col("miny"))).select("elem_id")
+
+
+OSC_TS = "2020-01-02T03:04:05"
+OSC_EPOCH = 1577934245
+
+
+def _osc_text(spark, sf_dir) -> str:
+    """Deterministic OsmChange XML derived from the orders keys (mirrored
+    arithmetically by the oracle — the XML layer itself is what the Spark
+    side must parse away)."""
+    keys = [
+        int(r.o_orderkey)
+        for r in _load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderkey") % 101 == 0)
+            | (F.col("o_orderkey") % 103 == 0)
+            | (F.col("o_orderkey") % 107 == 0)
+            | (F.col("o_orderkey") % 109 == 0)
+            | (F.col("o_orderkey") % 113 == 0)
+        )
+        .select("o_orderkey")
+        .collect()
+    ]
+    blocks = {"create": [], "modify": [], "delete": []}
+    for k in sorted(keys):
+        lon = (k * 7919) % 3600000000 - 1800000000
+        lat = (k * 104729) % 1700000000 - 850000000
+        attrs = f'version="{k % 7}" timestamp="{OSC_TS}"'
+        if k % 101 == 0:
+            blocks["modify"].append(
+                f'<node id="{k}" lon="{lon * 1e-7:.7f}" lat="{lat * 1e-7:.7f}" {attrs}/>'
+            )
+        elif k % 103 == 0:
+            blocks["delete"].append(f'<node id="{k}" {attrs}/>')
+        elif k % 107 == 0:
+            blocks["create"].append(
+                f'<node id="{k}" lon="{lon * 1e-7:.7f}" lat="{lat * 1e-7:.7f}" {attrs}>'
+                f'<tag k="amenity" v="bench"/></node>'
+            )
+        elif k % 109 == 0:
+            nds = "".join(f'<nd ref="{8 * k + i}"/>' for i in range(1, 4))
+            blocks["modify"].append(
+                f'<way id="{k}" {attrs}>{nds}<tag k="highway" v="track"/></way>'
+            )
+        elif k % 113 == 0:
+            blocks["create"].append(
+                f'<relation id="{k}" {attrs}>'
+                f'<member type="way" ref="{3 * k}" role="outer"/>'
+                f'<member type="node" ref="{24 * k + 1}" role=""/></relation>'
+            )
+    body = "".join(f"<{b}>{''.join(rows)}</{b}>" for b, rows in blocks.items() if rows)
+    return f'<osmChange version="0.6">{body}</osmChange>'
+
+
+def q_osc_parse(spark, sf_dir):
+    """OsmChange XML source: parse the deterministic .osc into typed change
+    rows — (element_type, id, changetype, lon, lat, n_refs, n_members,
+    n_tags, version, ts)."""
+    from .sources.osc import osc_dataframes
+
+    dfs = osc_dataframes(spark, _osc_text(spark, sf_dir))
+    n = dfs["nodes"].select(
+        F.lit(0).alias("element_type"), F.col("node_id").alias("id"), "changetype",
+        "lon", "lat", F.lit(None).cast("bigint").alias("n_refs"),
+        F.lit(None).cast("bigint").alias("n_members"),
+        F.size("tags").cast("bigint").alias("n_tags"), "version",
+        F.col("timestamp").alias("ts"),
+    )
+    w = dfs["ways"].select(
+        F.lit(1).alias("element_type"), F.col("way_id").alias("id"), "changetype",
+        F.lit(None).cast("bigint").alias("lon"), F.lit(None).cast("bigint").alias("lat"),
+        F.size("refs").cast("bigint").alias("n_refs"),
+        F.lit(None).cast("bigint").alias("n_members"),
+        F.size("tags").cast("bigint").alias("n_tags"), "version",
+        F.col("timestamp").alias("ts"),
+    )
+    r = dfs["relations"].select(
+        F.lit(2).alias("element_type"), F.col("rel_id").alias("id"), "changetype",
+        F.lit(None).cast("bigint").alias("lon"), F.lit(None).cast("bigint").alias("lat"),
+        F.lit(None).cast("bigint").alias("n_refs"),
+        F.size("members").cast("bigint").alias("n_members"),
+        F.size("tags").cast("bigint").alias("n_tags"), "version",
+        F.col("timestamp").alias("ts"),
+    )
+    return n.unionByName(w).unionByName(r)
 
 
 # ----------------------------------------------------------------------------
@@ -761,6 +883,55 @@ def _oracle_sql() -> dict[str, str]:
         "way_qts": cqo.way_qts_sql(),
         "update_change_qts": uo.change_qts_sql(),
         "update_change_tiles": uo.change_tiles_sql(),
+        "count_stats": f"""
+            SELECT 0 AS element_type, COUNT(*)::BIGINT AS num_objects,
+                   MIN(node_id) AS min_id, MAX(node_id) AS max_id,
+                   MIN(lon) AS min_lon, MIN(lat) AS min_lat,
+                   MAX(lon) AS max_lon, MAX(lat) AS max_lat,
+                   NULL::BIGINT AS num_refs, NULL::BIGINT AS min_ref,
+                   NULL::BIGINT AS max_ref, NULL::BIGINT AS max_per_obj
+            FROM ({fx_nodes_sql()})
+            UNION ALL
+            SELECT 1, COUNT(*)::BIGINT, MIN(o_orderkey), MAX(o_orderkey),
+                   NULL, NULL, NULL, NULL,
+                   COUNT(*)::BIGINT * 12,
+                   MIN(o_orderkey) * 8 + 1, MAX(o_orderkey) * 8 + 12, 12
+            FROM orders
+            UNION ALL
+            SELECT 2, COUNT(*)::BIGINT, MIN(rid), MAX(rid),
+                   NULL, NULL, NULL, NULL,
+                   SUM(3 + (rid % 4 = 1)::BIGINT + (rid % 16 = 0)::BIGINT)::BIGINT,
+                   NULL, NULL,
+                   MAX(3 + (rid % 4 = 1)::BIGINT + (rid % 16 = 0)::BIGINT)::BIGINT
+            FROM (SELECT CAST(c_custkey AS BIGINT) AS rid FROM customer)""",
+        "poly_file_extract": f"""
+            SELECT elem_id FROM ({_ELEM_CTE})
+            WHERE NOT is_box AND {gk.point_in_poly_sql(HEXAGON, 'minx', 'miny')}""",
+        "osc_parse": f"""
+            WITH ks AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS k,
+                     (o_orderkey * 7919) % 3600000000 - 1800000000 AS lon,
+                     (o_orderkey * 104729) % 1700000000 - 850000000 AS lat,
+                     CAST(o_orderkey % 7 AS INT) AS version
+              FROM orders
+            )
+            SELECT 0 AS element_type, k AS id, 4 AS changetype, lon, lat,
+                   NULL::BIGINT AS n_refs, NULL::BIGINT AS n_members,
+                   0::BIGINT AS n_tags, version, {OSC_EPOCH}::BIGINT AS ts
+            FROM ks WHERE k % 101 = 0
+            UNION ALL
+            SELECT 0, k, 1, 0, 0, NULL, NULL, 0, version, {OSC_EPOCH}
+            FROM ks WHERE k % 103 = 0 AND k % 101 != 0
+            UNION ALL
+            SELECT 0, k, 5, lon, lat, NULL, NULL, 1, version, {OSC_EPOCH}
+            FROM ks WHERE k % 107 = 0 AND k % 101 != 0 AND k % 103 != 0
+            UNION ALL
+            SELECT 1, k, 4, NULL, NULL, 3, NULL, 1, version, {OSC_EPOCH}
+            FROM ks WHERE k % 109 = 0 AND k % 101 != 0 AND k % 103 != 0 AND k % 107 != 0
+            UNION ALL
+            SELECT 2, k, 5, NULL, NULL, NULL, 2, 0, version, {OSC_EPOCH}
+            FROM ks WHERE k % 113 = 0 AND k % 101 != 0 AND k % 103 != 0
+              AND k % 107 != 0 AND k % 109 != 0""",
         "geom_ways": go.geom_ways_sql(),
         "geom_parent_tags": go.geom_parent_tags_sql(),
         "geom_rel_tags": go.geom_rel_tags_sql(),
@@ -904,6 +1075,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changes_stream": q_changes_stream,
         "update_change_qts": q_update_change_qts,
         "update_change_tiles": q_update_change_tiles,
+        "count_stats": q_count_stats,
+        "poly_file_extract": q_poly_file_extract,
+        "osc_parse": q_osc_parse,
         "geom_ways": q_geom_ways,
         "geom_parent_tags": q_geom_parent_tags,
         "geom_rel_tags": q_geom_rel_tags,
