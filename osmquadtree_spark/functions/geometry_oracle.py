@@ -186,6 +186,51 @@ FULL OUTER JOIN bike k ON k.way_id = COALESCE(a.way_id, b.way_id)
 """.format(kv=_kv_cte(REL_TAG_RULES, "SELECT CAST(c_custkey AS BIGINT) AS rel_id FROM customer", "rel_id")).strip()
 
 
+def multipolygon_sql() -> str:
+    """Ground truth for the multipolygon-assembly fixture: the member ways
+    are constructed squares (split/reversed segments, optional inner hole,
+    optional open fragment), so ring counts and shoelace areas are
+    closed-form in the order key. Matching the assembled output therefore
+    validates the stitching itself, not just bookkeeping."""
+
+    def X(v):
+        return f"(({v}) * 1e-7) * {EW} / 180e0"
+
+    def Y(v):
+        return f"ln(tan(pi() * (1e0 + (({v}) * 1e-7) / 90e0) / 4e0)) * {EW} / pi()"
+
+    def square_area(cx, cy, s):
+        # the members trace the square counterclockwise; the reference
+        # formula (-sum/2, utils.cpp:103) makes CCW negative, so the
+        # operator normalizes by REVERSING the assembled ring — its final
+        # traversal is c0→c3→c2→c1→c0, walked here for bit-exact parity
+        xs = [X(f"{cx} - {s}"), X(f"{cx} - {s}"), X(f"{cx} + {s}"), X(f"{cx} + {s}")]
+        ys = [Y(f"{cy} - {s}"), Y(f"{cy} + {s}"), Y(f"{cy} + {s}"), Y(f"{cy} - {s}")]
+        terms = []
+        for i in range(4):
+            j = (i + 1) % 4
+            terms.append(f"+ ({xs[i]}) * ({ys[j]})")
+            terms.append(f"- ({ys[i]}) * ({xs[j]})")
+        return f"(-1e0 * (0e0 {' '.join(terms)}) / 2e0)"
+
+    return f"""
+WITH ks AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         (o_orderkey * 7919) % 3000000000 - 1500000000 AS cx,
+         (o_orderkey * 104729) % 1400000000 - 700000000 AS cy,
+         (o_orderkey % 10) * 100000 + 1000000 AS s
+  FROM orders
+)
+SELECT k AS rel_id,
+       1::BIGINT AS n_outers,
+       (k % 3 = 0)::BIGINT AS n_inners,
+       (k % 5 = 0)::BIGINT AS n_open,
+       CAST(floor({square_area('cx', 'cy', 's')} / 65536e0) AS BIGINT) AS outer_area_64k,
+       CAST(floor((CASE WHEN k % 3 = 0 THEN {square_area('cx', 'cy', '(s // 2)')} ELSE 0e0 END) / 65536e0) AS BIGINT) AS inner_area_64k
+FROM ks
+""".strip()
+
+
 def geom_way_stats_sql() -> str:
     """(way_id, length_3857, ring_area): fold-ordered segment sums in 3857;
     rings (way_id % 6 = 0) are closed by appending the first point."""

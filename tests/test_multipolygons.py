@@ -1,0 +1,76 @@
+"""Ring-stitching unit tests (multipolygons.cpp add_to_rings/merge_rings
+semantics): reversal, multi-fragment merges, interleaved member order,
+open fragments. Full-pipeline parity runs via the multipolygon_assembly
+driver-gate query (constructed ground truth)."""
+
+from osmquadtree_spark.operators.multipolygons import (
+    _stitch,
+    assemble_relation,
+    ring_area,
+)
+
+# a unit square (fixed-point degrees, ~1e6 ≈ 0.1°)
+C = [(0, 0), (1000000, 0), (1000000, 1000000), (0, 1000000)]
+
+
+def _seg(ids, pts):
+    return (ids, pts)
+
+
+def test_stitch_simple_ring():
+    rings, n_open = _stitch([
+        _seg([1, 2, 3], [C[0], C[1], C[2]]),
+        _seg([3, 4], [C[2], C[3]]),
+        _seg([4, 1], [C[3], C[0]]),
+    ])
+    assert n_open == 0 and len(rings) == 1
+    assert rings[0][0] == rings[0][-1] == C[0]
+    assert len(rings[0]) == 5
+
+
+def test_stitch_reversed_segment():
+    rings, n_open = _stitch([
+        _seg([1, 2, 3], [C[0], C[1], C[2]]),
+        _seg([4, 3], [C[3], C[2]]),      # presented reversed
+        _seg([1, 4], [C[0], C[3]]),      # also reversed w.r.t. ring direction
+    ])
+    assert n_open == 0 and len(rings) == 1
+    assert rings[0][0] == rings[0][-1]
+    assert len(set(rings[0][:-1])) == 4  # all four corners once
+
+
+def test_stitch_fragment_merge():
+    """Segments arriving in an order where no early attachment is possible —
+    two fragments form first, then merge_rings joins them."""
+    rings, n_open = _stitch([
+        _seg([1, 2], [C[0], C[1]]),
+        _seg([3, 4], [C[2], C[3]]),      # disconnected from fragment 1
+        _seg([2, 3], [C[1], C[2]]),      # bridges them
+        _seg([4, 1], [C[3], C[0]]),      # closes
+    ])
+    assert n_open == 0 and len(rings) == 1
+    assert len(rings[0]) == 5
+
+
+def test_stitch_open_and_closed_mix():
+    rings, n_open = _stitch([
+        _seg([1, 2, 3, 1], [C[0], C[1], C[2], C[0]]),  # pre-closed triangle
+        _seg([10, 11], [(5000000, 0), (6000000, 0)]),  # dangling
+    ])
+    assert len(rings) == 1 and n_open == 1
+
+
+def test_assemble_roles_and_orientation():
+    outer = [
+        ("outer", [1, 2, 3], [C[0], C[1], C[2]]),
+        ("outer", [3, 4, 1], [C[2], C[3], C[0]]),
+    ]
+    inner_pts = [(250000, 250000), (750000, 250000), (750000, 750000), (250000, 250000)]
+    inner = [("inner", [5, 6, 7, 5], inner_pts)]
+    res = assemble_relation(outer + inner)
+    assert len(res["outers"]) == 1 and len(res["inners"]) == 1
+    assert res["n_open"] == 0
+    # normalized: positive area under the reference formula for both
+    assert ring_area(res["outers"][0]) > 0
+    assert ring_area(res["inners"][0]) > 0
+    assert ring_area(res["outers"][0]) > ring_area(res["inners"][0])
