@@ -481,6 +481,19 @@ def q_osc_parse(spark, sf_dir):
     return n.unionByName(w).unionByName(r)
 
 
+def q_wkb_roundtrip(spark, sf_dir):
+    """WKB encode∘decode identity on the fixture nodes (EWKB with SRID
+    4326, big-endian layout per the reference's writers); the oracle is the
+    node table itself — byte-layout parity is pinned by golden vectors in
+    tests/test_wkb.py."""
+    from .operators.wkb import points_roundtrip
+    from .sources import osm_fixture as fx
+
+    _load(spark, sf_dir, "orders")
+    _load(spark, sf_dir, "lineitem")
+    return points_roundtrip(fx.fixture_nodes(spark, sf_dir))
+
+
 def q_multipolygon_assembly(spark, sf_dir):
     """Multipolygon ring assembly over constructed member ways (split
     segments, alternating reversal, optional inner hole, optional open
@@ -1000,6 +1013,7 @@ def _oracle_sql() -> dict[str, str]:
             FROM ks WHERE k % 113 = 0 AND k % 101 != 0 AND k % 103 != 0
               AND k % 107 != 0 AND k % 109 != 0""",
         "multipolygon_assembly": go.multipolygon_sql(),
+        "wkb_roundtrip": f"SELECT node_id, lon, lat FROM ({fx_nodes_sql()})",
         "geom_ways": go.geom_ways_sql(),
         "geom_parent_tags": go.geom_parent_tags_sql(),
         "geom_rel_tags": go.geom_rel_tags_sql(),
@@ -1145,6 +1159,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_change_tiles": q_update_change_tiles,
         "count_stats": q_count_stats,
         "multipolygon_assembly": q_multipolygon_assembly,
+        "wkb_roundtrip": q_wkb_roundtrip,
         "poly_file_extract": q_poly_file_extract,
         "osc_parse": q_osc_parse,
         "geom_ways": q_geom_ways,
