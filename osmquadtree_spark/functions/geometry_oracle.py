@@ -231,6 +231,93 @@ FROM ks
 """.strip()
 
 
+def geom_minzoom_sql() -> str:
+    """findminzoom over the fixture: nodes class 0, ways class 1 or
+    (polygon-typed rings) class 2 with the geometric zoom raise."""
+    keys = _present(WAY_TAG_RULES)
+
+    # per-class tag-zoom CASE chains from MINZOOM_SPEC (exact shadows *)
+    by_ck: dict[tuple[int, str], dict[str, int]] = {}
+    for cls, key, val, z in gs.MINZOOM_SPEC:
+        by_ck.setdefault((cls, key), {})[val] = z
+
+    def cls_expr(cls: int, present) -> str:
+        cands = []
+        for (c, key), vals in sorted(by_ck.items()):
+            if c != cls or key not in present:
+                continue
+            cname = key.replace(":", "__")
+            wild = vals.get("*")
+            whens = " ".join(
+                f"WHEN '{v}' THEN {z}" for v, z in sorted(vals.items()) if v != "*"
+            )
+            if whens:
+                tail = f"ELSE {wild}" if wild is not None else "ELSE NULL"
+                cands.append(
+                    f"CASE WHEN v_{cname} IS NOT NULL THEN (CASE v_{cname} {whens} {tail} END) END"
+                )
+            else:
+                cands.append(f"CASE WHEN v_{cname} IS NOT NULL THEN {wild} END")
+        if not cands:
+            return "NULL"
+        return "LEAST(" + ", ".join(cands) + ")" if len(cands) > 1 else cands[0]
+
+    node_keys = _present(NODE_TAG_RULES)
+    rz = lambda res: (
+        f"(CASE WHEN abs({res}) < 0.001e0 THEN 20e0 "
+        f"ELSE ln({EW} * 2e0 / ({res}) / 256e0) / ln(2e0) END)"
+    )
+    x = f"(lon * 1e-7) * {EW} / 180e0"
+    y = f"ln(tan(pi() * (1e0 + (lat * 1e-7) / 90e0) / 4e0)) * {EW} / pi()"
+    length = (
+        "CASE WHEN len(xs) >= 2 THEN "
+        "list_reduce(list_prepend(0e0, list_transform(range(2, len(xs) + 1), "
+        "i -> sqrt((xs[i] - xs[i-1]) * (xs[i] - xs[i-1]) "
+        "+ (ys[i] - ys[i-1]) * (ys[i] - ys[i-1])))), (a, b) -> a + b) ELSE 0e0 END"
+    )
+    area = (
+        "abs(CASE WHEN len(xs) >= 3 THEN "
+        "-1e0 * list_reduce(list_prepend(0e0, flatten(list_transform(range(2, len(xs) + 1), "
+        "i -> [xs[i-1] * ys[i], -(ys[i-1] * xs[i])]))), (a, b) -> a + b) / 2e0 ELSE 0e0 END)"
+    )
+    ml, ma = gs.MINZOOM_MINLEN, gs.MINZOOM_MINAREA
+    return f"""
+WITH nkv AS ({_kv_cte(NODE_TAG_RULES, nodes_sql(), "node_id")}),
+wkv AS ({_kv_cte(WAY_TAG_RULES, _ways_src(), "way_id")}),
+pts AS (
+  SELECT way_id, list({x} ORDER BY node_id) AS xs0, list({y} ORDER BY node_id) AS ys0
+  FROM ({way_pairs_sql()}) p JOIN ({nodes_sql()}) n USING (node_id)
+  GROUP BY way_id
+), closed AS (
+  SELECT way_id,
+         CASE WHEN way_id % 6 = 0 THEN list_append(xs0, xs0[1]) ELSE xs0 END AS xs,
+         CASE WHEN way_id % 6 = 0 THEN list_append(ys0, ys0[1]) ELSE ys0 END AS ys
+  FROM pts
+), wstats AS (
+  SELECT way_id, {length} AS ln_m, {area} AS area_m, len(xs) AS npts FROM closed
+), wc AS (
+  SELECT w.way_id,
+         CASE WHEN w.way_id % 6 = 0 AND {_is_polygon_sql(keys)} THEN 2 ELSE 1 END AS gclass,
+         s.ln_m, s.area_m, s.npts,
+         {cls_expr(1, keys)} AS zt1, {cls_expr(2, keys)} AS zt2
+  FROM wkv w JOIN wstats s USING (way_id)
+)
+SELECT 0 AS element_type, node_id AS id, ({cls_expr(0, node_keys)})::BIGINT AS minzoom
+FROM nkv
+UNION ALL
+SELECT 1, way_id,
+  CASE WHEN gclass = 1 THEN
+    CASE WHEN zt1 IS NULL THEN NULL
+         ELSE GREATEST(zt1::BIGINT, trunc({rz(f'ln_m / {ml!r}')})::BIGINT) END
+  ELSE
+    CASE WHEN zt2 IS NULL THEN NULL
+         ELSE GREATEST(zt2::BIGINT, trunc({rz(f'sqrt(area_m / {ma!r})')})::BIGINT) END
+  END
+FROM wc
+WHERE NOT (way_id % 6 = 0 AND npts < 4)
+""".strip()
+
+
 def geom_way_stats_sql() -> str:
     """(way_id, length_3857, ring_area): fold-ordered segment sums in 3857;
     rings (way_id % 6 = 0) are closed by appending the first point."""

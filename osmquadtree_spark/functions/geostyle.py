@@ -92,3 +92,27 @@ OTHER_KEYS = frozenset({"layer", "area", "ref", "name", "service", "crossing", "
 DROP_KEYS = frozenset({"note", "created_by", "source", "source:"})
 
 EARTH_WIDTH = 20037508.342789244  # geometry.hpp:55
+
+# minzoom spec — verbatim subset of minzoomvalues.default covering the
+# fixture vocabulary: (geom_class 0=point/1=line/2=polygon, key,
+# value-or-*, minzoom). Exact value entries shadow the wildcard for the
+# same (class, key) (findminzoom.cpp:76-90 check_tag order).
+MINZOOM_SPEC: list[tuple[int, str, str, int]] = [
+    (0, "highway", "bus_stop", 16),
+    (0, "railway", "halt", 13),
+    (0, "railway", "crossing", 15),
+    (1, "highway", "motorway", 6),
+    (1, "highway", "residential", 12),
+    (1, "highway", "footway", 13),
+    (1, "highway", "service", 13),
+    (1, "highway", "track", 13),
+    (1, "railway", "rail", 8),
+    (1, "waterway", "stream", 12),
+    (2, "building", "*", 12),
+    (2, "natural", "water", 0),
+    (2, "waterway", "riverbank", 0),
+    (2, "railway", "halt", 15),
+    (2, "highway", "bus_stop", 16),
+]
+MINZOOM_MINLEN = 10.0   # metres; process_geometry default is 0 (off)
+MINZOOM_MINAREA = 5.0   # m²; the CLI default (process.py:87)

@@ -191,6 +191,74 @@ def relation_tags(
     return out
 
 
+def res_zoom_col(res):
+    """res_zoom (findminzoom.cpp:35-38): log2 of earth_width*2/res/256 via
+    the ln-ratio (identical op sequence in the SQL twin); |res|<0.001 → 20."""
+    z = F.log(F.lit(gs.EARTH_WIDTH) * F.lit(2.0) / res / F.lit(256.0)) / F.log(F.lit(2.0))
+    return F.when(F.abs(res) < F.lit(0.001), F.lit(20.0)).otherwise(z)
+
+
+def minzoom_tags_col(tags_col, geom_class_col, spec=None):
+    """tags_zoom (findminzoom.cpp:67-125): minimum spec minzoom over the
+    element's tags for its geometry class; an exact (class, key, value)
+    entry shadows the (class, key, *) wildcard. NULL = no spec tag."""
+    spec = spec if spec is not None else gs.MINZOOM_SPEC
+    m = _tag_map(F.col(tags_col))
+    per_class: dict[int, list] = {}
+    by_ck: dict[tuple[int, str], dict[str, int]] = {}
+    for cls, key, val, z in spec:
+        by_ck.setdefault((cls, key), {})[val] = z
+    for (cls, key), vals in sorted(by_ck.items()):
+        v = m[key]
+        expr = None
+        wildcard = vals.get("*")
+        for val, z in sorted(vals.items()):
+            if val == "*":
+                continue
+            cond = v == F.lit(val)
+            expr = F.when(cond, F.lit(z)) if expr is None else expr.when(cond, F.lit(z))
+        if expr is None:
+            cand = F.when(v.isNotNull(), F.lit(wildcard))
+        elif wildcard is not None:
+            cand = F.when(v.isNotNull(), expr.otherwise(F.lit(wildcard)))
+        else:
+            cand = expr
+        per_class.setdefault(cls, []).append(cand)
+    out = None
+    for cls in sorted(per_class):
+        cands = per_class[cls]
+        val = F.least(*cands) if len(cands) > 1 else cands[0]
+        branch = (geom_class_col == F.lit(cls), val)
+        out = F.when(*branch) if out is None else out.when(*branch)
+    return out.cast("bigint")
+
+
+def minzoom_col(
+    tags_col,
+    geom_class_col,
+    length_col=None,
+    area_col=None,
+    minlen: float = gs.MINZOOM_MINLEN,
+    minarea: float = gs.MINZOOM_MINAREA,
+    spec=None,
+):
+    """calculate (findminzoom.cpp:127-161): tag minzoom raised by the
+    geometric zoom — length_zoom(len/minlen) for linestrings (class 1),
+    area_zoom(sqrt(area/minarea)) for polygons (class 2); truncation toward
+    zero like the C cast."""
+    zt = minzoom_tags_col(tags_col, geom_class_col, spec)
+    zg = F.lit(0).cast("bigint")
+    if length_col is not None and minlen > 0:
+        zl = res_zoom_col(length_col / F.lit(minlen))
+        zg = F.when(geom_class_col == 1, zl.cast("bigint")).otherwise(zg)
+    if area_col is not None and minarea > 0:
+        za = res_zoom_col(F.sqrt(area_col / F.lit(minarea)))
+        zg = F.when(geom_class_col == 2, za.cast("bigint")).otherwise(zg)
+    return F.when(zt.isNull(), F.lit(None).cast("bigint")).otherwise(
+        F.greatest(zt, zg)
+    )
+
+
 # -- metric geometry (EPSG:3857 fold math, utils.cpp:51-105) ------------------
 
 

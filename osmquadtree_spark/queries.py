@@ -654,6 +654,52 @@ def q_geom_way_stats(spark, sf_dir):
     )
 
 
+def q_geom_minzoom(spark, sf_dir):
+    """findminzoom: tag-table minzoom (exact shadows wildcard per class)
+    raised by the geometric zoom — length for linestrings, area for
+    polygon-typed rings (abs: the reference stores positively-oriented
+    rings). Degenerate rings excluded as in geom_way_stats."""
+    from .operators import geometry as geo
+    from .sources import osm_fixture as fx
+
+    _load(spark, sf_dir, "orders")
+    _load(spark, sf_dir, "lineitem")
+    nt = fx.fixture_node_tags(spark, sf_dir)
+    nodes_out = nt.select(
+        F.lit(0).alias("element_type"),
+        F.col("node_id").alias("id"),
+        geo.minzoom_col("tags", F.lit(0)).alias("minzoom"),
+    )
+
+    wt = fx.fixture_way_tags(spark, sf_dir)
+    nodes = fx.fixture_nodes(spark, sf_dir)
+    ways = fx.fixture_ways(spark, sf_dir)
+    refs = ways.select("way_id", F.explode("refs").alias("node_id")).withColumn(
+        "pos", F.col("node_id")
+    )
+    is_ring = F.col("way_id") % 6 == 0
+    coords = geo.way_coord_arrays(refs, nodes, close_ring=is_ring)
+    wstats = coords.select(
+        "way_id",
+        geo.line_length_col(F.col("xs"), F.col("ys")).alias("_len"),
+        F.abs(geo.ring_area_col(F.col("xs"), F.col("ys"))).alias("_area"),
+        F.size("xs").alias("_npts"),
+    )
+    w = wt.join(wstats, "way_id")
+    gclass = F.when(is_ring & geo.is_polygon_col("tags"), F.lit(2)).otherwise(F.lit(1))
+    ways_out = (
+        w.filter(~(is_ring & (F.col("_npts") < 4)))  # degenerate rings
+        .select(
+            F.lit(1).alias("element_type"),
+            F.col("way_id").alias("id"),
+            geo.minzoom_col(
+                "tags", gclass, length_col=F.col("_len"), area_col=F.col("_area")
+            ).alias("minzoom"),
+        )
+    )
+    return nodes_out.unionByName(ways_out)
+
+
 # ----------------------------------------------------------------------------
 # image+caption table (the engine's primary input shape, BASELINE.json)
 
@@ -1018,6 +1064,7 @@ def _oracle_sql() -> dict[str, str]:
         "geom_parent_tags": go.geom_parent_tags_sql(),
         "geom_rel_tags": go.geom_rel_tags_sql(),
         "geom_way_stats": go.geom_way_stats_sql(),
+        "geom_minzoom": go.geom_minzoom_sql(),
         "node_qts": cqo.node_qts_sql(),
         "rel_qts": cqo.rel_qts_sql(),
         "image_qt_assign": so.calculate_cte(
@@ -1166,6 +1213,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_parent_tags": q_geom_parent_tags,
         "geom_rel_tags": q_geom_rel_tags,
         "geom_way_stats": q_geom_way_stats,
+        "geom_minzoom": q_geom_minzoom,
         "way_qts": q_way_qts,
         "node_qts": q_node_qts,
         "rel_qts": q_rel_qts,
