@@ -31,6 +31,9 @@ HEADLINE = [
     "xyz_tiles",
     "knn_points",
     "changes_merge",
+    "update_change_tiles",
+    "geom_way_stats",
+    "multipolygon_assembly",
     "tpch_q1",
     "dedup_exact",
     "dedup_minhash",

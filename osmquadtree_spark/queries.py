@@ -33,6 +33,11 @@ from .operators.changes import apply_changes
 from .operators.sortblocks import compute_groups, with_group_column
 from .sources.geo import elements_sql, geo_elements
 from .sources.osm_fixture import nodes_sql as fx_nodes_sql
+from .sources.osm_fixture import rel_members_sql as _rel_members_sql_f
+from .sources.osm_fixture import way_pairs_sql as _way_pairs_sql_f
+
+_WAY_PAIRS_SQL = _way_pairs_sql_f()
+_REL_MEMBERS_SQL = _rel_members_sql_f()
 
 # ----------------------------------------------------------------------------
 # shared fixtures (constants used identically by Spark + SQL)
@@ -168,6 +173,49 @@ def q_knn_points(spark, sf_dir):
         .filter(F.col("rank") <= KNN_K)
         .select("query_id", "elem_id", "rank")
     )
+
+
+def q_extract_expand(spark, sf_dir):
+    """mergechanges IdSet semi-join expansion: nodes in box → ways with any
+    hit ref (plus ALL their refs as extra nodes) → relations over kept
+    members with the 5-pass rel→rel closure. Output (element_type, id)."""
+    from .operators.extract import extract_with_expansion
+
+    nodes, ways, rels = _osm_fixture(spark, sf_dir)
+    ids = extract_with_expansion(nodes, ways, rels, BOX)
+    return (
+        ids["node_ids"].select(F.lit(0).alias("element_type"), F.col("node_id").alias("id"))
+        .unionByName(ids["way_ids"].select(F.lit(1).alias("element_type"), F.col("way_id").alias("id")))
+        .unionByName(ids["rel_ids"].select(F.lit(2).alias("element_type"), F.col("rel_id").alias("id")))
+    )
+
+
+RASTER_ZOOM = 6
+
+
+def q_raster_vector(spark, sf_dir):
+    """Raster tile ⨝ vector join (north-rule op): a deterministic raster
+    tile set at zoom 6 ((x + y) % 9 == 0 with payload x*64+y) broadcast
+    against elements' rounded cell ids; salted to exercise the hot-cell
+    path. Output (elem_id, tile_x, tile_y, payload)."""
+    from .operators.spatial import raster_vector_join
+
+    z = RASTER_ZOOM
+    n = 1 << z
+    rasters = (
+        spark.range(0, n * n)
+        .select(
+            (F.col("id") % n).alias("tile_x"),
+            (F.col("id") / n).cast("bigint").alias("tile_y"),
+        )
+        .filter((F.col("tile_x") + F.col("tile_y")) % 9 == 0)
+        .withColumn("payload", F.col("tile_x") * n + F.col("tile_y"))
+    )
+    df = _elements_qt(spark, sf_dir).filter(
+        (F.col("qt") >= 0) & (F.expr("(qt & 31)") >= z)
+    )
+    out = raster_vector_join(df, rasters, z, salt=4)
+    return out.select("elem_id", "tile_x", "tile_y", "payload")
 
 
 def q_group_assign_default(spark, sf_dir):
@@ -1006,6 +1054,44 @@ def _oracle_sql() -> dict[str, str]:
             -- counts ≪ minsize; remainder lands at root) — see
             -- tests/test_qttree_groups.py::test_no_rollup_reference_semantics
             SELECT elem_id, 0::BIGINT AS group_qt FROM ({_ELEM_CTE})""",
+        "extract_expand": f"""
+            WITH hits AS (
+              SELECT node_id FROM ({fx_nodes_sql()})
+              WHERE lon >= {BOX[0]} AND lon <= {BOX[2]} AND lat >= {BOX[1]} AND lat <= {BOX[3]}
+            ),
+            wkeep AS (
+              SELECT DISTINCT way_id FROM ({_WAY_PAIRS_SQL}) p JOIN hits USING (node_id)
+            ),
+            nkeep AS (
+              SELECT DISTINCT node_id FROM (
+                SELECT node_id FROM ({_WAY_PAIRS_SQL}) p JOIN wkeep USING (way_id)
+                UNION SELECT node_id FROM hits
+              )
+            ),
+            m AS ({_REL_MEMBERS_SQL}),
+            r0 AS (
+              SELECT DISTINCT rel_id FROM (
+                SELECT m.rel_id FROM m JOIN nkeep n ON m.m_type = 0 AND m.m_ref = n.node_id
+                UNION ALL
+                SELECT m.rel_id FROM m JOIN wkeep w ON m.m_type = 1 AND m.m_ref = w.way_id
+              )
+            ),
+            {', '.join(
+                f"r{k} AS (SELECT DISTINCT rel_id FROM ("
+                f"SELECT rel_id FROM r{k-1} UNION ALL "
+                f"SELECT m.rel_id FROM m JOIN r{k-1} c ON m.m_type = 2 AND m.m_ref = c.rel_id))"
+                for k in range(1, 6)
+            )}
+            SELECT 0 AS element_type, node_id AS id FROM nkeep
+            UNION ALL SELECT 1, way_id FROM wkeep
+            UNION ALL SELECT 2, rel_id FROM r5""",
+        "raster_vector": f"""
+            SELECT elem_id, x AS tile_x, y AS tile_y, x * 64 + y AS payload FROM (
+              SELECT elem_id,
+                     {so.xyz_sql(so.round_sql('qt', RASTER_ZOOM), RASTER_ZOOM)[0]} AS x,
+                     {so.xyz_sql(so.round_sql('qt', RASTER_ZOOM), RASTER_ZOOM)[1]} AS y
+              FROM ({_qt_cte()}) WHERE qt >= 0 AND (qt & 31) >= {RASTER_ZOOM}
+            ) WHERE (x + y) % 9 = 0""",
         "way_qts": cqo.way_qts_sql(),
         "update_change_qts": uo.change_qts_sql(),
         "update_change_tiles": uo.change_tiles_sql(),
@@ -1196,6 +1282,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qt_lca_by_order": q_qt_lca_by_order,
         "bbox_extract": q_bbox_extract,
         "poly_extract": q_poly_extract,
+        "extract_expand": q_extract_expand,
+        "raster_vector": q_raster_vector,
         "xyz_tiles": q_xyz_tiles,
         "knn_points": q_knn_points,
         "group_assign_default": q_group_assign_default,
