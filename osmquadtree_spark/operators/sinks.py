@@ -1,0 +1,73 @@
+"""CSV/PostGIS sink tag packers
+(/root/reference/src/geometry/utils.cpp:443-539):
+
+* hstore text:  ``"key"=>"value", ...`` in tag order, escaping ``\\ " \\t
+  \\r`` and DROPPING newlines (hstore_quotestring 466-483)
+* json:         picojson object — keys sorted (std::map), compact
+* hstore binary: int32-BE count, then per tag int32-BE len + bytes for key
+  and value (pack_hstoretags_binary 520-539)
+
+All three are JVM column expressions over the tags array (the binary form
+is emitted as its hex string — same bytes, comparable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _esc_hstore(s: Column) -> Column:
+    # escape order matters: backslash first, then the characters that gain one
+    s = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+    s = F.replace(s, F.lit('"'), F.lit('\\"'))
+    s = F.replace(s, F.lit("\t"), F.lit("\\t"))
+    s = F.replace(s, F.lit("\r"), F.lit("\\r"))
+    return F.replace(s, F.lit("\n"), F.lit(""))
+
+
+def _esc_json(s: Column) -> Column:
+    s = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+    return F.replace(s, F.lit('"'), F.lit('\\"'))
+
+
+def hstore_tags_col(tags_col) -> Column:
+    """pack_hstoretags: '"k"=>"v", ...' in tag order."""
+    parts = F.transform(
+        F.col(tags_col),
+        lambda t: F.concat(
+            F.lit('"'), _esc_hstore(t["key"]), F.lit('"=>"'), _esc_hstore(t["val"]), F.lit('"')
+        ),
+    )
+    return F.array_join(parts, ", ")
+
+
+def json_tags_col(tags_col) -> Column:
+    """pack_jsontags_picojson: compact JSON object, keys sorted (picojson
+    backs objects with std::map)."""
+    parts = F.transform(
+        F.array_sort(F.col(tags_col)),
+        lambda t: F.concat(
+            F.lit('"'), _esc_json(t["key"]), F.lit('":"'), _esc_json(t["val"]), F.lit('"')
+        ),
+    )
+    return F.concat(F.lit("{"), F.array_join(parts, ","), F.lit("}"))
+
+
+def _hex32(n: Column) -> Column:
+    return F.lpad(F.hex(n.cast("bigint")), 8, "0")
+
+
+def hstore_binary_hex_col(tags_col) -> Column:
+    """pack_hstoretags_binary as a hex string: int32-BE count, then per tag
+    int32-BE length + utf-8 bytes for key and value."""
+    per_tag = F.transform(
+        F.col(tags_col),
+        lambda t: F.concat(
+            _hex32(F.length(F.encode(t["key"], "utf-8"))),
+            F.hex(F.encode(t["key"], "utf-8")),
+            _hex32(F.length(F.encode(t["val"], "utf-8"))),
+            F.hex(F.encode(t["val"], "utf-8")),
+        ),
+    )
+    return F.upper(F.concat(_hex32(F.size(F.col(tags_col))), F.array_join(per_tag, "")))

@@ -55,7 +55,10 @@ def calc_change_qts(
     strictness belongs to the caller; see missing_ref_count)."""
     ct = F.col("changetype")
     active_ways = ways.filter(ct > CT_DELETE)
-    wq = way_quadtrees(active_ways, nodes, buffer, max_depth)
+    # way cells feed the node fold, the way resolution, and the relation
+    # member lookup; node cells feed resolution + relations — persist both
+    # (the reference's qts store plays the same role, update.cpp:539)
+    wq = way_quadtrees(active_ways, nodes, buffer, max_depth).persist()
 
     qt_calc = make_qt_calculate(buffer, max_depth)
     qt_common = make_qt_common()
@@ -74,7 +77,7 @@ def calc_change_qts(
         F.when(F.col("way_qt").isNotNull(), F.col("way_qt"))
         .when(ct > CT_DELETE, qt_calc("lon", "lat", "lon", "lat"))
         .alias("new_qt"),
-    )
+    ).persist()
 
     active_rels = rels.filter(ct > CT_DELETE)
     rq = relation_quadtrees(
@@ -146,7 +149,9 @@ def find_change_tiles(
     broadcast assignment kernel; ordering by (tile_qt, element_type, id) is
     the tiled-file write order."""
     assign = make_assign_group_udf(elements.sparkSession, group_qts)
-    e = elements.join(orig_allocs, ["element_type", "id"], "left")
+    # three output branches (placed / tombstones / deletes) read this join —
+    # materialize once instead of re-running the resolution lineage 3×
+    e = elements.join(orig_allocs, ["element_type", "id"], "left").persist()
     ct = F.col("changetype")
 
     surv = e.filter(ct > CT_REMOVE).withColumn("tile_qt", assign(F.col("qt")))

@@ -313,7 +313,11 @@ def _change_set(spark, sf_dir):
     from .operators.calcqts import calc_all_quadtrees, way_node_pairs
 
     nodes, ways, rels = _osm_fixture(spark, sf_dir)
+    nodes = nodes.persist()  # derived from a lineitem scan; read by many joins
     old = calc_all_quadtrees(nodes, ways, rels)
+    # the old-qt frames feed both the change-set joins and the allocation
+    # table — persist so the calcqts join lineage runs once, not 4×
+    old = {k: v.persist() for k, v in old.items()}
 
     nid = F.col("node_id")
     act_n = nid % 7 == 0
@@ -348,6 +352,7 @@ def _resolved_elements(spark, sf_dir):
     from .operators.update import calc_change_qts
 
     ch_nodes, ch_ways, ch_rels, old = _change_set(spark, sf_dir)
+    ch_nodes = ch_nodes.persist()  # read by way-bbox, fallback, and rel passes
     res = calc_change_qts(ch_nodes, ch_ways, ch_rels)
     parts = [
         res["nodes"].select(
@@ -363,7 +368,7 @@ def _resolved_elements(spark, sf_dir):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out, old
+    return out.persist(), old
 
 
 def q_update_change_qts(spark, sf_dir):
