@@ -318,6 +318,37 @@ WHERE NOT (way_id % 6 = 0 AND npts < 4)
 """.strip()
 
 
+def tag_packers_sql() -> str:
+    """hstore text / sorted-key json / binary-hex packers from the way tag
+    rules (fixture values are escape-free; escaping is unit-tested)."""
+    entries = []  # (key, value_expr, cond) in rule (tag) order
+    for key, val_sql, cond_sql in WAY_TAG_RULES:
+        w = "CAST(way_id AS BIGINT)"
+        entries.append((key, val_sql.replace("{w}", w), cond_sql.replace("{w}", w)))
+
+    hstore_items = ", ".join(
+        f"CASE WHEN {c} THEN '\"{k}\"=>\"' || ({v}) || '\"' END" for k, v, c in entries
+    )
+    json_items = ", ".join(
+        f"CASE WHEN {c} THEN '\"{k}\":\"' || ({v}) || '\"' END"
+        for k, v, c in sorted(entries)
+    )
+    bin_items = ", ".join(
+        f"CASE WHEN {c} THEN upper(printf('%08x', length('{k}'))) || hex(encode('{k}'))"
+        f" || upper(printf('%08x', length({v}))) || hex(encode({v})) END"
+        for k, v, c in entries
+    )
+    n_tags = " + ".join(f"({c})::BIGINT" for _, _, c in entries)
+    return f"""
+SELECT way_id,
+  array_to_string(list_filter([{hstore_items}], x -> x IS NOT NULL), ', ') AS hstore,
+  '{{' || array_to_string(list_filter([{json_items}], x -> x IS NOT NULL), ',') || '}}' AS json,
+  upper(printf('%08x', {n_tags}))
+    || array_to_string(list_filter([{bin_items}], x -> x IS NOT NULL), '') AS hstore_bin_hex
+FROM (SELECT o_orderkey AS way_id FROM orders)
+""".strip()
+
+
 def geom_way_stats_sql() -> str:
     """(way_id, length_3857, ring_area): fold-ordered segment sums in 3857;
     rings (way_id % 6 = 0) are closed by appending the first point."""

@@ -707,6 +707,24 @@ def q_geom_way_stats(spark, sf_dir):
     )
 
 
+def q_tag_packers(spark, sf_dir):
+    """CSV/PostGIS sink tag packers per way: hstore text (tag order), json
+    (sorted keys, compact), hstore binary as hex. The fixture vocabulary is
+    escape-free, so the oracle builds plain strings; escaping itself is
+    pinned by unit tests (tests/test_sinks.py)."""
+    from .operators import sinks as sk
+    from .sources import osm_fixture as fx
+
+    _load(spark, sf_dir, "orders")
+    wt = fx.fixture_way_tags(spark, sf_dir)
+    return wt.select(
+        "way_id",
+        sk.hstore_tags_col("tags").alias("hstore"),
+        sk.json_tags_col("tags").alias("json"),
+        sk.hstore_binary_hex_col("tags").alias("hstore_bin_hex"),
+    )
+
+
 def q_geom_minzoom(spark, sf_dir):
     """findminzoom: tag-table minzoom (exact shadows wildcard per class)
     raised by the geometric zoom — length for linestrings, area for
@@ -1156,6 +1174,7 @@ def _oracle_sql() -> dict[str, str]:
         "geom_rel_tags": go.geom_rel_tags_sql(),
         "geom_way_stats": go.geom_way_stats_sql(),
         "geom_minzoom": go.geom_minzoom_sql(),
+        "tag_packers": go.tag_packers_sql(),
         "node_qts": cqo.node_qts_sql(),
         "rel_qts": cqo.rel_qts_sql(),
         "image_qt_assign": so.calculate_cte(
@@ -1307,6 +1326,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_rel_tags": q_geom_rel_tags,
         "geom_way_stats": q_geom_way_stats,
         "geom_minzoom": q_geom_minzoom,
+        "tag_packers": q_tag_packers,
         "way_qts": q_way_qts,
         "node_qts": q_node_qts,
         "rel_qts": q_rel_qts,

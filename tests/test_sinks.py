@@ -1,0 +1,55 @@
+"""Tag-packer escaping tests (hstore_quotestring semantics,
+utils.cpp:466-483: backslash and quote escaped, tab/CR escaped, NEWLINES
+DROPPED; json: sorted keys, compact). Plain-value parity runs through the
+tag_packers driver-gate query."""
+
+import pandas as pd
+
+from osmquadtree_spark.operators import sinks as sk
+
+TAGS_SCHEMA = "id bigint, tags array<struct<key:string,val:string>>"
+
+
+def _df(spark, tags):
+    return spark.createDataFrame(
+        [(1, [{"key": k, "val": v} for k, v in tags])], TAGS_SCHEMA
+    )
+
+
+def test_hstore_escaping(spark):
+    df = _df(spark, [
+        ("name", 'say "hi"'),
+        ("note", "a\\b"),
+        ("tab", "x\ty"),
+        ("nl", "a\nb"),
+    ])
+    out = df.select(sk.hstore_tags_col("tags").alias("h")).collect()[0].h
+    assert '"name"=>"say \\"hi\\""' in out
+    assert '"note"=>"a\\\\b"' in out
+    assert '"tab"=>"x\\ty"' in out
+    assert '"nl"=>"ab"' in out          # newline dropped, not escaped
+    assert out.count("=>") == 4
+    assert ", " in out                   # tag-order join
+
+
+def test_json_sorted_compact(spark):
+    df = _df(spark, [("b", "2"), ("a", "1"), ("c", 'q"x')])
+    out = df.select(sk.json_tags_col("tags").alias("j")).collect()[0].j
+    assert out == '{"a":"1","b":"2","c":"q\\"x"}'  # sorted keys, compact
+
+
+def test_hstore_binary_layout(spark):
+    df = _df(spark, [("ab", "xyz")])
+    out = df.select(sk.hstore_binary_hex_col("tags").alias("b")).collect()[0].b
+    # int32 count=1, len(ab)=2, 'ab', len(xyz)=3, 'xyz'
+    assert out == "00000001" + "00000002" + "6162" + "00000003" + "78797A"
+
+
+def test_empty_tags(spark):
+    df = _df(spark, [])
+    r = df.select(
+        sk.hstore_tags_col("tags").alias("h"),
+        sk.json_tags_col("tags").alias("j"),
+        sk.hstore_binary_hex_col("tags").alias("b"),
+    ).collect()[0]
+    assert r.h == "" and r.j == "{}" and r.b == "00000000"
