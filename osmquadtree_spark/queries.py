@@ -828,6 +828,50 @@ def q_image_verify(spark, sf_dir):
 
 
 # ----------------------------------------------------------------------------
+# multimodal payloads (audio/video stub codecs; north-rule axes)
+
+
+def _media_n(spark, sf_dir) -> int:
+    return spark.read.parquet(f"{sf_dir}/part.parquet").count()
+
+
+def q_media_verify(spark, sf_dir):
+    """Round-trip invariant for the audio/video payloads (decoded samples /
+    frames bit-equal to the deterministic generators), aggregated per kind.
+    The oracle states the expected counts; per-row equality is the real
+    decode+compare in the kernel."""
+    from .operators.media import media_verify
+    from .sources.media import audio_df, video_df
+
+    _load(spark, sf_dir, "part")
+    n = _media_n(spark, sf_dir)
+    v = media_verify(audio_df(spark, n), video_df(spark, n))
+    return v.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint").alias("n_ok"),
+    )
+
+
+def q_audio_features(spark, sf_dir):
+    """Audio decode + feature extraction (duration, peak, RMS, zero
+    crossings) — rows-only (features checked against numpy in
+    tests/test_media.py)."""
+    from .operators.media import audio_features
+    from .sources.media import audio_df
+
+    return audio_features(audio_df(spark, _media_n(spark, sf_dir)))
+
+
+def q_video_frames(spark, sf_dir):
+    """Video frame sampling (every 2nd frame + mean intensity) — rows-only
+    (frame math checked in tests/test_media.py)."""
+    from .operators.media import video_frame_sample
+    from .sources.media import video_df
+
+    return video_frame_sample(video_df(spark, _media_n(spark, sf_dir)), every=2)
+
+
+# ----------------------------------------------------------------------------
 # TPC-H-style relational baselines (exercise agg / broadcast join shapes)
 
 
@@ -1175,6 +1219,10 @@ def _oracle_sql() -> dict[str, str]:
         "geom_way_stats": go.geom_way_stats_sql(),
         "geom_minzoom": go.geom_minzoom_sql(),
         "tag_packers": go.tag_packers_sql(),
+        "media_verify": """
+            SELECT 'audio' AS kind, COUNT(*)::BIGINT AS n, COUNT(*)::BIGINT AS n_ok FROM part
+            UNION ALL
+            SELECT 'video', COUNT(*)::BIGINT, COUNT(*)::BIGINT FROM part""",
         "node_qts": cqo.node_qts_sql(),
         "rel_qts": cqo.rel_qts_sql(),
         "image_qt_assign": so.calculate_cte(
@@ -1333,6 +1381,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_qt_assign": q_image_qt_assign,
         "image_tiles": q_image_tiles,
         "image_verify": q_image_verify,
+        "media_verify": q_media_verify,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
         "token_count": q_token_count,

@@ -75,6 +75,8 @@ ROWS_ONLY = {
     "image_tiles",
     "image_verify",
     "dedup_embedding_lsh",
+    "audio_features",
+    "video_frames",
 }
 
 
