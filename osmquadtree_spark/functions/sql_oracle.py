@@ -153,6 +153,83 @@ FROM (
 )""".strip()
 
 
+def s2_cell_cte(base_sql: str, id_col: str, level: int = 16) -> str:
+    """Recursive-CTE restatement of the S2 cell id kernel (kernels/s2.py):
+    cube-face argmax (numpy tie order replicated), quadratic ST, 30-step
+    Hilbert walk with the 4-orientation lookup tables as CASE chains, and
+    the uint64→int64 two's-complement reinterpretation at the end.
+
+    ``base_sql`` must yield (id_col, lon, lat) fixed-point 1e-7°."""
+    n30 = 1 << 30
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    m63 = "CAST('9223372036854775808' AS HUGEINT)"
+    # IJ_TO_POS[orient][ij] and POS_TO_ORIENTATION as CASE tables
+    ij_to_pos = "CASE orient * 4 + ij " + " ".join(
+        f"WHEN {o * 4 + ij} THEN {p}"
+        for o, row in enumerate([[0, 1, 3, 2], [0, 3, 1, 2], [2, 3, 1, 0], [2, 1, 3, 0]])
+        for ij, p in enumerate(row)
+    ) + " END"
+    pos_orient = "CASE pos WHEN 0 THEN 1 WHEN 1 THEN 0 WHEN 2 THEN 0 ELSE 3 END"
+    st = lambda u: (
+        f"CASE WHEN ({u}) >= 0 THEN 5e-1 * sqrt(1e0 + 3e0 * ({u})) "
+        f"ELSE 1e0 - 5e-1 * sqrt(1e0 - 3e0 * ({u})) END"
+    )
+    ij_clamp = lambda s: f"LEAST(GREATEST(CAST(trunc(({s}) * {n30}e0) AS BIGINT), 0), {n30 - 1})"
+    return f"""
+WITH RECURSIVE s2base AS (
+  SELECT {id_col},
+         cos(radians(lat * 1e-7)) * cos(radians(lon * 1e-7)) AS x,
+         cos(radians(lat * 1e-7)) * sin(radians(lon * 1e-7)) AS y,
+         sin(radians(lat * 1e-7)) AS z
+  FROM ({base_sql})
+), s2face AS (
+  SELECT {id_col}, x, y, z,
+         (CASE WHEN abs(x) >= abs(y) THEN (CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END)
+               ELSE (CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END) END) AS f0
+  FROM s2base
+), s2uv AS (
+  SELECT {id_col},
+         CASE WHEN (CASE f0 WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0 THEN f0 + 3 ELSE f0 END AS face,
+         CASE (CASE WHEN (CASE f0 WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0 THEN f0 + 3 ELSE f0 END)
+           WHEN 0 THEN y / x WHEN 1 THEN -x / y WHEN 2 THEN -x / z
+           WHEN 3 THEN z / x WHEN 4 THEN z / y ELSE -y / z END AS u,
+         CASE (CASE WHEN (CASE f0 WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0 THEN f0 + 3 ELSE f0 END)
+           WHEN 0 THEN z / x WHEN 1 THEN z / y WHEN 2 THEN -y / z
+           WHEN 3 THEN y / x WHEN 4 THEN -x / y ELSE -x / z END AS v
+  FROM s2face
+), s2ij AS (
+  SELECT {id_col}, face,
+         {ij_clamp(st('u'))} AS i, {ij_clamp(st('v'))} AS j
+  FROM s2uv
+), walk AS (
+  SELECT {id_col}, face, i, j, 29 AS k,
+         CAST(face AS HUGEINT) * {1 << 60} AS n,
+         face % 2 AS orient
+  FROM s2ij
+  UNION ALL
+  SELECT {id_col}, face, i, j, k - 1,
+         n + CAST(pos AS HUGEINT) * (CAST(1 AS HUGEINT) << (2 * k)),
+         xor(orient::BIGINT, ({pos_orient})::BIGINT)::INT
+  FROM (
+    SELECT *, {ij_to_pos} AS pos FROM (
+      SELECT *, ((i >> k) & 1) * 2 + ((j >> k) & 1) AS ij
+      FROM walk WHERE k >= 0
+    )
+  )
+), leaf AS (
+  SELECT {id_col}, n * 2 + 1 AS leaf_u FROM walk WHERE k = -1
+), truncated AS (
+  SELECT {id_col},
+         (leaf_u // {1 << (2 * (30 - level))}) // 2 * 2 * {1 << (2 * (30 - level))}
+           + {1 << (2 * (30 - level))} AS cell_u
+  FROM leaf
+)
+SELECT {id_col},
+       CAST(CASE WHEN cell_u >= {m63} THEN cell_u - {m64} ELSE cell_u END AS BIGINT) AS s2_cell
+FROM truncated
+""".strip()
+
+
 def round_sql(expr: str, level: int) -> str:
     """quadtree::round as portable SQL (same as functions.udfs.round_qt_sql)."""
     sh = 63 - 2 * level

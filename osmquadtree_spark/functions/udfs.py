@@ -44,6 +44,18 @@ def make_qt_common():
     return qt_common
 
 
+def make_s2_cell(level: int = 16):
+    """pandas UDF (lon, lat fixed-point int64) → canonical S2 cell id
+    (kernels/s2.py) at ``level``."""
+    from ..kernels import s2 as s2k
+
+    @pandas_udf("bigint")
+    def s2_cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(s2k.cell_id(lon.to_numpy("int64"), lat.to_numpy("int64"), level))
+
+    return s2_cell
+
+
 def round_qt_col(qt: Column, level: int) -> Column:
     """quadtree::round as a pure JVM expression (stays in codegen)."""
     sh = 63 - 2 * level

@@ -175,6 +175,21 @@ def q_knn_points(spark, sf_dir):
     )
 
 
+S2_LEVEL = 16
+
+
+def q_s2_cells(spark, sf_dir):
+    """Secondary S2 cell index (north rule "quadtree/H3/S2"): point
+    elements → canonical S2 cell id at level 16 via the vectorized kernel
+    (kernels/s2.py); the oracle replays the published algorithm as a
+    recursive Hilbert-walk CTE."""
+    from .functions.udfs import make_s2_cell
+
+    s2_cell = make_s2_cell(S2_LEVEL)
+    df = _elements(spark, sf_dir).filter(~F.col("is_box"))
+    return df.select("elem_id", s2_cell("minx", "miny").alias("s2_cell"))
+
+
 def q_extract_expand(spark, sf_dir):
     """mergechanges IdSet semi-join expansion: nodes in box → ways with any
     hit ref (plus ALL their refs as extra nodes) → relations over kept
@@ -1121,6 +1136,11 @@ def _oracle_sql() -> dict[str, str]:
             -- counts ≪ minsize; remainder lands at root) — see
             -- tests/test_qttree_groups.py::test_no_rollup_reference_semantics
             SELECT elem_id, 0::BIGINT AS group_qt FROM ({_ELEM_CTE})""",
+        "s2_cells": so.s2_cell_cte(
+            f"SELECT elem_id, minx AS lon, miny AS lat FROM ({_ELEM_CTE}) WHERE NOT is_box",
+            "elem_id",
+            S2_LEVEL,
+        ),
         "extract_expand": f"""
             WITH hits AS (
               SELECT node_id FROM ({fx_nodes_sql()})
@@ -1354,6 +1374,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qt_lca_by_order": q_qt_lca_by_order,
         "bbox_extract": q_bbox_extract,
         "poly_extract": q_poly_extract,
+        "s2_cells": q_s2_cells,
         "extract_expand": q_extract_expand,
         "raster_vector": q_raster_vector,
         "xyz_tiles": q_xyz_tiles,
