@@ -233,6 +233,28 @@ def q_raster_vector(spark, sf_dir):
     return out.select("elem_id", "tile_x", "tile_y", "payload")
 
 
+def q_knn_cells(spark, sf_dir):
+    """Scale-path kNN: growing cell-neighborhood probe with a provable ring
+    bound (operators/spatial.knn_cell_expansion) — exact by construction,
+    so the oracle is the brute-force great-circle (half-chord) window."""
+    from .operators.spatial import knn_cell_expansion
+    from .functions.udfs import make_qt_calculate
+
+    qt_calc = make_qt_calculate()
+    pts = (
+        _elements(spark, sf_dir)
+        .filter(~F.col("is_box"))
+        .select(
+            F.col("elem_id").alias("point_id"),
+            F.col("minx").alias("lon"),
+            F.col("miny").alias("lat"),
+            qt_calc("minx", "miny", "minx", "miny").alias("qt"),
+        )
+    )
+    q = spark.createDataFrame(KNN_QUERIES, "query_id bigint, lon bigint, lat bigint")
+    return knn_cell_expansion(pts, q, KNN_K)
+
+
 def q_group_assign_default(spark, sf_dir):
     """Full sortblocks assignment at reference CLI defaults (target 40000 /
     minsize 20000 / tree level 15, no rollup): histogram → driver greedy
@@ -1136,6 +1158,20 @@ def _oracle_sql() -> dict[str, str]:
             -- counts ≪ minsize; remainder lands at root) — see
             -- tests/test_qttree_groups.py::test_no_rollup_reference_semantics
             SELECT elem_id, 0::BIGINT AS group_qt FROM ({_ELEM_CTE})""",
+        "knn_cells": f"""
+            SELECT query_id, point_id, rank FROM (
+              SELECT q.query_id, e.elem_id AS point_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY pow(sin((radians(e.miny * 1e-7) - radians(q.qlat * 1e-7)) / 2), 2)
+                              + cos(radians(e.miny * 1e-7)) * cos(radians(q.qlat * 1e-7))
+                              * pow(sin((radians(e.minx * 1e-7) - radians(q.qlon * 1e-7)) / 2), 2) ASC,
+                              e.elem_id ASC) AS rank
+              FROM ({_ELEM_CTE}) e CROSS JOIN ({" UNION ALL ".join(
+                  f"SELECT {qid} AS query_id, {lon} AS qlon, {lat} AS qlat"
+                  for qid, lon, lat in KNN_QUERIES)}) q
+              WHERE NOT e.is_box
+            ) WHERE rank <= {KNN_K}""",
         "s2_cells": so.s2_cell_cte(
             f"SELECT elem_id, minx AS lon, miny AS lat FROM ({_ELEM_CTE}) WHERE NOT is_box",
             "elem_id",
@@ -1379,6 +1415,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vector": q_raster_vector,
         "xyz_tiles": q_xyz_tiles,
         "knn_points": q_knn_points,
+        "knn_cells": q_knn_cells,
         "group_assign_default": q_group_assign_default,
         "group_assign_fine": q_group_assign_fine,
         "changes_merge": q_changes_merge,
