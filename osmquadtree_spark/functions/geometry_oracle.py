@@ -341,11 +341,47 @@ def tag_packers_sql() -> str:
     n_tags = " + ".join(f"({c})::BIGINT" for _, _, c in entries)
     return f"""
 SELECT way_id,
-  array_to_string(list_filter([{hstore_items}], x -> x IS NOT NULL), ', ') AS hstore,
-  '{{' || array_to_string(list_filter([{json_items}], x -> x IS NOT NULL), ',') || '}}' AS json,
+  COALESCE(array_to_string(list_filter([{hstore_items}], x -> x IS NOT NULL), ', '), '') AS hstore,
+  '{{' || COALESCE(array_to_string(list_filter([{json_items}], x -> x IS NOT NULL), ','), '') || '}}' AS json,
   upper(printf('%08x', {n_tags}))
-    || array_to_string(list_filter([{bin_items}], x -> x IS NOT NULL), '') AS hstore_bin_hex
+    || COALESCE(array_to_string(list_filter([{bin_items}], x -> x IS NOT NULL), ''), '') AS hstore_bin_hex
 FROM (SELECT o_orderkey AS way_id FROM orders)
+""".strip()
+
+
+def geojson_tiles_sql() -> str:
+    """Per-tile FeatureCollections from the node rules + the point cell
+    (depth 17) rounded to level 3."""
+    from . import sql_oracle as so
+
+    entries = []
+    for key, val_sql, cond_sql in NODE_TAG_RULES:
+        w = "CAST(node_id AS BIGINT)"
+        entries.append((key, val_sql.replace("{w}", w), cond_sql.replace("{w}", w)))
+    json_items = ", ".join(
+        f"CASE WHEN {c} THEN '\"{k}\":\"' || ({v}) || '\"' END"
+        for k, v, c in sorted(entries)
+    )
+    point_base = f"""
+SELECT node_id, lon AS minx, lat AS miny, lon AS maxx, lat AS maxy
+FROM ({nodes_sql()})"""
+    props = (
+        "'{' || COALESCE(array_to_string(list_filter([" + json_items + "], x -> x IS NOT NULL), ','), '') || '}'"
+    )
+    feature = (
+        "'{\"type\":\"Feature\",\"geometry\":{\"type\":\"Point\",\"coordinates\":['"
+        " || printf('%.7f', lon * 1e-7) || ',' || printf('%.7f', lat * 1e-7)"
+        f" || ']}},\"properties\":' || {props} || '}}'"
+    )
+    return f"""
+WITH pq AS ({so.calculate_cte(point_base, "node_id")}),
+feats AS (
+  SELECT n.node_id, {so.round_sql('pq.qt', 3)} AS tile, {feature} AS feature
+  FROM ({nodes_sql()}) n JOIN pq USING (node_id)
+)
+SELECT tile, '{{"type":"FeatureCollection","features":['
+       || array_to_string(list(feature ORDER BY node_id), ',') || ']}}' AS geojson
+FROM feats GROUP BY tile
 """.strip()
 
 

@@ -54,6 +54,47 @@ def json_tags_col(tags_col) -> Column:
     return F.concat(F.lit("{"), F.array_join(parts, ","), F.lit("}"))
 
 
+def _coord7(v: Column) -> Column:
+    # %.7f of the fixed-point degree value — C-style formatting in both
+    # engines; ties at the 7th decimal cannot occur (the double nearest to
+    # n·1e-7 is never exactly half-ulp at that digit)
+    return F.format_string("%.7f", v * F.lit(1e-7))
+
+
+def point_feature_col(lon, lat, props_json) -> Column:
+    """One GeoJSON Point feature (process.py:171-276 layout)."""
+    return F.concat(
+        F.lit('{"type":"Feature","geometry":{"type":"Point","coordinates":['),
+        _coord7(lon),
+        F.lit(","),
+        _coord7(lat),
+        F.lit(']},"properties":'),
+        props_json,
+        F.lit("}"),
+    )
+
+
+def feature_collection(df, tile_col: str, order_col: str, feature_col: str):
+    """Per-tile FeatureCollection strings: features ordered by ``order_col``
+    (the tiled files' internal-id order) inside one JVM aggregate."""
+    return (
+        df.groupBy(tile_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(feature_col).alias("f")))
+            ).alias("_fs")
+        )
+        .select(
+            tile_col,
+            F.concat(
+                F.lit('{"type":"FeatureCollection","features":['),
+                F.array_join(F.transform("_fs", lambda s: s["f"]), ","),
+                F.lit("]}"),
+            ).alias("geojson"),
+        )
+    )
+
+
 def _hex32(n: Column) -> Column:
     return F.lpad(F.hex(n.cast("bigint")), 8, "0")
 

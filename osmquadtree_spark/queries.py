@@ -762,6 +762,31 @@ def q_tag_packers(spark, sf_dir):
     )
 
 
+def q_geojson_tiles(spark, sf_dir):
+    """GeoJSON sink: one FeatureCollection per level-3 tile of the node
+    point cells, features ordered by node id, properties = sorted-key json
+    tags. Coordinates via C-style %.7f in both engines."""
+    from .functions.udfs import make_qt_calculate, round_qt_col
+    from .operators import sinks as sk
+    from .sources import osm_fixture as fx
+
+    _load(spark, sf_dir, "orders")
+    _load(spark, sf_dir, "lineitem")
+    nodes = fx.fixture_nodes(spark, sf_dir)
+    nt = fx.fixture_node_tags(spark, sf_dir)
+    qt_calc = make_qt_calculate()
+    df = (
+        nodes.join(nt, "node_id")
+        .withColumn("qt", qt_calc("lon", "lat", "lon", "lat"))
+        .withColumn("tile", round_qt_col(F.col("qt"), 3))
+        .withColumn(
+            "feature",
+            sk.point_feature_col(F.col("lon"), F.col("lat"), sk.json_tags_col("tags")),
+        )
+    )
+    return sk.feature_collection(df, "tile", "node_id", "feature")
+
+
 def q_geom_minzoom(spark, sf_dir):
     """findminzoom: tag-table minzoom (exact shadows wildcard per class)
     raised by the geometric zoom — length for linestrings, area for
@@ -1275,6 +1300,7 @@ def _oracle_sql() -> dict[str, str]:
         "geom_way_stats": go.geom_way_stats_sql(),
         "geom_minzoom": go.geom_minzoom_sql(),
         "tag_packers": go.tag_packers_sql(),
+        "geojson_tiles": go.geojson_tiles_sql(),
         "media_verify": """
             SELECT 'audio' AS kind, COUNT(*)::BIGINT AS n, COUNT(*)::BIGINT AS n_ok FROM part
             UNION ALL
@@ -1433,6 +1459,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_way_stats": q_geom_way_stats,
         "geom_minzoom": q_geom_minzoom,
         "tag_packers": q_tag_packers,
+        "geojson_tiles": q_geojson_tiles,
         "way_qts": q_way_qts,
         "node_qts": q_node_qts,
         "rel_qts": q_rel_qts,
