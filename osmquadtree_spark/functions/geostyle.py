@@ -116,3 +116,65 @@ MINZOOM_SPEC: list[tuple[int, str, str, int]] = [
 ]
 MINZOOM_MINLEN = 10.0   # metres; process_geometry default is 0 (off)
 MINZOOM_MINAREA = 5.0   # m²; the CLI default (process.py:87)
+
+
+# -- data-driven config surface (GeometryStyle to/from_json, style.py:377-460)
+
+
+def style_to_json() -> dict:
+    """Serialize the active style tables — the engine's equivalent of the
+    reference's GeometryStyle JSON (operators compile whatever tables the
+    session loads, so a JSON edit re-targets every geometry stage)."""
+    return {
+        "feature_keys": sorted(FEATURE_KEYS),
+        "other_keys": sorted(OTHER_KEYS),
+        "drop_keys": sorted(DROP_KEYS),
+        "polygon_tags": {
+            k: ("all" if t == "all" else {t: sorted(vals)})
+            for k, (t, vals) in sorted(POLYGON_TAGS.items())
+        },
+        "z_order": {k: dict(sorted(v.items())) for k, v in sorted(Z_ORDER.items())},
+        "parent_tags": [
+            {"out_tag": o, "node_keys": list(nk), "way_key": w, "priority": dict(sorted(p.items()))}
+            for o, nk, w, p in PARENT_TAG_SPECS
+        ],
+        "relation_tags": [
+            {"target_key": t, "source_filter": f, "source_key": s, "type": ty}
+            for t, f, s, ty in RELATION_TAG_SPECS
+        ],
+        "minzoom": {
+            "spec": [list(e) for e in MINZOOM_SPEC],
+            "minlen": MINZOOM_MINLEN,
+            "minarea": MINZOOM_MINAREA,
+        },
+    }
+
+
+def style_from_json(jj: dict) -> dict:
+    """Parse a style JSON back into the table shapes the operators take
+    (inverse of style_to_json; validated round-trip in tests)."""
+    poly = {}
+    for k, v in jj["polygon_tags"].items():
+        if v == "all":
+            poly[k] = ("all", frozenset())
+        else:
+            (t, vals), = v.items()
+            poly[k] = (t, frozenset(vals))
+    return {
+        "feature_keys": frozenset(jj["feature_keys"]),
+        "other_keys": frozenset(jj["other_keys"]),
+        "drop_keys": frozenset(jj["drop_keys"]),
+        "polygon_tags": poly,
+        "z_order": {k: dict(v) for k, v in jj["z_order"].items()},
+        "parent_tags": [
+            (d["out_tag"], tuple(d["node_keys"]), d["way_key"], dict(d["priority"]))
+            for d in jj["parent_tags"]
+        ],
+        "relation_tags": [
+            (d["target_key"], dict(d["source_filter"]), d["source_key"], d["type"])
+            for d in jj["relation_tags"]
+        ],
+        "minzoom_spec": [tuple(e) for e in jj["minzoom"]["spec"]],
+        "minzoom_minlen": jj["minzoom"]["minlen"],
+        "minzoom_minarea": jj["minzoom"]["minarea"],
+    }

@@ -69,8 +69,10 @@ def _face_uv(x, y, z):
 
 
 def _st(u):
-    # quadratic projection (the s2 default)
-    return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+    # quadratic projection (the s2 default); both branches evaluate, so the
+    # unselected sqrt of a negative is expected — silence it
+    with np.errstate(invalid="ignore"):
+        return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
 
 
 def _ij(s):

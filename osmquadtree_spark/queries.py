@@ -937,6 +937,26 @@ def q_video_frames(spark, sf_dir):
 # TPC-H-style relational baselines (exercise agg / broadcast join shapes)
 
 
+def q_caption_dedup(spark, sf_dir):
+    """Image+caption near-dup: captions share their 5-word body (the unique
+    'caption {i}: ' prefix stripped) — groups with ≥2 images are duplicate
+    candidates; canonical = min image index. The oracle re-derives the
+    caption bodies from the splitmix64 word sampling."""
+    df = _images(spark, sf_dir)
+    idx = F.substring("image_id", 4, 12).cast("bigint")
+    # first 3 body words — 20^3 combos, so collisions exist at bench scale
+    body = F.concat_ws(
+        " ", F.slice(F.split(F.substring_index(F.col("caption"), ": ", -1), " "), 1, 3)
+    )
+    return (
+        df.select(idx.alias("img_idx"), body.alias("body"))
+        .groupBy("body")
+        .agg(F.min("img_idx").alias("canonical_idx"), F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") >= 2)
+        .select("canonical_idx", "dup_count")
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     li = _load(spark, sf_dir, "lineitem")
     return (
@@ -1118,6 +1138,27 @@ def q_ann_lsh_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann_ops.lsh_topk(emb, queries, ANN_K)
+
+
+def _caption_dedup_sql() -> str:
+    """DuckDB twin of q_caption_dedup: re-derive the caption word bodies
+    (sources/images.caption_for) via splitmix64 over HUGEINT."""
+    from .sources.images import _WORDS
+
+    def word(k: int) -> str:
+        whens = " ".join(f"WHEN {i} THEN '{w}'" for i, w in enumerate(_WORDS))
+        return f"(CASE (u >> {6 * k}) % {len(_WORDS)} {whens} END)"
+
+    body = " || ' ' || ".join(word(k) for k in range(3))
+    return f"""
+WITH u AS (
+  SELECT p_partkey AS i, {so.splitmix64_sql('p_partkey + 1')} AS u FROM part
+), bodies AS (
+  SELECT i, {body} AS body FROM u
+)
+SELECT MIN(i) AS canonical_idx, COUNT(*)::BIGINT AS dup_count
+FROM bodies GROUP BY body HAVING COUNT(*) >= 2
+""".strip()
 
 
 # ----------------------------------------------------------------------------
@@ -1334,6 +1375,7 @@ def _oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey, o_totalprice * 3, CAST(o_orderkey % 2 + 4 AS INT), 2 FROM orders WHERE o_orderkey % 4 = 0
               )
             ) WHERE rn = 1 AND changetype NOT IN (1, 2)""",
+        "caption_dedup": _caption_dedup_sql(),
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
@@ -1469,6 +1511,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_verify": q_media_verify,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "caption_dedup": q_caption_dedup,
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
         "token_count": q_token_count,

@@ -133,3 +133,21 @@ def test_fold_math_matches_scalar_reference(spark):
     ).collect()[0]
     assert math.isclose(row.ln, exp_len, rel_tol=1e-12)
     assert math.isclose(row.ar, exp_area, rel_tol=1e-9)
+
+
+def test_style_json_round_trip():
+    """The config surface (GeometryStyle JSON analog): serialize → parse
+    must reproduce the exact operator-facing tables, and the parsed tables
+    must drive the operators identically to the module constants."""
+    import json
+
+    jj = json.loads(json.dumps(gs.style_to_json()))
+    back = gs.style_from_json(jj)
+    assert back["feature_keys"] == gs.FEATURE_KEYS
+    assert back["other_keys"] == gs.OTHER_KEYS
+    assert back["drop_keys"] == gs.DROP_KEYS
+    assert back["polygon_tags"] == gs.POLYGON_TAGS
+    assert back["z_order"] == gs.Z_ORDER
+    assert back["parent_tags"] == gs.PARENT_TAG_SPECS
+    assert back["relation_tags"] == gs.RELATION_TAG_SPECS
+    assert back["minzoom_spec"] == gs.MINZOOM_SPEC
