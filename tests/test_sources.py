@@ -62,3 +62,42 @@ def test_osc_parse():
 def test_osc_rejects_non_osc():
     with pytest.raises(ValueError, match="osmChange"):
         osc_src.parse_osc("<osm></osm>")
+
+
+def test_filelist_catalog(tmp_path, spark):
+    import json
+    import pandas as pd
+
+    from osmquadtree_spark.operators.changes import apply_changes
+    from osmquadtree_spark.sources.filelist import catalog_tables, read_filenames, write_filelist
+
+    prfx = str(tmp_path)
+    main = pd.DataFrame({"key": [1, 2, 3], "payload": [1.0, 2.0, 3.0], "changetype": [0, 0, 0]})
+    d1 = pd.DataFrame({"key": [2], "payload": [20.0], "changetype": [4]})
+    d2 = pd.DataFrame({"key": [3], "payload": [0.0], "changetype": [1]})
+    for name, df in (("main.parquet", main), ("d1.parquet", d1), ("d2.parquet", d2)):
+        spark.createDataFrame(df).coalesce(1).write.mode("overwrite").parquet(f"{prfx}/{name}")
+    write_filelist(prfx, [
+        {"Filename": "main.parquet", "EndDate": "2020-01-01T00:00:00", "NumTiles": 3, "State": 1},
+        {"Filename": "d1.parquet", "EndDate": "2020-01-02T00:00:00", "NumTiles": 1, "State": 2},
+        {"Filename": "d2.parquet", "EndDate": "2020-01-03T00:00:00", "NumTiles": 1, "State": 3},
+    ])
+
+    files, last = read_filenames(prfx)
+    assert len(files) == 3 and last == 1577836800 + 86400 * 2
+
+    # enddate filter skips strictly newer entries (readblockscaller.cpp:66-69)
+    files2, _ = read_filenames(prfx, enddate=1577836800 + 86400)
+    assert len(files2) == 2
+
+    m, changes, _ = catalog_tables(spark, prfx)
+    out = {r.key: r.payload for r in apply_changes(m, changes, ["key"]).collect()}
+    assert out == {1: 1.0, 2: 20.0}  # key 3 deleted by the newest diff
+
+
+def test_filelist_bad_date(tmp_path):
+    from osmquadtree_spark.sources.filelist import read_filenames, write_filelist
+
+    write_filelist(str(tmp_path), [{"Filename": "x", "EndDate": "garbage"}])
+    with pytest.raises(ValueError, match="can't parse"):
+        read_filenames(str(tmp_path))
