@@ -385,7 +385,17 @@ def _change_set(spark, sf_dir):
     return ch_nodes, ch_ways, ch_rels, old
 
 
+_RESOLVED_CACHE: dict = {}
+
+
 def _resolved_elements(spark, sf_dir):
+    """Memoized per (session, sf_dir): update_change_qts and
+    update_change_tiles share the whole calcqts+resolution lineage — the
+    driver invokes them as separate queries, and without the memo each
+    pays the full recompute."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _RESOLVED_CACHE:
+        return _RESOLVED_CACHE[key]
     from .operators.update import calc_change_qts
 
     ch_nodes, ch_ways, ch_rels, old = _change_set(spark, sf_dir)
@@ -405,7 +415,8 @@ def _resolved_elements(spark, sf_dir):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.persist(), old
+    _RESOLVED_CACHE[key] = (out.persist(), old)
+    return _RESOLVED_CACHE[key]
 
 
 def q_update_change_qts(spark, sf_dir):
