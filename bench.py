@@ -40,7 +40,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding_lsh",
     "ngram_jaccard_pairs",
-    "doc_fingerprint",
+    "text_analysis",
     "ann_cosine_topk",
     "ann_lsh_topk",
 ]

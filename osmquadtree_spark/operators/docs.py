@@ -104,6 +104,58 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", fp.alias("fp"))
 
 
+def text_analysis(docs: DataFrame) -> DataFrame:
+    """All four per-document text stages in ONE projection pass —
+    token counting, quality scoring, language-ID and fingerprinting share
+    the word split, so a combined select does a quarter of the string work
+    of running them separately (and gives the driver one full-value oracle
+    covering all four operators)."""
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words).cast("bigint")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_cnt = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("bigint")
+    mwl = F.expr("CAST(length(text) AS BIGINT) * 100 DIV CAST(size(split(text, ' ')) AS BIGINT)")
+
+    langs = sorted(LANG_MARKERS)
+    scores = {}
+    for lang in langs:
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        scores[lang] = F.size(
+            F.filter(words, (lambda m: lambda w: F.array_contains(m, w))(markers))
+        ).cast("bigint")
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        s = scores[lang]
+        best = F.when(s > best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+
+    code = lambda w: (
+        F.length(w) * F.lit(97)
+        + F.ascii(F.substring(w, 1, 1))
+        + F.ascii(F.substring(w, -1, 1)) * F.lit(31)
+    ).cast("bigint")
+    fp = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: (acc * F.lit(131) + code(w)) % F.lit(MOD),
+    )
+
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        stop_cnt.alias("stopword_cnt"),
+        mwl.alias("mean_word_len_x100"),
+        F.when((n_tokens >= F.lit(20)) & (stop_cnt * 5 >= n_tokens), F.lit("high"))
+        .when(n_tokens >= F.lit(20), F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("quality_bucket"),
+        best.alias("lang_pred"),
+        fp.alias("fp"),
+    )
+
+
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """Exact dedup: canonical doc per identical text = min doc_id; returns
     (doc_id, dup_count) for the keepers. One hash aggregate (map-side

@@ -120,3 +120,54 @@ def extract_with_expansion(
         ).select("rel_id")
         rel_ids = rel_ids.unionByName(parents).distinct()
     return {"node_ids": node_ids, "way_ids": way_ids, "rel_ids": rel_ids}
+
+
+def filter_relation_members(
+    relations: DataFrame,
+    node_ids: DataFrame,
+    way_ids: DataFrame,
+    rel_ids: DataFrame,
+) -> DataFrame:
+    """FilterRels member filtering on extract output
+    (/root/reference/src/sorting/mergechanges.cpp:319-396): every kept
+    relation drops members whose (type, ref) is not in the kept IdSet
+    (``Relation::filter_members``), and relations left with zero members are
+    removed from the output entirely.
+
+    Spark-first: posexplode preserves member order; kept-ness per type is one
+    left join against the union of the three id tables keyed by
+    (m_type, m_ref) — a single shuffle instead of three — and members are
+    re-packed with a compacted position (the reference erases in place, so
+    surviving members keep their relative order).
+
+    Returns (rel_id, pos, m_type, m_ref, role) — the flattened compacted
+    member list of every relation that survives. Scale shape: explode +
+    equi-join on the member ref + windowless re-number via
+    ``row_number`` over (rel_id, orig_pos); the id tables are the extract's
+    own semi-join outputs so the join keys are already shuffled by ref.
+    """
+    from pyspark.sql import Window
+
+    kept = (
+        node_ids.select(F.lit(0).alias("m_type"), F.col("node_id").alias("m_ref"))
+        .unionByName(way_ids.select(F.lit(1).alias("m_type"), F.col("way_id").alias("m_ref")))
+        .unionByName(rel_ids.select(F.lit(2).alias("m_type"), F.col("rel_id").alias("m_ref")))
+    )
+    has_role = "role" in [
+        f.name for f in relations.schema["members"].dataType.elementType.fields
+    ]
+    m = relations.join(rel_ids, "rel_id", "left_semi").select(
+        "rel_id", F.posexplode("members").alias("orig_pos", "m")
+    ).select(
+        "rel_id",
+        "orig_pos",
+        F.col("m.m_type").alias("m_type"),
+        F.col("m.m_ref").alias("m_ref"),
+        (F.col("m.role") if has_role else F.lit("")).alias("role"),
+    )
+    survivors = m.join(kept, ["m_type", "m_ref"], "left_semi")
+    w = Window.partitionBy("rel_id").orderBy("orig_pos")
+    return (
+        survivors.withColumn("pos", F.row_number().over(w) - 1)
+        .select("rel_id", "pos", "m_type", "m_ref", "role")
+    )

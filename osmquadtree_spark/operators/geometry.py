@@ -23,6 +23,30 @@ def _tag_map(tags_col):
     return F.map_from_entries(tags_col)
 
 
+def fix_str_col(s):
+    """fix_str (/root/reference/src/elements/element.cpp:111-127): remove
+    every U+007F (DEL) code point. The reference decodes to UTF-32, drops
+    char 127, re-encodes; ``replace`` on the one-codepoint string is the
+    same transformation without the round-trip."""
+    return F.replace(s, F.lit("\x7f"), F.lit(""))
+
+
+def fix_tags_col(tags_col):
+    """fix_tags (/root/reference/src/elements/element.cpp:89-109): sort tags
+    by their (original) key, then strip char-127 from keys and values in
+    place — note the reference sorts BEFORE fixing, so ordering follows the
+    dirty keys. std::sort's order for duplicate keys is unspecified; we
+    tie-break deterministically on the value (array_sort's struct compare),
+    a legal refinement."""
+    col = F.col(tags_col) if isinstance(tags_col, str) else tags_col
+    return F.transform(
+        F.array_sort(col),
+        lambda t: F.struct(
+            fix_str_col(t["key"]).alias("key"), fix_str_col(t["val"]).alias("val")
+        ),
+    )
+
+
 def filter_tags_summary(
     df: DataFrame,
     tags_col: str = "tags",

@@ -205,6 +205,52 @@ def q_extract_expand(spark, sf_dir):
     )
 
 
+def q_extract_members(spark, sf_dir):
+    """FilterRels member filtering on the extract output
+    (mergechanges.cpp:319-396): members of kept relations are dropped unless
+    their (type, ref) is in the kept IdSet; emptied relations disappear.
+    Output = flattened compacted member lists (rel_id, pos, m_type, m_ref)."""
+    from .operators.extract import extract_with_expansion, filter_relation_members
+
+    nodes, ways, rels = _osm_fixture(spark, sf_dir)
+    ids = extract_with_expansion(nodes, ways, rels, BOX)
+    out = filter_relation_members(rels, ids["node_ids"], ids["way_ids"], ids["rel_ids"])
+    return out.select("rel_id", F.col("pos").cast("bigint").alias("pos"), "m_type", "m_ref")
+
+
+def q_fix_tags(spark, sf_dir):
+    """fix_tags/fix_str normalization (element.cpp:89-127) over a dirty-tag
+    fixture (keys/values salted with char 127, unsorted keys): sort by dirty
+    key, strip DEL from keys and values. Output = flattened
+    (id, pos, key, val)."""
+    from .operators.geometry import fix_tags_col
+
+    o = _load(spark, sf_dir, "orders").select(F.col("o_orderkey").cast("bigint").alias("id"))
+    k = F.col("id")
+    d = F.lit("\x7f")
+    null_t = F.lit(None).cast("struct<key:string,val:string>")
+
+    def tag(key, val):
+        return F.struct(key.alias("key"), val.alias("val"))
+
+    tags = F.array(
+        tag(F.concat(F.lit("z"), (k % 5).cast("string")), F.concat(F.lit("v"), (k % 7).cast("string"))),
+        F.when(k % 3 == 0, tag(F.concat(F.lit("b"), d, F.lit("key")), F.concat(F.lit("x"), d))).otherwise(null_t),
+        F.when(k % 2 == 0, tag(F.concat(F.lit("a"), d, F.lit("x")), F.concat(F.lit("del"), d))).otherwise(null_t),
+        tag(F.lit("mkey"), F.concat(d, F.lit("val"), d)),
+    )
+    df = o.select("id", F.filter(tags, lambda t: t.isNotNull()).alias("tags"))
+    return (
+        df.select("id", F.posexplode(fix_tags_col("tags")).alias("pos", "t"))
+        .select(
+            "id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("t.key").alias("key"),
+            F.col("t.val").alias("val"),
+        )
+    )
+
+
 RASTER_ZOOM = 6
 
 
@@ -886,20 +932,6 @@ def q_image_tiles(spark, sf_dir):
     )
 
 
-def q_image_verify(spark, sf_dir):
-    """Round-trip invariant gate (north rule): decoded pixels byte-exact for
-    lossless fmts / PSNR ≥ 40 dB for lossy, captions byte-equal — aggregated
-    per format. Binary codecs aren't SQL-expressible ⇒ rows-only check; the
-    per-row assertions run in tests/test_images.py."""
-    v = img_ops.verify_roundtrip(_images(spark, sf_dir))
-    return v.groupBy("fmt").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("exact"), 1).otherwise(0)).alias("n_exact"),
-        F.sum(F.when(F.col("psnr") >= 40.0, 1).otherwise(0)).alias("n_psnr_ok"),
-        F.sum(F.when(F.col("caption_ok"), 1).otherwise(0)).alias("n_caption_ok"),
-    )
-
-
 # ----------------------------------------------------------------------------
 # multimodal payloads (audio/video stub codecs; north-rule axes)
 
@@ -909,39 +941,65 @@ def _media_n(spark, sf_dir) -> int:
 
 
 def q_media_verify(spark, sf_dir):
-    """Round-trip invariant for the audio/video payloads (decoded samples /
-    frames bit-equal to the deterministic generators), aggregated per kind.
-    The oracle states the expected counts; per-row equality is the real
-    decode+compare in the kernel."""
+    """Round-trip invariant for EVERY opaque modality (the north rule's
+    decoded-pixels invariant): audio samples / video frames bit-equal to the
+    deterministic generators, and per image format pixels byte-exact
+    (lossless) or PSNR ≥ 40 dB (lossy) with captions byte-equal. Aggregated
+    per kind; the oracle states the expected counts (all rows must pass) —
+    per-row decode+compare is the real kernel, per-row assertions also run
+    in tests/test_images.py and tests/test_media.py."""
     from .operators.media import media_verify
     from .sources.media import audio_df, video_df
 
     _load(spark, sf_dir, "part")
     n = _media_n(spark, sf_dir)
-    v = media_verify(audio_df(spark, n), video_df(spark, n))
-    return v.groupBy("kind").agg(
+    av = media_verify(audio_df(spark, n), video_df(spark, n)).groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint").alias("n_ok"),
     )
+    iv = img_ops.verify_roundtrip(_images(spark, sf_dir))
+    img = iv.groupBy(F.concat(F.lit("img_"), F.col("fmt")).alias("kind")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("exact") | (F.col("psnr") >= 40.0)) & F.col("caption_ok"), 1).otherwise(0)
+        ).cast("bigint").alias("n_ok"),
+    )
+    return av.unionByName(img)
 
 
-def q_audio_features(spark, sf_dir):
-    """Audio decode + feature extraction (duration, peak, RMS, zero
-    crossings) — rows-only (features checked against numpy in
-    tests/test_media.py)."""
-    from .operators.media import audio_features
-    from .sources.media import audio_df
+def q_media_features(spark, sf_dir):
+    """Audio feature extraction (duration, peak, RMS, zero crossings) and
+    video frame sampling (every 2nd frame + mean intensity) in one long-form
+    table (kind, media_id, item, metric, value). Codec outputs aren't
+    SQL-expressible ⇒ rows-only; the feature math is numpy-asserted in
+    tests/test_media.py."""
+    from .operators.media import audio_features, video_frame_sample
+    from .sources.media import audio_df, video_df
 
-    return audio_features(audio_df(spark, _media_n(spark, sf_dir)))
-
-
-def q_video_frames(spark, sf_dir):
-    """Video frame sampling (every 2nd frame + mean intensity) — rows-only
-    (frame math checked in tests/test_media.py)."""
-    from .operators.media import video_frame_sample
-    from .sources.media import video_df
-
-    return video_frame_sample(video_df(spark, _media_n(spark, sf_dir)), every=2)
+    n = _media_n(spark, sf_dir)
+    a = audio_features(audio_df(spark, n))
+    a_long = a.select(
+        F.lit("audio").alias("kind"),
+        F.col("clip_id").alias("media_id"),
+        F.lit(0).cast("bigint").alias("item"),
+        F.explode(
+            F.create_map(
+                F.lit("duration_ms"), F.col("duration_ms"),
+                F.lit("peak"), F.col("peak"),
+                F.lit("rms_x1000"), F.col("rms_x1000"),
+                F.lit("zero_crossings"), F.col("zero_crossings"),
+            )
+        ).alias("metric", "value"),
+    )
+    v = video_frame_sample(video_df(spark, n), every=2)
+    v_long = v.select(
+        F.lit("video").alias("kind"),
+        F.col("video_id").alias("media_id"),
+        F.col("frame_idx").cast("bigint").alias("item"),
+        F.lit("mean_intensity_x100").alias("metric"),
+        F.col("mean_intensity_x100").alias("value"),
+    )
+    return a_long.unionByName(v_long)
 
 
 # ----------------------------------------------------------------------------
@@ -1006,20 +1064,12 @@ def q_top_customers(spark, sf_dir):
 # documents / embeddings (training-data pipeline ops)
 
 
-def q_token_count(spark, sf_dir):
-    return doc_ops.token_count(_load(spark, sf_dir, "documents"))
-
-
-def q_quality_score(spark, sf_dir):
-    return doc_ops.quality_score(_load(spark, sf_dir, "documents"))
-
-
-def q_lang_id(spark, sf_dir):
-    return doc_ops.lang_scores(_load(spark, sf_dir, "documents"))
-
-
-def q_doc_fingerprint(spark, sf_dir):
-    return doc_ops.fingerprint(_load(spark, sf_dir, "documents"))
+def q_text_analysis(spark, sf_dir):
+    """All four text-analysis operators (token counting, quality scoring,
+    language-ID, fingerprinting) in one pass — one driver entry with a single
+    full-value oracle gating all four; the individual operators remain
+    available (operators/docs.py) and unit-tested."""
+    return doc_ops.text_analysis(_load(spark, sf_dir, "documents"))
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -1176,6 +1226,39 @@ FROM bodies GROUP BY body HAVING COUNT(*) >= 2
 # oracle SQL (DuckDB dialect)
 
 
+def _idset_ctes() -> str:
+    """The mergechanges IdSet (extract expansion) as a DuckDB CTE chain:
+    node hits in BOX → kept ways (+extra nodes) → relations + 5-pass rel→rel
+    closure. Shared by the extract_expand and extract_members oracles."""
+    return f"""hits AS (
+              SELECT node_id FROM ({fx_nodes_sql()})
+              WHERE lon >= {BOX[0]} AND lon <= {BOX[2]} AND lat >= {BOX[1]} AND lat <= {BOX[3]}
+            ),
+            wkeep AS (
+              SELECT DISTINCT way_id FROM ({_WAY_PAIRS_SQL}) p JOIN hits USING (node_id)
+            ),
+            nkeep AS (
+              SELECT DISTINCT node_id FROM (
+                SELECT node_id FROM ({_WAY_PAIRS_SQL}) p JOIN wkeep USING (way_id)
+                UNION SELECT node_id FROM hits
+              )
+            ),
+            m AS ({_REL_MEMBERS_SQL}),
+            r0 AS (
+              SELECT DISTINCT rel_id FROM (
+                SELECT m.rel_id FROM m JOIN nkeep n ON m.m_type = 0 AND m.m_ref = n.node_id
+                UNION ALL
+                SELECT m.rel_id FROM m JOIN wkeep w ON m.m_type = 1 AND m.m_ref = w.way_id
+              )
+            ),
+            {', '.join(
+                f"r{k} AS (SELECT DISTINCT rel_id FROM ("
+                f"SELECT rel_id FROM r{k-1} UNION ALL "
+                f"SELECT m.rel_id FROM m JOIN r{k-1} c ON m.m_type = 2 AND m.m_ref = c.rel_id))"
+                for k in range(1, 6)
+            )}"""
+
+
 def _oracle_sql() -> dict[str, str]:
     a, b, c, d = BOX
     x_expr, y_expr = so.xyz_sql(so.round_sql("qt", 8), 8)
@@ -1255,36 +1338,40 @@ def _oracle_sql() -> dict[str, str]:
             S2_LEVEL,
         ),
         "extract_expand": f"""
-            WITH hits AS (
-              SELECT node_id FROM ({fx_nodes_sql()})
-              WHERE lon >= {BOX[0]} AND lon <= {BOX[2]} AND lat >= {BOX[1]} AND lat <= {BOX[3]}
-            ),
-            wkeep AS (
-              SELECT DISTINCT way_id FROM ({_WAY_PAIRS_SQL}) p JOIN hits USING (node_id)
-            ),
-            nkeep AS (
-              SELECT DISTINCT node_id FROM (
-                SELECT node_id FROM ({_WAY_PAIRS_SQL}) p JOIN wkeep USING (way_id)
-                UNION SELECT node_id FROM hits
-              )
-            ),
-            m AS ({_REL_MEMBERS_SQL}),
-            r0 AS (
-              SELECT DISTINCT rel_id FROM (
-                SELECT m.rel_id FROM m JOIN nkeep n ON m.m_type = 0 AND m.m_ref = n.node_id
-                UNION ALL
-                SELECT m.rel_id FROM m JOIN wkeep w ON m.m_type = 1 AND m.m_ref = w.way_id
-              )
-            ),
-            {', '.join(
-                f"r{k} AS (SELECT DISTINCT rel_id FROM ("
-                f"SELECT rel_id FROM r{k-1} UNION ALL "
-                f"SELECT m.rel_id FROM m JOIN r{k-1} c ON m.m_type = 2 AND m.m_ref = c.rel_id))"
-                for k in range(1, 6)
-            )}
+            WITH {_idset_ctes()}
             SELECT 0 AS element_type, node_id AS id FROM nkeep
             UNION ALL SELECT 1, way_id FROM wkeep
             UNION ALL SELECT 2, rel_id FROM r5""",
+        "extract_members": f"""
+            WITH {_idset_ctes()}
+            SELECT rel_id,
+                   ROW_NUMBER() OVER (PARTITION BY rel_id ORDER BY pos) - 1 AS pos,
+                   m_type, m_ref
+            FROM m
+            WHERE rel_id IN (SELECT rel_id FROM r5)
+              AND ((m_type = 0 AND m_ref IN (SELECT node_id FROM nkeep))
+                OR (m_type = 1 AND m_ref IN (SELECT way_id FROM wkeep))
+                OR (m_type = 2 AND m_ref IN (SELECT rel_id FROM r5)))""",
+        "fix_tags": """
+            WITH dirty AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS id,
+                     'z' || CAST(o_orderkey % 5 AS VARCHAR) AS k,
+                     'v' || CAST(o_orderkey % 7 AS VARCHAR) AS v
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, 'b' || chr(127) || 'key', 'x' || chr(127)
+              FROM orders WHERE o_orderkey % 3 = 0
+              UNION ALL
+              SELECT o_orderkey, 'a' || chr(127) || 'x', 'del' || chr(127)
+              FROM orders WHERE o_orderkey % 2 = 0
+              UNION ALL
+              SELECT o_orderkey, 'mkey', chr(127) || 'val' || chr(127) FROM orders
+            )
+            SELECT id,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY k, v) - 1 AS pos,
+                   replace(k, chr(127), '') AS key,
+                   replace(v, chr(127), '') AS val
+            FROM dirty""",
         "raster_vector": f"""
             SELECT elem_id, x AS tile_x, y AS tile_y, x * 64 + y AS payload FROM (
               SELECT elem_id,
@@ -1356,7 +1443,13 @@ def _oracle_sql() -> dict[str, str]:
         "media_verify": """
             SELECT 'audio' AS kind, COUNT(*)::BIGINT AS n, COUNT(*)::BIGINT AS n_ok FROM part
             UNION ALL
-            SELECT 'video', COUNT(*)::BIGINT, COUNT(*)::BIGINT FROM part""",
+            SELECT 'video', COUNT(*)::BIGINT, COUNT(*)::BIGINT FROM part
+            UNION ALL
+            SELECT 'img_png', COUNT(*)::BIGINT, COUNT(*)::BIGINT FROM part WHERE p_partkey % 3 = 0
+            UNION ALL
+            SELECT 'img_jpeg', COUNT(*)::BIGINT, COUNT(*)::BIGINT FROM part WHERE p_partkey % 3 = 1
+            UNION ALL
+            SELECT 'img_ppm', COUNT(*)::BIGINT, COUNT(*)::BIGINT FROM part WHERE p_partkey % 3 = 2""",
         "node_qts": cqo.node_qts_sql(),
         "rel_qts": cqo.rel_qts_sql(),
         "image_qt_assign": so.calculate_cte(
@@ -1387,51 +1480,43 @@ def _oracle_sql() -> dict[str, str]:
               )
             ) WHERE rn = 1 AND changetype NOT IN (1, 2)""",
         "caption_dedup": _caption_dedup_sql(),
+        # NB: DuckDB's SUM over BIGINT returns HUGEINT (int128), which breaks
+        # the driver's typed value hash even when every value is equal — cast
+        # the aggregate back to BIGINT (values fit: cents sums < 2^53)
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
-                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+                   (SUM(CAST(round(l_extendedprice * 100) AS BIGINT)))::BIGINT AS sum_base_price_cents,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus""",
         "top_customers": """
             SELECT c_custkey, c_name, COUNT(*) AS order_cnt,
-                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_spent_cents
+                   (SUM(CAST(round(o_totalprice * 100) AS BIGINT)))::BIGINT AS total_spent_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_custkey, c_name
             HAVING COUNT(*) >= 12""",
-        "token_count": """
-            SELECT doc_id,
-                   len(string_split(text, ' '))::BIGINT AS n_tokens,
-                   length(text)::BIGINT AS n_chars_computed
-            FROM documents""",
-        "quality_score": f"""
-            SELECT doc_id, n_tokens, stopword_cnt, mean_word_len_x100,
+        "text_analysis": f"""
+            SELECT doc_id, n_tokens, n_chars_computed, stopword_cnt, mean_word_len_x100,
                    CASE WHEN n_tokens >= 20 AND stopword_cnt * 5 >= n_tokens THEN 'high'
-                        WHEN n_tokens >= 20 THEN 'mid' ELSE 'low' END AS quality_bucket
+                        WHEN n_tokens >= 20 THEN 'mid' ELSE 'low' END AS quality_bucket,
+                   {best} AS lang_pred, fp
             FROM (
               SELECT doc_id,
                      len(string_split(text, ' '))::BIGINT AS n_tokens,
+                     length(text)::BIGINT AS n_chars_computed,
                      len(list_filter(string_split(text, ' '),
                                      w -> w IN ('{STOP_SQL}')))::BIGINT AS stopword_cnt,
                      (length(text)::BIGINT * 100) // len(string_split(text, ' '))::BIGINT
-                         AS mean_word_len_x100
+                         AS mean_word_len_x100,
+                     {', '.join(f"{lang_score[lang]}::BIGINT AS s_{lang}" for lang in langs)},
+                     list_reduce(
+                       list_prepend(0::BIGINT,
+                         list_transform(string_split(text, ' '), w -> {code}::BIGINT)),
+                       (a, b) -> (a * 131 + b) % {doc_ops.MOD}) AS fp
               FROM documents
             )""",
-        "lang_id": f"""
-            SELECT doc_id, {best} AS lang_pred FROM (
-              SELECT doc_id,
-                     {', '.join(f"{lang_score[lang]}::BIGINT AS s_{lang}" for lang in langs)}
-              FROM documents
-            )""",
-        "doc_fingerprint": f"""
-            SELECT doc_id,
-                   list_reduce(
-                     list_prepend(0::BIGINT,
-                       list_transform(string_split(text, ' '), w -> {code}::BIGINT)),
-                     (a, b) -> (a * 131 + b) % {doc_ops.MOD}) AS fp
-            FROM documents""",
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
             FROM documents GROUP BY text""",
@@ -1491,6 +1576,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_extract": q_poly_extract,
         "s2_cells": q_s2_cells,
         "extract_expand": q_extract_expand,
+        "extract_members": q_extract_members,
+        "fix_tags": q_fix_tags,
         "raster_vector": q_raster_vector,
         "xyz_tiles": q_xyz_tiles,
         "knn_points": q_knn_points,
@@ -1518,17 +1605,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_qts": q_rel_qts,
         "image_qt_assign": q_image_qt_assign,
         "image_tiles": q_image_tiles,
-        "image_verify": q_image_verify,
         "media_verify": q_media_verify,
-        "audio_features": q_audio_features,
-        "video_frames": q_video_frames,
+        "media_features": q_media_features,
         "caption_dedup": q_caption_dedup,
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
+        "text_analysis": q_text_analysis,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,

@@ -73,10 +73,8 @@ ROWS_ONLY = {
     "group_assign_fine",
     "ann_lsh_topk",
     "image_tiles",
-    "image_verify",
     "dedup_embedding_lsh",
-    "audio_features",
-    "video_frames",
+    "media_features",
 }
 
 

@@ -82,3 +82,40 @@ def test_apply_changes_edge_cases(spark):
     # 1: untouched; 2: newest says Remove → dropped; 3: Delete → dropped;
     # 4: created then deleted → dropped; 5: created → kept, normalized
     assert got == {1: ("a", 0), 5: ("e2", 0)}
+
+
+def test_filter_relation_members_drops_unkept_and_empties(spark):
+    from osmquadtree_spark.operators.extract import filter_relation_members
+
+    rels = spark.createDataFrame(
+        [
+            (1, [(0, 10), (1, 20), (2, 3)]),     # node kept, way dropped, rel kept
+            (2, [(0, 99), (1, 98)]),             # all members dropped -> relation removed
+            (3, [(1, 20), (0, 10)]),             # not in kept rel set -> removed entirely
+        ],
+        "rel_id bigint, members array<struct<m_type:int, m_ref:bigint>>",
+    )
+    node_ids = spark.createDataFrame([(10,)], "node_id bigint")
+    way_ids = spark.createDataFrame([(21,)], "way_id bigint")
+    rel_ids = spark.createDataFrame([(1,), (2,), (3,)], "rel_id bigint").filter(
+        F.col("rel_id") != 3
+    )
+    out = filter_relation_members(rels, node_ids, way_ids, rel_ids)
+    rows = sorted((r.rel_id, r.pos, r.m_type, r.m_ref) for r in out.collect())
+    # rel 1 keeps node 10 (compacted to pos 0) and child rel 3? no — rel 3 is
+    # not in the kept set; only members present in the kept IdSet survive
+    assert rows == [(1, 0, 0, 10)]
+
+
+def test_fix_tags_sorts_on_dirty_key_then_strips_del(spark):
+    from osmquadtree_spark.operators.geometry import fix_tags_col
+
+    df = spark.createDataFrame(
+        [(1, [("z", "1"), ("a\x7f", "v\x7f"), ("ab", "2")])],
+        "id bigint, tags array<struct<key:string,val:string>>",
+    )
+    out = df.select(fix_tags_col("tags").alias("t")).collect()[0].t
+    # sort happens on the DIRTY keys (the reference sorts before fixing):
+    # 'ab' < 'a\x7f' in binary order, so the cleaned bare 'a' lands AFTER
+    # 'ab' — a clean-key sort would have put 'a' first
+    assert [(t.key, t.val) for t in out] == [("ab", "2"), ("a", "v"), ("z", "1")]
