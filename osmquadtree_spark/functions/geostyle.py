@@ -9,6 +9,8 @@ from these dicts, so a table edit cannot de-synchronize engine and oracle.
 
 from __future__ import annotations
 
+from . import style_defaults as _defaults
+
 # z_order value tables (makegeometries.cpp:37-131, verbatim)
 Z_ORDER: dict[str, dict[str, int]] = {
     "highway": {
@@ -38,21 +40,11 @@ Z_ORDER: dict[str, dict[str, int]] = {
     "aeroway": {"runway": 60, "taxiway": 50},
 }
 
-# polygon typing (style.py:182-206): key → "all" | ("include", set) | ("exclude", set)
+# polygon typing — the FULL default table (style.py:182-206), transcribed in
+# functions/style_defaults.py and pinned verbatim by tests/test_style_pin.py:
+# key → "all" | ("include", set) | ("exclude", set)
 POLYGON_TAGS: dict[str, tuple[str, frozenset[str]]] = {
-    "aeroway": ("exclude", frozenset({"taxiway"})),
-    "amenity": ("all", frozenset()),
-    "area": ("all", frozenset()),
-    "barrier": ("include", frozenset({"city_wall", "ditch", "wall", "spikes"})),
-    "boundary": ("all", frozenset()),
-    "building": ("all", frozenset()),
-    "highway": ("include", frozenset({"services", "rest_area", "escape", "elevator"})),
-    "landuse": ("all", frozenset()),
-    "leisure": ("all", frozenset()),
-    "man_made": ("exclude", frozenset({"cutline", "embankment", "pipeline"})),
-    "natural": ("exclude", frozenset({"coastline", "cliff", "ridge", "arete", "tree_row"})),
-    "railway": ("include", frozenset({"station", "turntable", "roundhouse", "platform"})),
-    "waterway": ("include", frozenset({"riverbank", "dock", "boatyard", "dam"})),
+    k: (t, frozenset(vals)) for k, (t, vals) in _defaults.POLYGON_TAGS.items()
 }
 
 # way-tag priority for parent-tag propagation (style.py:222-233)
@@ -86,34 +78,30 @@ RELATION_TAG_SPECS: list[tuple[str, dict[str, str], str, str]] = [
     ("bicycle_routes", {"type": "route", "route": "bicycle"}, "ref", "list"),
 ]
 
-# tag-filter sets (a compact instance of the osm-carto defaults)
-FEATURE_KEYS = frozenset({"highway", "railway", "building", "natural", "waterway", "landuse", "amenity"})
-OTHER_KEYS = frozenset({"layer", "area", "ref", "name", "service", "crossing", "admin_level"})
-DROP_KEYS = frozenset({"note", "created_by", "source", "source:"})
+# tag-filter sets — the full defaults (style.py default_feature_keys /
+# osm_carto_drop_keys); `other_keys` defaults to None in the reference
+# (= keep all non-dropped keys), so OTHER_KEYS only matters for explicit
+# all_other_keys=False configs
+FEATURE_KEYS = frozenset(_defaults.FEATURE_KEYS)
+OTHER_KEYS = frozenset({"layer", "area", "ref", "name", "crossing", "admin_level"})
+DROP_KEYS = frozenset(_defaults.DROP_KEYS)
 
 EARTH_WIDTH = 20037508.342789244  # geometry.hpp:55
 
-# minzoom spec — verbatim subset of minzoomvalues.default covering the
-# fixture vocabulary: (geom_class 0=point/1=line/2=polygon, key,
-# value-or-*, minzoom). Exact value entries shadow the wildcard for the
-# same (class, key) (findminzoom.cpp:76-90 check_tag order).
-MINZOOM_SPEC: list[tuple[int, str, str, int]] = [
-    (0, "highway", "bus_stop", 16),
-    (0, "railway", "halt", 13),
-    (0, "railway", "crossing", 15),
-    (1, "highway", "motorway", 6),
-    (1, "highway", "residential", 12),
-    (1, "highway", "footway", 13),
-    (1, "highway", "service", 13),
-    (1, "highway", "track", 13),
-    (1, "railway", "rail", 8),
-    (1, "waterway", "stream", 12),
-    (2, "building", "*", 12),
-    (2, "natural", "water", 0),
-    (2, "waterway", "riverbank", 0),
-    (2, "railway", "halt", 15),
-    (2, "highway", "bus_stop", 16),
-]
+# minzoom spec — the FULL 726-row minzoomvalues.default (style_defaults.py,
+# pin-tested), deduplicated keep-first per (class, key, value) like the
+# reference's std::map::insert (findminzoom.cpp:57-61):
+# (geom_class 0=point/1=line/2=polygon, key, value-or-*, minzoom). Exact
+# value entries shadow the wildcard for the same (class, key)
+# (findminzoom.cpp:76-90 check_tag order).
+MINZOOM_SPEC: list[tuple[int, str, str, int]] = []
+# (class, key, value) → output table name (the 5th CSV column: point / line /
+# polygon / boundary / building / highway routing for the PostGIS sink)
+MINZOOM_TABLE: dict[tuple[int, str, str], str] = {}
+for _c, _k, _v, _z, _tbl in _defaults.MINZOOM_DEFAULT:
+    if (_c, _k, _v) not in MINZOOM_TABLE:
+        MINZOOM_TABLE[(_c, _k, _v)] = _tbl
+        MINZOOM_SPEC.append((_c, _k, _v, _z))
 MINZOOM_MINLEN = 10.0   # metres; process_geometry default is 0 (off)
 MINZOOM_MINAREA = 5.0   # m²; the CLI default (process.py:87)
 

@@ -257,6 +257,83 @@ def minzoom_tags_col(tags_col, geom_class_col, spec=None):
     return out.cast("bigint")
 
 
+def tags_minzoom_join(
+    df: DataFrame,
+    tags_col,
+    geom_class_col,
+    id_cols: list[str],
+    spec=None,
+) -> DataFrame:
+    """Tag minzoom via a broadcast spec join — the full-default-spec path.
+
+    The 726-row default table is DATA, not code: compiling it into one CASE
+    expression produces a thousand-node Catalyst tree that falls out of
+    whole-stage codegen, and at 10^12 rows an interpreted 726-branch CASE
+    per row loses badly to a broadcast hash lookup. The reference itself
+    does a map lookup per tag (findminzoom.cpp:105-121); this restates it as
+    explode(tags) ⨝ broadcast(spec): exact (class, key, value) hits shadow
+    the (class, key, *) wildcard via coalesce, and the element's tag zoom is
+    the MIN over its matching tags (check_tag keeps the smallest).
+
+    Returns one row per input element with ≥1 matching tag:
+    (*id_cols, _zt bigint)."""
+    spec = spec if spec is not None else gs.MINZOOM_SPEC
+    spark = df.sparkSession
+    sdf = spark.createDataFrame(
+        [(c, k, v, z) for c, k, v, z in spec], "cls int, key string, val string, z bigint"
+    )
+    exact = sdf.filter(F.col("val") != "*").withColumnRenamed("z", "_ze")
+    wild = sdf.filter(F.col("val") == "*").select("cls", "key", F.col("z").alias("_zw"))
+    t = df.select(
+        *id_cols,
+        geom_class_col.cast("int").alias("cls"),
+        F.explode(F.col(tags_col) if isinstance(tags_col, str) else tags_col).alias("_t"),
+    ).select(*id_cols, "cls", F.col("_t.key").alias("key"), F.col("_t.val").alias("val"))
+    j = (
+        t.join(F.broadcast(exact), ["cls", "key", "val"], "left")
+        .join(F.broadcast(wild), ["cls", "key"], "left")
+        .withColumn("_cand", F.coalesce(F.col("_ze"), F.col("_zw")))
+    )
+    return j.groupBy(*id_cols).agg(F.min("_cand").alias("_zt")).filter(
+        F.col("_zt").isNotNull()
+    )
+
+
+def with_minzoom(
+    df: DataFrame,
+    tags_col,
+    geom_class_col,
+    id_cols: list[str],
+    length_col=None,
+    area_col=None,
+    minlen: float = None,
+    minarea: float = None,
+    spec=None,
+    out_col: str = "minzoom",
+) -> DataFrame:
+    """findminzoom calculate (findminzoom.cpp:127-161) over the full spec:
+    join-based tag zoom (tags_minzoom_join) raised by the geometric zoom —
+    length_zoom for linestrings (class 1), area_zoom for polygons (class 2).
+    NULL minzoom = no spec tag matched (the reference drops those features;
+    callers decide)."""
+    minlen = gs.MINZOOM_MINLEN if minlen is None else minlen
+    minarea = gs.MINZOOM_MINAREA if minarea is None else minarea
+    zt_df = tags_minzoom_join(df, tags_col, geom_class_col, id_cols, spec)
+    out = df.join(zt_df, id_cols, "left")
+    zt = F.col("_zt")
+    zg = F.lit(0).cast("bigint")
+    if length_col is not None and minlen > 0:
+        zl = res_zoom_col(length_col / F.lit(minlen))
+        zg = F.when(geom_class_col == 1, zl.cast("bigint")).otherwise(zg)
+    if area_col is not None and minarea > 0:
+        za = res_zoom_col(F.sqrt(area_col / F.lit(minarea)))
+        zg = F.when(geom_class_col == 2, za.cast("bigint")).otherwise(zg)
+    return out.withColumn(
+        out_col,
+        F.when(zt.isNull(), F.lit(None).cast("bigint")).otherwise(F.greatest(zt, zg)),
+    ).drop("_zt")
+
+
 def minzoom_col(
     tags_col,
     geom_class_col,

@@ -845,9 +845,11 @@ def q_geojson_tiles(spark, sf_dir):
 
 
 def q_geom_minzoom(spark, sf_dir):
-    """findminzoom: tag-table minzoom (exact shadows wildcard per class)
-    raised by the geometric zoom — length for linestrings, area for
-    polygon-typed rings (abs: the reference stores positively-oriented
+    """findminzoom over the FULL 726-row default spec: tag-table minzoom
+    (exact shadows wildcard per class; min over matching tags) via the
+    broadcast spec join (tags_minzoom_join — data-driven, not compiled to a
+    CASE chain) raised by the geometric zoom — length for linestrings, area
+    for polygon-typed rings (abs: the reference stores positively-oriented
     rings). Degenerate rings excluded as in geom_way_stats."""
     from .operators import geometry as geo
     from .sources import osm_fixture as fx
@@ -855,10 +857,8 @@ def q_geom_minzoom(spark, sf_dir):
     _load(spark, sf_dir, "orders")
     _load(spark, sf_dir, "lineitem")
     nt = fx.fixture_node_tags(spark, sf_dir)
-    nodes_out = nt.select(
-        F.lit(0).alias("element_type"),
-        F.col("node_id").alias("id"),
-        geo.minzoom_col("tags", F.lit(0)).alias("minzoom"),
+    nodes_out = geo.with_minzoom(nt, "tags", F.lit(0), ["node_id"]).select(
+        F.lit(0).alias("element_type"), F.col("node_id").alias("id"), "minzoom"
     )
 
     wt = fx.fixture_way_tags(spark, sf_dir)
@@ -877,16 +877,14 @@ def q_geom_minzoom(spark, sf_dir):
     )
     w = wt.join(wstats, "way_id")
     gclass = F.when(is_ring & geo.is_polygon_col("tags"), F.lit(2)).otherwise(F.lit(1))
-    ways_out = (
-        w.filter(~(is_ring & (F.col("_npts") < 4)))  # degenerate rings
-        .select(
-            F.lit(1).alias("element_type"),
-            F.col("way_id").alias("id"),
-            geo.minzoom_col(
-                "tags", gclass, length_col=F.col("_len"), area_col=F.col("_area")
-            ).alias("minzoom"),
-        )
-    )
+    ways_out = geo.with_minzoom(
+        w.filter(~(is_ring & (F.col("_npts") < 4))),  # degenerate rings
+        "tags",
+        gclass,
+        ["way_id"],
+        length_col=F.col("_len"),
+        area_col=F.col("_area"),
+    ).select(F.lit(1).alias("element_type"), F.col("way_id").alias("id"), "minzoom")
     return nodes_out.unionByName(ways_out)
 
 
