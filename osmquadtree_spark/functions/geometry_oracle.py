@@ -199,19 +199,39 @@ def multipolygon_sql() -> str:
     def Y(v):
         return f"ln(tan(pi() * (1e0 + (({v}) * 1e-7) / 90e0) / 4e0)) * {EW} / pi()"
 
-    def square_area(cx, cy, s):
+    def _corners(cx, cy, s):
         # the members trace the square counterclockwise; the reference
         # formula (-sum/2, utils.cpp:103) makes CCW negative, so the
         # operator normalizes by REVERSING the assembled ring — its final
         # traversal is c0→c3→c2→c1→c0, walked here for bit-exact parity
         xs = [X(f"{cx} - {s}"), X(f"{cx} - {s}"), X(f"{cx} + {s}"), X(f"{cx} + {s}")]
         ys = [Y(f"{cy} - {s}"), Y(f"{cy} + {s}"), Y(f"{cy} + {s}"), Y(f"{cy} - {s}")]
+        return xs, ys
+
+    def square_area(cx, cy, s):
+        xs, ys = _corners(cx, cy, s)
         terms = []
         for i in range(4):
             j = (i + 1) % 4
             terms.append(f"+ ({xs[i]}) * ({ys[j]})")
             terms.append(f"- ({ys[i]}) * ({xs[j]})")
         return f"(-1e0 * (0e0 {' '.join(terms)}) / 2e0)"
+
+    def square_centroid(cx, cy, s, axis):
+        # calc_ring_centroid's fold over the same traversal: per step
+        # cross = x·y' - x'·y; acc += (c + c')·cross; area += cross;
+        # result = acc / ((area/2) * 6) — left-assoc sums mirror the += order
+        xs, ys = _corners(cx, cy, s)
+        cs = xs if axis == "x" else ys
+        crosses, accs = [], []
+        for i in range(4):
+            j = (i + 1) % 4
+            cr = f"(({xs[i]}) * ({ys[j]}) - ({xs[j]}) * ({ys[i]}))"
+            crosses.append(cr)
+            accs.append(f"(({cs[i]}) + ({cs[j]})) * {cr}")
+        acc = "(0e0 + " + " + ".join(accs) + ")"
+        area = "((0e0 + " + " + ".join(crosses) + ") / 2e0)"
+        return f"({acc} / ({area} * 6e0))"
 
     return f"""
 WITH ks AS (
@@ -226,7 +246,11 @@ SELECT k AS rel_id,
        (k % 3 = 0)::BIGINT AS n_inners,
        (k % 5 = 0)::BIGINT AS n_open,
        CAST(floor({square_area('cx', 'cy', 's')} / 65536e0) AS BIGINT) AS outer_area_64k,
-       CAST(floor((CASE WHEN k % 3 = 0 THEN {square_area('cx', 'cy', '(s // 2)')} ELSE 0e0 END) / 65536e0) AS BIGINT) AS inner_area_64k
+       CAST(floor((CASE WHEN k % 3 = 0 THEN {square_area('cx', 'cy', '(s // 2)')} ELSE 0e0 END) / 65536e0) AS BIGINT) AS inner_area_64k,
+       (1 + (k % 3 = 0)::INT)::BIGINT AS wkb_n_rings,
+       (5 + 5 * (k % 3 = 0)::INT)::BIGINT AS wkb_n_points,
+       CAST(floor({square_centroid('cx', 'cy', 's', 'x')} / 16e0) AS BIGINT) AS centroid_x_16,
+       CAST(floor({square_centroid('cx', 'cy', 's', 'y')} / 16e0) AS BIGINT) AS centroid_y_16
 FROM ks
 """.strip()
 
@@ -350,38 +374,75 @@ FROM (SELECT o_orderkey AS way_id FROM orders)
 
 
 def geojson_tiles_sql() -> str:
-    """Per-tile FeatureCollections from the node rules + the point cell
-    (depth 17) rounded to level 3."""
+    """Per-(tile, kind) FeatureCollections: points from the node rules +
+    point cell (depth 17) rounded to level 3; LineStrings / Polygons from
+    the ways at round(way-bbox cell, 3), rings closed by re-appending the
+    first vertex."""
     from . import sql_oracle as so
+    from .calcqts_oracle import way_qts_sql
 
-    entries = []
-    for key, val_sql, cond_sql in NODE_TAG_RULES:
-        w = "CAST(node_id AS BIGINT)"
-        entries.append((key, val_sql.replace("{w}", w), cond_sql.replace("{w}", w)))
-    json_items = ", ".join(
-        f"CASE WHEN {c} THEN '\"{k}\":\"' || ({v}) || '\"' END"
-        for k, v, c in sorted(entries)
-    )
+    def _props(rules, idc):
+        entries = []
+        for key, val_sql, cond_sql in rules:
+            w = f"CAST({idc} AS BIGINT)"
+            entries.append((key, val_sql.replace("{w}", w), cond_sql.replace("{w}", w)))
+        json_items = ", ".join(
+            f"CASE WHEN {c} THEN '\"{k}\":\"' || ({v}) || '\"' END"
+            for k, v, c in sorted(entries)
+        )
+        return (
+            "'{' || COALESCE(array_to_string(list_filter(["
+            + json_items
+            + "], x -> x IS NOT NULL), ','), '') || '}'"
+        )
+
     point_base = f"""
 SELECT node_id, lon AS minx, lat AS miny, lon AS maxx, lat AS maxy
 FROM ({nodes_sql()})"""
-    props = (
-        "'{' || COALESCE(array_to_string(list_filter([" + json_items + "], x -> x IS NOT NULL), ','), '') || '}'"
-    )
-    feature = (
+    nprops = _props(NODE_TAG_RULES, "node_id")
+    point_feature = (
         "'{\"type\":\"Feature\",\"geometry\":{\"type\":\"Point\",\"coordinates\":['"
         " || printf('%.7f', lon * 1e-7) || ',' || printf('%.7f', lat * 1e-7)"
-        f" || ']}},\"properties\":' || {props} || '}}'"
+        f" || ']}},\"properties\":' || {nprops} || '}}'"
+    )
+    wprops = _props(WAY_TAG_RULES, "way_id")
+    line_feature = (
+        "'{\"type\":\"Feature\",\"geometry\":{\"type\":\"LineString\",\"coordinates\":['"
+        " || array_to_string(cl, ',')"
+        f" || ']}},\"properties\":' || {wprops} || '}}'"
+    )
+    poly_feature = (
+        "'{\"type\":\"Feature\",\"geometry\":{\"type\":\"Polygon\",\"coordinates\":[['"
+        " || array_to_string(list_append(cl, cl[1]), ',')"
+        f" || ']]}},\"properties\":' || {wprops} || '}}'"
+    )
+    collection = (
+        "'{\"type\":\"FeatureCollection\",\"features\":['"
+        " || array_to_string(list(feature ORDER BY oid), ',') || ']}'"
     )
     return f"""
 WITH pq AS ({so.calculate_cte(point_base, "node_id")}),
-feats AS (
-  SELECT n.node_id, {so.round_sql('pq.qt', 3)} AS tile, {feature} AS feature
+nfeats AS (
+  SELECT n.node_id AS oid, {so.round_sql('pq.qt', 3)} AS tile, {point_feature} AS feature
   FROM ({nodes_sql()}) n JOIN pq USING (node_id)
+),
+wq AS ({way_qts_sql()}),
+wpts AS (
+  SELECT way_id, list(printf('[%.7f,%.7f]', lon * 1e-7, lat * 1e-7) ORDER BY node_id) AS cl
+  FROM ({way_pairs_sql()}) p JOIN ({nodes_sql()}) n USING (node_id)
+  GROUP BY way_id
+),
+wfeats AS (
+  SELECT w.way_id AS oid, {so.round_sql('wq.qt', 3)} AS tile,
+         way_id % 6 = 0 AS isring,
+         CASE WHEN way_id % 6 = 0 THEN {poly_feature} ELSE {line_feature} END AS feature
+  FROM wpts w JOIN wq USING (way_id)
 )
-SELECT tile, '{{"type":"FeatureCollection","features":['
-       || array_to_string(list(feature ORDER BY node_id), ',') || ']}}' AS geojson
-FROM feats GROUP BY tile
+SELECT tile, 'point' AS kind, {collection} AS geojson FROM nfeats GROUP BY tile
+UNION ALL
+SELECT tile, 'line', {collection} FROM wfeats WHERE NOT isring GROUP BY tile
+UNION ALL
+SELECT tile, 'polygon', {collection} FROM wfeats WHERE isring GROUP BY tile
 """.strip()
 
 

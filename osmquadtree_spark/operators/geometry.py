@@ -414,6 +414,36 @@ def line_length_col(xs, ys):
     return F.when(F.size(xs) >= 2, total).otherwise(F.lit(0.0))
 
 
+def ring_centroid_cols(xs, ys):
+    """calc_ring_centroid (utils.cpp:107-138) as fold expressions over the
+    3857 coordinate arrays: per step cross = x·y' - x'·y, the axis sums
+    accumulate (c + c')·cross, area accumulates cross and is halved before
+    the /6. Returns (x, y) Columns; NULL below 3 points (the reference's
+    1/2-point special cases live in the kernel form,
+    operators/multipolygons.ring_centroid)."""
+    idx = F.sequence(F.lit(2), F.size(xs))
+
+    def cross(i):
+        return F.element_at(xs, i - 1) * F.element_at(ys, i) - F.element_at(
+            xs, i
+        ) * F.element_at(ys, i - 1)
+
+    def acc(cs):
+        terms = F.transform(
+            idx, lambda i: (F.element_at(cs, i - 1) + F.element_at(cs, i)) * cross(i)
+        )
+        return F.aggregate(terms, F.lit(0.0), lambda a, v: a + v)
+
+    area = (
+        F.aggregate(F.transform(idx, cross), F.lit(0.0), lambda a, v: a + v) / F.lit(2.0)
+    )
+    guard = F.size(xs) >= 3
+    return (
+        F.when(guard, acc(xs) / (area * F.lit(6.0))),
+        F.when(guard, acc(ys) / (area * F.lit(6.0))),
+    )
+
+
 def ring_area_col(xs, ys):
     """calc_ring_area (utils.cpp:84-105): shoelace fold in 3857,
     anticlockwise-positive via the final -area/2. Same accumulation order

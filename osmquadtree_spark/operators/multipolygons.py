@@ -132,6 +132,32 @@ def ring_area(pts: list[tuple[int, int]]) -> float:
     return -1.0 * area / 2.0
 
 
+def ring_centroid(pts: list[tuple[int, int]]) -> tuple[float, float]:
+    """calc_ring_centroid (utils.cpp:107-138): cross-weighted vertex fold in
+    3857, same accumulation order as the reference (x and y accumulate their
+    own sums; area accumulates separately and is halved before the /6)."""
+    if not pts:
+        return (0.0, 0.0)
+    last = _fwd(*pts[0])
+    if len(pts) == 1:
+        return last
+    nxt = _fwd(*pts[1])
+    if len(pts) == 2:
+        return ((last[0] + nxt[0]) / 2.0, (last[1] + nxt[1]) / 2.0)
+    area = 0.0
+    x = 0.0
+    y = 0.0
+    for j in range(1, len(pts)):
+        nxt = _fwd(*pts[j])
+        cross = last[0] * nxt[1] - nxt[0] * last[1]
+        x += (last[0] + nxt[0]) * cross
+        y += (last[1] + nxt[1]) * cross
+        area += cross
+        last = nxt
+    area /= 2
+    return (x / (area * 6), y / (area * 6))
+
+
 def assemble_relation(members: list[tuple[str, list[int], list[tuple[int, int]]]]):
     """members: [(role, refs, lonlats)] in member order →
     dict(outers=[pts...], inners=[pts...], n_open=int). Outer rings are
@@ -153,15 +179,43 @@ def assemble_relation(members: list[tuple[str, list[int], list[tuple[int, int]]]
 
 MP_OUT_SCHEMA = (
     "rel_id bigint, n_outers bigint, n_inners bigint, n_open bigint, "
-    "outer_area_64k bigint, inner_area_64k bigint"
+    "outer_area_64k bigint, inner_area_64k bigint, "
+    "wkb_n_rings bigint, wkb_n_points bigint, "
+    "centroid_x_16 bigint, centroid_y_16 bigint"
 )
+
+
+def multipolygon_wkb(res: dict) -> bytes | None:
+    """Assembled rings → MultiPolygon EWKB, the ComplicatedPolygon writer's
+    shape (make_multi_wkb, utils.cpp:541-563): one Polygon part per outer
+    ring, inner rings attached to the first outer, SRID 4326 header on the
+    multi only (parts carry bare headers, as the reference's part writers
+    emit without the SRID flag)."""
+    from .wkb import multi_wkb, polygon_wkb
+
+    if not res["outers"]:
+        return None
+    parts = []
+    for i, outer in enumerate(res["outers"]):
+        rings = [outer] + (res["inners"] if i == 0 else [])
+        parts.append(
+            polygon_wkb(
+                [([p[0] for p in r], [p[1] for p in r]) for r in rings],
+                transform=False,
+                srid=False,
+            )
+        )
+    return multi_wkb(6, parts, transform=False, srid=True)
 
 
 def multipolygon_stats(members: DataFrame) -> DataFrame:
     """members: (rel_id, pos, role, refs array<bigint>, lons array<bigint>,
     lats array<bigint>) → per-relation assembly summary. The gated shape:
-    ring counts + floor-scaled total areas (the raw ring geometry is
-    available via assemble_relation for sinks).
+    ring counts + floor-scaled total areas, PLUS the WKB wiring — the
+    assembled rings are encoded as MultiPolygon EWKB and decoded back, and
+    the reported ring/point counts come from the DECODED payload, so the
+    oracle match also gates the polygon/multi writers. centroid_*_16 =
+    floor(first-outer-ring 3857 centroid / 16) (calc_ring_centroid).
 
     Shape note: relations are many and tiny, so groupBy().applyInPandas
     (one pandas frame per GROUP, ~200µs overhead each) is the wrong tool —
@@ -169,6 +223,8 @@ def multipolygon_stats(members: DataFrame) -> DataFrame:
     aggregate and the kernel runs over Arrow BATCHES of relations
     (mapInPandas), which is ~5× faster at 150k relations."""
     from pyspark.sql import functions as F
+
+    from .wkb import decode_multi
 
     grouped = members.groupBy("rel_id").agg(
         F.array_sort(
@@ -181,6 +237,7 @@ def multipolygon_stats(members: DataFrame) -> DataFrame:
             out = {k: [] for k in (
                 "rel_id", "n_outers", "n_inners", "n_open",
                 "outer_area_64k", "inner_area_64k",
+                "wkb_n_rings", "wkb_n_points", "centroid_x_16", "centroid_y_16",
             )}
             for rel_id, ms in zip(pdf["rel_id"], pdf["ms"]):
                 parts = [
@@ -196,6 +253,22 @@ def multipolygon_stats(members: DataFrame) -> DataFrame:
                 out["n_open"].append(res["n_open"])
                 out["outer_area_64k"].append(math.floor(oa / 65536.0))
                 out["inner_area_64k"].append(math.floor(ia / 65536.0))
+                blob = multipolygon_wkb(res)
+                if blob is None:
+                    out["wkb_n_rings"].append(None)
+                    out["wkb_n_points"].append(None)
+                else:
+                    _, _, dparts = decode_multi(blob)
+                    rings = [r for p in dparts for r in p[1]]
+                    out["wkb_n_rings"].append(len(rings))
+                    out["wkb_n_points"].append(sum(len(r[0]) for r in rings))
+                if res["outers"]:
+                    cx, cy = ring_centroid(res["outers"][0])
+                    out["centroid_x_16"].append(math.floor(cx / 16.0))
+                    out["centroid_y_16"].append(math.floor(cy / 16.0))
+                else:
+                    out["centroid_x_16"].append(None)
+                    out["centroid_y_16"].append(None)
             yield pd.DataFrame(out)
 
     return grouped.mapInPandas(gen, MP_OUT_SCHEMA)

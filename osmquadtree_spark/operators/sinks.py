@@ -74,6 +74,43 @@ def point_feature_col(lon, lat, props_json) -> Column:
     )
 
 
+def _coords_list(lons, lats) -> Column:
+    """'[x,y],[x,y],...' — one %.7f pair per vertex."""
+    return F.array_join(
+        F.zip_with(
+            lons,
+            lats,
+            lambda lo, la: F.concat(F.lit("["), _coord7(lo), F.lit(","), _coord7(la), F.lit("]")),
+        ),
+        ",",
+    )
+
+
+def linestring_feature_col(lons, lats, props_json) -> Column:
+    """GeoJSON LineString feature from fixed-point coordinate arrays
+    (process.py:171-276 splits geometries by kind; this is the line
+    collection's row shape)."""
+    return F.concat(
+        F.lit('{"type":"Feature","geometry":{"type":"LineString","coordinates":['),
+        _coords_list(lons, lats),
+        F.lit(']},"properties":'),
+        props_json,
+        F.lit("}"),
+    )
+
+
+def polygon_feature_col(lons, lats, props_json) -> Column:
+    """GeoJSON Polygon feature (single closed ring — the SimplePolygon
+    shape; callers pass the ring already closed first==last)."""
+    return F.concat(
+        F.lit('{"type":"Feature","geometry":{"type":"Polygon","coordinates":[['),
+        _coords_list(lons, lats),
+        F.lit(']]},"properties":'),
+        props_json,
+        F.lit("}"),
+    )
+
+
 def feature_collection(df, tile_col: str, order_col: str, feature_col: str):
     """Per-tile FeatureCollection strings: features ordered by ``order_col``
     (the tiled files' internal-id order) inside one JVM aggregate."""

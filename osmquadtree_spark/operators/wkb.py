@@ -83,6 +83,80 @@ def multi_wkb(gtype: int, parts: list[bytes], transform: bool = False, srid: boo
 # -- decoding (round-trip verification; big-endian as written) ----------------
 
 
+def _decode_header(data: bytes):
+    """→ (geom type low byte, srid or None, payload offset)."""
+    if data[0] != 0:
+        raise ValueError("not big-endian oqt WKB")
+    (tword,) = struct.unpack_from(">I", data, 1)
+    pos = 5
+    srid = None
+    if tword & SRID_FLAG:
+        (srid,) = struct.unpack_from(">I", data, pos)
+        pos += 4
+    return tword & 0xFF, srid, pos
+
+
+def _decode_pts(data: bytes, pos: int, n: int):
+    arr = np.frombuffer(data, dtype=">f8", count=2 * n, offset=pos)
+    return arr[0::2].astype(np.float64), arr[1::2].astype(np.float64), pos + 16 * n
+
+
+def decode_linestring(data: bytes):
+    """→ (srid, xs, ys) numpy float64 arrays."""
+    t, srid, pos = _decode_header(data)
+    if t != 2:
+        raise ValueError("not a linestring")
+    (n,) = struct.unpack_from(">I", data, pos)
+    xs, ys, _ = _decode_pts(data, pos + 4, n)
+    return srid, xs, ys
+
+
+def decode_polygon(data: bytes):
+    """→ (srid, [(xs, ys) per ring])."""
+    t, srid, pos = _decode_header(data)
+    if t != 3:
+        raise ValueError("not a polygon")
+    (nr,) = struct.unpack_from(">I", data, pos)
+    pos += 4
+    rings = []
+    for _ in range(nr):
+        (n,) = struct.unpack_from(">I", data, pos)
+        xs, ys, pos = _decode_pts(data, pos + 4, n)
+        rings.append((xs, ys))
+    return srid, rings
+
+
+def decode_multi(data: bytes):
+    """make_multi_wkb inverse: → (srid, gtype, [decoded parts]); parts are
+    whole WKB blobs (utils.cpp:541-563), decoded by their own type."""
+    t, srid, pos = _decode_header(data)
+    if t not in (4, 5, 6):
+        raise ValueError("not a multi geometry")
+    (n,) = struct.unpack_from(">I", data, pos)
+    pos += 4
+    parts = []
+    for _ in range(n):
+        pt, _, ppos = _decode_header(data[pos:])
+        if pt == 1:
+            end = ppos + 16
+            parts.append(decode_point(data[pos : pos + end]))
+        elif pt == 2:
+            (np_,) = struct.unpack_from(">I", data, pos + ppos)
+            end = ppos + 4 + 16 * np_
+            parts.append(decode_linestring(data[pos : pos + end]))
+        elif pt == 3:
+            (nr,) = struct.unpack_from(">I", data, pos + ppos)
+            end = ppos + 4
+            for _r in range(nr):
+                (np_,) = struct.unpack_from(">I", data, pos + end)
+                end += 4 + 16 * np_
+            parts.append(decode_polygon(data[pos : pos + end]))
+        else:
+            raise ValueError(f"unsupported part type {pt}")
+        pos += end
+    return srid, t, parts
+
+
 def decode_point(data: bytes):
     """→ (srid or None, x, y)."""
     if data[0] != 0:
@@ -133,6 +207,48 @@ def make_point_decode_udf():
             lons.append(_coord_back(x))
             lats.append(_coord_back(y))
         return pd.DataFrame({"lon": lons, "lat": lats})
+
+    return dec
+
+
+def make_linestring_wkb_udf(transform: bool = False, srid: bool = False, ring: bool = False):
+    """(lons array<bigint>, lats array<bigint>) → WKB binary. ``ring=True``
+    emits a single-ring Polygon (type 3) instead of a Linestring (type 2) —
+    the SimplePolygon writer's shape (elements/simplepolygon.cpp)."""
+
+    @pandas_udf("binary")
+    def enc(lons: pd.Series, lats: pd.Series) -> pd.Series:
+        out = []
+        for lo, la in zip(lons, lats):
+            lo = np.asarray(lo, dtype=np.float64)
+            la = np.asarray(la, dtype=np.float64)
+            if ring:
+                out.append(polygon_wkb([(lo, la)], transform, srid))
+            else:
+                out.append(linestring_wkb(lo, la, transform, srid))
+        return pd.Series(out)
+
+    return enc
+
+
+def make_line_decode_udf(ring: bool = False):
+    """(wkb) → struct(n_pts, lons array<bigint>, lats array<bigint>) back in
+    fixed-point (4326 payloads; for ``ring`` decodes the first polygon
+    ring)."""
+
+    @pandas_udf("struct<n_pts:int,lons:array<bigint>,lats:array<bigint>>")
+    def dec(b: pd.Series) -> pd.DataFrame:
+        ns, lons, lats = [], [], []
+        for blob in b:
+            if ring:
+                _, rings = decode_polygon(bytes(blob))
+                xs, ys = rings[0]
+            else:
+                _, xs, ys = decode_linestring(bytes(blob))
+            ns.append(len(xs))
+            lons.append([_coord_back(x) for x in xs])
+            lats.append([_coord_back(y) for y in ys])
+        return pd.DataFrame({"n_pts": ns, "lons": lons, "lats": lats})
 
     return dec
 

@@ -629,16 +629,66 @@ def q_osc_parse(spark, sf_dir):
 
 
 def q_wkb_roundtrip(spark, sf_dir):
-    """WKB encode∘decode identity on the fixture nodes (EWKB with SRID
-    4326, big-endian layout per the reference's writers); the oracle is the
-    node table itself — byte-layout parity is pinned by golden vectors in
+    """WKB encode∘decode identity over ALL reference geometry kinds (EWKB,
+    SRID 4326, big-endian layout per the reference writers utils.cpp:149-175,
+    elements/*.cpp): nodes → Point, non-ring ways → Linestring, rings →
+    single-ring Polygon (closed by appending the first point). Output
+    (element_type 0/1/2 = point/line/polygon, id, n_pts, sum_lon, sum_lat)
+    from the DECODED payloads — the oracle restates the coordinates from the
+    source tables, so any byte-layout or scaling defect breaks the match.
+    Byte-level parity is additionally pinned by golden vectors in
     tests/test_wkb.py."""
-    from .operators.wkb import points_roundtrip
+    from .operators.wkb import make_line_decode_udf, make_linestring_wkb_udf, points_roundtrip
     from .sources import osm_fixture as fx
 
     _load(spark, sf_dir, "orders")
     _load(spark, sf_dir, "lineitem")
-    return points_roundtrip(fx.fixture_nodes(spark, sf_dir))
+    nodes = fx.fixture_nodes(spark, sf_dir)
+    pts = points_roundtrip(nodes).select(
+        F.lit(0).alias("element_type"),
+        F.col("node_id").alias("id"),
+        F.lit(1).cast("bigint").alias("n_pts"),
+        F.col("lon").alias("sum_lon"),
+        F.col("lat").alias("sum_lat"),
+    )
+
+    ways = fx.fixture_ways(spark, sf_dir)
+    pairs = ways.select("way_id", F.explode("refs").alias("node_id"))
+    coords = (
+        pairs.join(nodes, "node_id")
+        .groupBy("way_id")
+        .agg(F.array_sort(F.collect_list(F.struct("node_id", "lon", "lat"))).alias("_p"))
+        .select(
+            "way_id",
+            F.transform("_p", lambda p: p["lon"]).alias("lons"),
+            F.transform("_p", lambda p: p["lat"]).alias("lats"),
+        )
+    )
+    is_ring = F.col("way_id") % 6 == 0
+
+    def _branch(df, ring: bool):
+        # a when() over two pandas UDFs evaluates BOTH on every batch row —
+        # split the frames instead so each kernel only sees its geometry kind
+        enc = make_linestring_wkb_udf(srid=True, ring=ring)
+        dec = make_line_decode_udf(ring=ring)
+        if ring:
+            df = df.select(
+                "way_id",
+                F.concat("lons", F.slice("lons", 1, 1)).alias("lons"),
+                F.concat("lats", F.slice("lats", 1, 1)).alias("lats"),
+            )
+        d = df.withColumn("_d", dec(enc("lons", "lats")))
+        return d.select(
+            F.lit(2 if ring else 1).alias("element_type"),
+            F.col("way_id").alias("id"),
+            F.col("_d.n_pts").cast("bigint").alias("n_pts"),
+            F.aggregate("_d.lons", F.lit(0).cast("bigint"), lambda a, v: a + v).alias("sum_lon"),
+            F.aggregate("_d.lats", F.lit(0).cast("bigint"), lambda a, v: a + v).alias("sum_lat"),
+        )
+
+    lines = _branch(coords.filter(~is_ring), False)
+    rings = _branch(coords.filter(is_ring), True)
+    return pts.unionByName(lines).unionByName(rings)
 
 
 def q_multipolygon_assembly(spark, sf_dir):
@@ -820,9 +870,13 @@ def q_tag_packers(spark, sf_dir):
 
 
 def q_geojson_tiles(spark, sf_dir):
-    """GeoJSON sink: one FeatureCollection per level-3 tile of the node
-    point cells, features ordered by node id, properties = sorted-key json
-    tags. Coordinates via C-style %.7f in both engines."""
+    """GeoJSON sink with the reference's per-kind collections
+    (process.py:171-276 splits point/line/polygon): one FeatureCollection
+    per (level-3 tile, kind) — points from node cells, LineStrings from
+    non-ring ways, Polygons from closed rings, each at its element's tile
+    (way tile = round(way bbox cell, 3)), features ordered by id,
+    properties = sorted-key json tags. Coordinates via C-style %.7f in both
+    engines."""
     from .functions.udfs import make_qt_calculate, round_qt_col
     from .operators import sinks as sk
     from .sources import osm_fixture as fx
@@ -832,7 +886,7 @@ def q_geojson_tiles(spark, sf_dir):
     nodes = fx.fixture_nodes(spark, sf_dir)
     nt = fx.fixture_node_tags(spark, sf_dir)
     qt_calc = make_qt_calculate()
-    df = (
+    pts = (
         nodes.join(nt, "node_id")
         .withColumn("qt", qt_calc("lon", "lat", "lon", "lat"))
         .withColumn("tile", round_qt_col(F.col("qt"), 3))
@@ -841,7 +895,51 @@ def q_geojson_tiles(spark, sf_dir):
             sk.point_feature_col(F.col("lon"), F.col("lat"), sk.json_tags_col("tags")),
         )
     )
-    return sk.feature_collection(df, "tile", "node_id", "feature")
+    out_pts = sk.feature_collection(pts, "tile", "node_id", "feature").select(
+        "tile", F.lit("point").alias("kind"), "geojson"
+    )
+
+    ways = fx.fixture_ways(spark, sf_dir)
+    wt = fx.fixture_way_tags(spark, sf_dir)
+    pairs = ways.select("way_id", F.explode("refs").alias("node_id"))
+    coords = (
+        pairs.join(nodes, "node_id")
+        .groupBy("way_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("node_id", "lon", "lat"))).alias("_p"),
+            F.min("lon").alias("minx"), F.min("lat").alias("miny"),
+            F.max("lon").alias("maxx"), F.max("lat").alias("maxy"),
+        )
+        .select(
+            "way_id",
+            F.transform("_p", lambda p: p["lon"]).alias("lons"),
+            F.transform("_p", lambda p: p["lat"]).alias("lats"),
+            qt_calc("minx", "miny", "maxx", "maxy").alias("qt"),
+        )
+    )
+    is_ring = F.col("way_id") % 6 == 0
+    w = coords.join(wt, "way_id").withColumn("tile", round_qt_col(F.col("qt"), 3))
+    lines = w.filter(~is_ring).withColumn(
+        "feature", sk.linestring_feature_col(F.col("lons"), F.col("lats"), sk.json_tags_col("tags"))
+    )
+    rings = (
+        w.filter(is_ring)
+        .select(
+            "way_id", "tile", "tags",
+            F.concat("lons", F.slice("lons", 1, 1)).alias("lons"),
+            F.concat("lats", F.slice("lats", 1, 1)).alias("lats"),
+        )
+        .withColumn(
+            "feature", sk.polygon_feature_col(F.col("lons"), F.col("lats"), sk.json_tags_col("tags"))
+        )
+    )
+    out_lines = sk.feature_collection(lines, "tile", "way_id", "feature").select(
+        "tile", F.lit("line").alias("kind"), "geojson"
+    )
+    out_polys = sk.feature_collection(rings, "tile", "way_id", "feature").select(
+        "tile", F.lit("polygon").alias("kind"), "geojson"
+    )
+    return out_pts.unionByName(out_lines).unionByName(out_polys)
 
 
 def q_geom_minzoom(spark, sf_dir):
@@ -1430,7 +1528,18 @@ def _oracle_sql() -> dict[str, str]:
             FROM ks WHERE k % 113 = 0 AND k % 101 != 0 AND k % 103 != 0
               AND k % 107 != 0 AND k % 109 != 0""",
         "multipolygon_assembly": go.multipolygon_sql(),
-        "wkb_roundtrip": f"SELECT node_id, lon, lat FROM ({fx_nodes_sql()})",
+        "wkb_roundtrip": f"""
+            SELECT 0 AS element_type, node_id AS id, 1::BIGINT AS n_pts,
+                   lon AS sum_lon, lat AS sum_lat
+            FROM ({fx_nodes_sql()})
+            UNION ALL
+            SELECT CASE WHEN way_id % 6 = 0 THEN 2 ELSE 1 END,
+                   way_id,
+                   (COUNT(*) + (way_id % 6 = 0)::INT)::BIGINT,
+                   (SUM(lon) + (way_id % 6 = 0)::INT * arg_min(lon, node_id))::BIGINT,
+                   (SUM(lat) + (way_id % 6 = 0)::INT * arg_min(lat, node_id))::BIGINT
+            FROM ({_WAY_PAIRS_SQL}) p JOIN ({fx_nodes_sql()}) n USING (node_id)
+            GROUP BY way_id""",
         "geom_ways": go.geom_ways_sql(),
         "geom_parent_tags": go.geom_parent_tags_sql(),
         "geom_rel_tags": go.geom_rel_tags_sql(),

@@ -151,3 +151,43 @@ def test_style_json_round_trip():
     assert back["parent_tags"] == gs.PARENT_TAG_SPECS
     assert back["relation_tags"] == gs.RELATION_TAG_SPECS
     assert back["minzoom_spec"] == gs.MINZOOM_SPEC
+
+
+def test_ring_centroid_col_matches_kernel(spark):
+    """Column-expression centroid (geometry.ring_centroid_cols) vs the
+    python kernel restatement of utils.cpp:107-138 on synthetic rings."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from osmquadtree_spark.operators import geometry as geo
+    from osmquadtree_spark.operators.multipolygons import ring_centroid
+
+    rows = []
+    for k in range(1, 40):
+        cx = (k * 7919) % 3_000_000_000 - 1_500_000_000
+        cy = (k * 104729) % 1_400_000_000 - 700_000_000
+        s = (k % 10) * 100_000 + 1_000_000
+        pts = [
+            (cx - s, cy - s), (cx + s, cy - s), (cx + s, cy + s),
+            (cx - s, cy + s), (cx - s, cy - s),
+        ]
+        if k % 3 == 0:
+            pts = list(reversed(pts))
+        rows.append((k, [p[0] for p in pts], [p[1] for p in pts]))
+    df = spark.createDataFrame(rows, "k bigint, lons array<bigint>, lats array<bigint>")
+    ew = geo.gs.EARTH_WIDTH
+    xs = F.transform("lons", lambda v: v * F.lit(1e-7) * F.lit(ew) / F.lit(180.0))
+    ys = F.transform(
+        "lats",
+        lambda v: F.log(F.tan(F.lit(math.pi) * (F.lit(1.0) + v * F.lit(1e-7) / F.lit(90.0)) / F.lit(4.0)))
+        * F.lit(ew) / F.lit(math.pi),
+    )
+    d = df.select("k", xs.alias("xs"), ys.alias("ys"))
+    cxc, cyc = geo.ring_centroid_cols(F.col("xs"), F.col("ys"))
+    got = {r.k: (r.cx, r.cy) for r in d.select("k", cxc.alias("cx"), cyc.alias("cy")).collect()}
+    for k, lons, lats in rows:
+        ex, ey = ring_centroid(list(zip(lons, lats)))
+        gx, gy = got[k]
+        assert abs(gx - ex) <= 1e-9 * max(1.0, abs(ex)), (k, gx, ex)
+        assert abs(gy - ey) <= 1e-9 * max(1.0, abs(ey)), (k, gy, ey)
