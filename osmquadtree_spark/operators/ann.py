@@ -55,6 +55,58 @@ def cosine_topk(
     )
 
 
+def make_planes(n_tables: int, n_planes: int, d: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, d))
+
+
+def bucket_signatures(
+    df: DataFrame, planes: np.ndarray, id_cols: list[str], vec_col: str = "embedding"
+) -> DataFrame:
+    """Random-hyperplane bucket ids as ONE Arrow-batch matmul.
+
+    The per-plane JVM higher-order-function dot products this replaces run
+    as interpreted Catalyst lambdas — n_tables × n_planes array folds per
+    row (~10× the whole query's cost). Here the whole batch does a single
+    (rows × d) @ (d × n_tables·n_planes) numpy matmul against the
+    broadcast plane matrix, then packs sign bits per table; one JVM↔Python
+    crossing, vectorized end to end. Emits n_tables rows per input row:
+    (*id_cols, _v array<double>, _norm double, tbl int, bucket bigint).
+    """
+    import pandas as pd
+
+    n_tables, n_planes, d = planes.shape
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(planes.reshape(n_tables * n_planes, d).T)
+    )
+    id_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols
+    )
+    out_schema = f"{id_schema}, _v array<double>, _norm double, tbl int, bucket bigint"
+
+    def gen(batches):
+        M = bc.value
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+            bits = (V @ M) >= 0  # (n, n_tables*n_planes)
+            bits = bits.reshape(n, n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2).astype(np.int64)  # (n, n_tables)
+            cols = {c: np.repeat(pdf[c].to_numpy(), n_tables) for c in id_cols}
+            cols["_v"] = [v for v in V for _ in range(n_tables)]
+            cols["_norm"] = np.repeat(norms, n_tables)
+            cols["tbl"] = np.tile(np.arange(n_tables, dtype=np.int32), n)
+            cols["bucket"] = buckets.reshape(-1)
+            yield pd.DataFrame(cols)
+
+    return df.select(*id_cols, vec_col).mapInPandas(gen, out_schema)
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -69,50 +121,41 @@ def lsh_topk(
 ) -> DataFrame:
     """Random-hyperplane LSH candidate generation + exact re-score.
 
-    Scale shape: signatures are computed once per side (a projection against
-    a broadcast plane matrix), candidates come from an equi-join on
-    (table, bucket) — at 10^12 vectors this is the only viable join; recall
-    is tunable via n_planes/n_tables and verified against cosine_topk in
-    tests. Results are exact *within the candidate set*.
+    Scale shape: signatures are computed once per side (a single batch
+    matmul against a broadcast plane matrix — bucket_signatures), candidates
+    come from an equi-join on (table, bucket) — at 10^12 vectors this is the
+    only viable join; recall is tunable via n_planes/n_tables and verified
+    against cosine_topk in tests. Results are exact *within the candidate
+    set*.
     """
-    rng = np.random.default_rng(seed)
     first = vectors.select(vec_col).first()
     d = dim or len(first[0])
-    planes = rng.standard_normal((n_tables, n_planes, d))
+    planes = make_planes(n_tables, n_planes, d, seed)
 
-    def bucket_cols(df):
-        v = _as_double(F.col(vec_col))
-        out = df.withColumn("_v", v)
-        rows = []
-        for t in range(n_tables):
-            bits = []
-            for p in range(n_planes):
-                coeff = F.array(*[F.lit(float(c)) for c in planes[t, p]])
-                bits.append(
-                    F.when(_dot(F.col("_v"), coeff) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-                )
-            rows.append(
-                F.struct(F.lit(t).alias("tbl"), sum(bits[1:], bits[0]).cast("bigint").alias("bucket"))
-            )
-        return out.withColumn("_b", F.explode(F.array(*rows))).select(
-            "*", F.col("_b.tbl").alias("tbl"), F.col("_b.bucket").alias("bucket")
-        ).drop("_b")
-
-    v = bucket_cols(with_norm(vectors, vec_col).select(id_col, vec_col, "_norm"))
-    q = bucket_cols(with_norm(queries, vec_col).select(qid_col, vec_col, "_norm")).select(
-        qid_col,
-        F.col("_v").alias("_q"),
-        F.col("_norm").alias("_qnorm"),
-        "tbl",
-        "bucket",
+    # candidate generation on SLIM rows (ids + bucket only): the vector
+    # arrays would otherwise ride the bucket join and the dedup shuffle on
+    # every replicated row — they are re-attached once per surviving pair
+    v = bucket_signatures(vectors, planes, [id_col], vec_col).select(
+        id_col, "tbl", "bucket"
     )
-    cand = (
+    q = bucket_signatures(queries, planes, [qid_col], vec_col).select(
+        qid_col, "tbl", "bucket"
+    )
+    pairs = (
         v.join(F.broadcast(q), ["tbl", "bucket"])
-        .select(id_col, qid_col, "_v", "_norm", "_q", "_qnorm")
+        .select(id_col, qid_col)
         .dropDuplicates([id_col, qid_col])
     )
-    scored = cand.withColumn(
-        "sim", _dot(F.col("_v"), F.col("_q")) / (F.col("_norm") * F.col("_qnorm"))
+    vv = with_norm(vectors, vec_col).select(id_col, "_v", "_norm")
+    qq = with_norm(queries, vec_col).select(
+        qid_col, F.col("_v").alias("_q"), F.col("_norm").alias("_qnorm")
+    )
+    scored = (
+        pairs.join(vv, id_col)
+        .join(F.broadcast(qq), qid_col)
+        .withColumn(
+            "sim", _dot(F.col("_v"), F.col("_q")) / (F.col("_norm") * F.col("_qnorm"))
+        )
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (

@@ -152,11 +152,42 @@ def _band_key(sig, band: int, rows: int):
     return acc
 
 
+def cap_hot_buckets(df: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:
+    """Drop join-key buckets holding more than ``cap`` rows before a
+    candidate self-join — the 100-TB guard: one degenerate bucket (empty
+    text, boilerplate n-grams, zero vectors) otherwise goes quadratic in
+    the pair join. The hot-key set is tiny by construction (≤ n_rows/cap
+    keys can exceed the cap), so it broadcasts into a left_anti join.
+    Dropped keys are observable via ``hot_bucket_stats`` (and tests pin the
+    bound); pairs entirely inside a dropped bucket are sacrificed recall,
+    the standard trade (AQE still splits the sub-cap skew)."""
+    if cap is None:
+        return df
+    hot = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > cap)
+        .select(*key_cols)
+    )
+    return df.join(F.broadcast(hot), key_cols, "left_anti")
+
+
+def hot_bucket_stats(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """(key..., _bn) of the buckets a cap of ``cap`` would drop — the
+    'logged drops' surface for pipeline observability."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > cap)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
     min_matches: int = 8,
     text_col: str = "text",
+    bucket_cap: int | None = 100_000,
 ) -> DataFrame:
     """MinHash near-dup pairs via LSH banding.
 
@@ -165,34 +196,47 @@ def minhash_lsh_pairs(
     minhashes out of N_HASHES (estimated jaccard ≥ min_matches/N_HASHES).
     Returns (doc_a, doc_b, match_cnt) with doc_a < doc_b.
 
+    Scale shape: the band join and pair dedup run on SLIM (doc_id, band,
+    bucket) rows — the 16-hash signature arrays are re-joined onto the
+    surviving pairs only, roughly halving the shuffle bytes of the
+    candidate stage (the signature table is persisted so its Arrow kernel
+    runs once, not once per join branch). ``bucket_cap`` drops degenerate
+    buckets (see cap_hot_buckets).
+
     Reference has no dedup ops; this is a training-data-pipeline extension
     (north-rule axes) using the same banding as Broder's original scheme.
     """
     rows = N_HASHES // N_BANDS
-    sigs = minhash_signature(docs, n, text_col).filter(F.size("sig") > 0)
+    sigs = minhash_signature(docs, n, text_col).filter(F.size("sig") > 0).persist()
     bands = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band"), _band_key(F.col("sig"), b, rows).alias("bucket"))
                 for b in range(N_BANDS)
             ])
         ).alias("_bb"),
-    ).select("doc_id", "sig", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
-    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bucket")
-    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bucket")
+    ).select("doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+    # persist the CAPPED bands: both self-join branches read them, and the
+    # cap's aggregate + broadcast-anti subtree would otherwise run per branch
+    bands = cap_hot_buckets(bands, ["band", "bucket"], bucket_cap).persist()
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     match_cnt = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     ).cast("bigint")
     return (
-        cand.withColumn("match_cnt", match_cnt)
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("match_cnt", match_cnt)
         .filter(F.col("match_cnt") >= min_matches)
         .select("doc_a", "doc_b", "match_cnt")
     )
@@ -246,18 +290,25 @@ def simhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    bucket_cap: int | None = 100_000,
 ) -> DataFrame:
     """SimHash near-dup pairs: block-join candidates + exact hamming filter.
 
     With SIM_BLOCKS=4 blocks of 8 bits, any pair within hamming ≤ 3 shares
     at least one whole block (pigeonhole), so the equi-join on (block_idx,
     block_value) is complete for max_hamming ≤ 3. Returns
-    (doc_a, doc_b, hamming) with doc_a < doc_b.
+    (doc_a, doc_b, hamming) with doc_a < doc_b. ``bucket_cap`` drops
+    degenerate blocks (see cap_hot_buckets); the signature itself is one
+    bigint, so it rides the join for free (no re-join stage needed).
     """
     if max_hamming >= SIM_BLOCKS:
         raise ValueError("block join is only complete for max_hamming < SIM_BLOCKS")
-    sigs = simhash_signature(docs, text_col)
+    # persist the signatures: the 32-bit vote fold is the expensive stage and
+    # the cap aggregate + both self-join branches would each re-run it
+    sigs = simhash_signature(docs, text_col).persist()
     blocks = sigs.select(
         "doc_id",
         "sig",
@@ -271,6 +322,7 @@ def simhash_pairs(
             ])
         ).alias("_b"),
     ).select("doc_id", "sig", F.col("_b.blk").alias("blk"), F.col("_b.val").alias("val"))
+    blocks = cap_hot_buckets(blocks, ["blk", "val"], bucket_cap).persist()
     a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "blk", "val")
     b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "blk", "val")
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint")
@@ -315,43 +367,40 @@ def embedding_dup_pairs_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = 100_000,
 ) -> DataFrame:
     """Bucketed embedding near-dup pairs — the 10^12-scale path: candidates
-    share a random-hyperplane bucket in any table; exact cosine re-score.
-    Recall < 1 by construction (tunable via n_planes/n_tables); compared
-    against the exact operator in tests."""
-    import numpy as np
+    share a random-hyperplane bucket in any table (bucket ids from ONE
+    Arrow-batch matmul, ann.bucket_signatures); exact cosine re-score.
+    The bucket join and pair dedup run on slim (id, tbl, bucket) rows —
+    vectors are re-attached to surviving pairs only. Recall < 1 by
+    construction (tunable via n_planes/n_tables); compared against the
+    exact operator in tests. ``bucket_cap`` drops degenerate buckets
+    (cap_hot_buckets)."""
+    from .ann import _dot, bucket_signatures, make_planes, with_norm
 
-    from .ann import _dot, with_norm
-
-    rng = np.random.default_rng(seed)
     first = vectors.select(vec_col).first()
     d = len(first[0])
-    planes = rng.standard_normal((n_tables, n_planes, d))
+    planes = make_planes(n_tables, n_planes, d, seed)
 
-    v = with_norm(vectors, vec_col).select(id_col, "_v", "_norm")
-    rows = []
-    for t in range(n_tables):
-        bits = []
-        for p in range(n_planes):
-            coeff = F.array(*[F.lit(float(c)) for c in planes[t, p]])
-            bits.append(
-                F.when(_dot(F.col("_v"), coeff) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-            )
-        rows.append(F.struct(F.lit(t).alias("tbl"), sum(bits[1:], bits[0]).cast("bigint").alias("bucket")))
-    bucketed = v.withColumn("_b", F.explode(F.array(*rows))).select(
-        id_col, "_v", "_norm", F.col("_b.tbl").alias("tbl"), F.col("_b.bucket").alias("bucket")
+    bucketed = bucket_signatures(vectors, planes, [id_col], vec_col).select(
+        id_col, "tbl", "bucket"
     )
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"), "tbl", "bucket"
-    )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"), "tbl", "bucket"
-    )
-    return (
+    bucketed = cap_hot_buckets(bucketed, ["tbl", "bucket"], bucket_cap).persist()
+    a = bucketed.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    pairs = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    v = with_norm(vectors, vec_col).select(id_col, "_v", "_norm")
+    va = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
         .filter(F.col("cos") >= min_cos)
         .select("id_a", "id_b", "cos")

@@ -165,16 +165,27 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "dup_count")
 
 
-def ngram_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.5) -> DataFrame:
+def ngram_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    gram_cap: int | None = 100_000,
+) -> DataFrame:
     """Word n-gram Jaccard near-dup pairs: explode distinct n-grams, self-join
     on gram, count intersections, compute |∩|/|∪|. Returns
     (doc_a, doc_b, inter_cnt, union_cnt) with doc_a < doc_b and
     jaccard ≥ min_jaccard.
 
     Scale shape: the gram join is the classic dedup shuffle — grams are the
-    join key, so hot grams (stopword runs) are the skew risk; the distinct()
-    per doc bounds per-doc contribution and AQE splits residual hot keys.
+    join key, so hot grams (stopword runs, boilerplate) are the skew risk;
+    the distinct() per doc bounds per-doc contribution, ``gram_cap`` drops
+    grams appearing in more than that many documents BEFORE the self-join
+    (a standard document-frequency cap: a quadratic bucket of boilerplate
+    carries no near-dup signal; note |∪| still counts capped grams, so the
+    jaccard stays a lower bound), and AQE splits residual hot keys.
     """
+    from .dedup import cap_hot_buckets
+
     words = F.split(F.col("text"), " ")
     grams = docs.select(
         "doc_id",
@@ -185,7 +196,12 @@ def ngram_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.5) -> DataFr
             )
         ).alias("gram"),
     ).distinct()
+    # persist: the exploded-distinct gram table feeds the per-doc sizes, the
+    # document-frequency cap aggregate and both self-join branches — without
+    # the cache the split+explode+distinct lineage runs 4x
+    grams = grams.persist()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    grams = cap_hot_buckets(grams, ["gram"], gram_cap).persist()
     a = grams.withColumnRenamed("doc_id", "doc_a")
     b = grams.withColumnRenamed("doc_id", "doc_b")
     inter = (

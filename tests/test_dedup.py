@@ -131,3 +131,58 @@ def test_short_docs_never_pair(spark):
     assert dd.minhash_lsh_pairs(docs, n=3, min_matches=1).count() == 0
     # simhash pairs 2-word exact dups (hamming 0) — fine, just must not crash
     dd.simhash_pairs(docs).collect()
+
+
+def test_hot_bucket_cap_bounds_candidates(spark):
+    """Degenerate corpus: 60 identical boilerplate docs would make every
+    band bucket quadratic (~1770 pairs); a cap below the cluster size drops
+    those buckets entirely and the join stays bounded, while distinct
+    content is unaffected."""
+    from pyspark.sql import functions as F
+
+    from osmquadtree_spark.operators.dedup import (
+        hot_bucket_stats,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from osmquadtree_spark.operators.docs import ngram_pairs
+
+    boiler = [(i, "the same boilerplate text repeated for every row here") for i in range(60)]
+    uniq = [(100 + i, f"unique document number {i} with words w{i} x{i} y{i} z{i} q{i}") for i in range(10)]
+    near = [
+        (200, "alpha beta gamma delta epsilon zeta eta theta"),
+        (201, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    docs = spark.createDataFrame(boiler + uniq + near, "doc_id bigint, text string")
+
+    capped = minhash_lsh_pairs(docs, n=3, min_matches=8, bucket_cap=50)
+    rows = capped.collect()
+    ids = {r.doc_a for r in rows} | {r.doc_b for r in rows}
+    assert not (ids & set(range(60))), "boilerplate cluster should be capped away"
+    assert (200, 201) in {(r.doc_a, r.doc_b) for r in rows}
+
+    # without a cap the cluster pairs quadratically
+    uncapped = minhash_lsh_pairs(docs, n=3, min_matches=8, bucket_cap=None)
+    assert uncapped.count() >= 60 * 59 // 2
+
+    # the dropped buckets are observable
+    from osmquadtree_spark.operators.dedup import minhash_signature, _band_key, N_BANDS, N_HASHES
+    sigs = minhash_signature(docs, 3).filter(F.size("sig") > 0)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), _band_key(F.col("sig"), b, N_HASHES // N_BANDS).alias("bucket"))
+            for b in range(N_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    dropped = hot_bucket_stats(bands, ["band", "bucket"], 50).collect()
+    assert len(dropped) == N_BANDS and all(r._bn == 60 for r in dropped)
+
+    sh = simhash_pairs(docs, max_hamming=3, bucket_cap=50)
+    sh_ids = {r.doc_a for r in sh.collect()} | {r.doc_b for r in sh.collect()}
+    assert not (sh_ids & set(range(60)))
+
+    ng = ngram_pairs(docs, n=3, min_jaccard=0.2, gram_cap=50)
+    ng_ids = {r.doc_a for r in ng.collect()} | {r.doc_b for r in ng.collect()}
+    assert not (ng_ids & set(range(60)))
+    assert (200, 201) in {(r.doc_a, r.doc_b) for r in ng.collect()}
