@@ -43,13 +43,20 @@ def way_quadtrees(
     nodes: DataFrame,
     buffer: float = qtk.BUFFER_DEFAULT,
     max_depth: int = qtk.MAX_DEPTH_CLI,
+    small_nodes: bool = False,
 ) -> DataFrame:
     """(way_id, qt): bbox-aggregate member locations, then the calculate
     kernel (wayqts.cpp:159-186). Missing nodes are skipped, as in the
-    reference (calcqtsinmem.cpp:262-271 logs and continues)."""
+    reference (calcqtsinmem.cpp:262-271 logs and continues).
+
+    ``small_nodes=True`` broadcast-hints the node-location side — correct
+    for change-set/fixture scale where the node table fits an executor
+    (daily diffs, bench fixtures); leave False for planet-scale derivation
+    where the shuffle join is the only viable shape."""
     qt_calc = make_qt_calculate(buffer, max_depth)
     pairs = way_node_pairs(ways)
-    located = pairs.join(nodes.select("node_id", "lon", "lat"), "node_id")
+    loc = nodes.select("node_id", "lon", "lat")
+    located = pairs.join(F.broadcast(loc) if small_nodes else loc, "node_id")
     bbox = located.groupBy("way_id").agg(
         F.min("lon").alias("minx"),
         F.min("lat").alias("miny"),
@@ -67,6 +74,7 @@ def node_quadtrees(
     way_qts: DataFrame,
     buffer: float = qtk.BUFFER_DEFAULT,
     max_depth: int = qtk.MAX_DEPTH_CLI,
+    small_way_qts: bool = False,
 ) -> DataFrame:
     """(node_id, qt): LCA of containing ways' qts, else the point cell
     (calcqts.cpp:48-94 fold + 115-124 fallback).
@@ -78,8 +86,9 @@ def node_quadtrees(
     qt_calc = make_qt_calculate(buffer, max_depth)
     qt_common = make_qt_common()
     pairs = way_node_pairs(ways)
+    wq = F.broadcast(way_qts) if small_way_qts else way_qts
     from_ways = (
-        pairs.join(way_qts, "way_id")
+        pairs.join(wq, "way_id")
         .filter(F.col("qt") >= 0)
         .groupBy("node_id")
         .agg(F.min("qt").alias("qt_min"), F.max("qt").alias("qt_max"))
@@ -101,6 +110,7 @@ def relation_quadtrees(
     relations: DataFrame,
     node_qts: DataFrame,
     way_qts: DataFrame,
+    small_member_qts: bool = False,
 ) -> DataFrame:
     """(rel_id, qt): LCA of member node/way qts + the 5-pass rel→rel closure
     (calcqtsinmem.cpp:139-207).
@@ -118,14 +128,18 @@ def relation_quadtrees(
         "rel_id", F.posexplode("members").alias("pos", "m")
     ).select("rel_id", "pos", F.col("m.m_type").alias("m_type"), F.col("m.m_ref").alias("m_ref"))
 
+    nq_side = node_qts.withColumnRenamed("node_id", "m_ref")
+    wq_side = way_qts.withColumnRenamed("way_id", "m_ref")
+    if small_member_qts:  # diff/fixture scale: member-qt lookups fit an executor
+        nq_side, wq_side = F.broadcast(nq_side), F.broadcast(wq_side)
     node_side = (
         members.filter(F.col("m_type") == 0)
-        .join(node_qts.withColumnRenamed("node_id", "m_ref"), "m_ref")
+        .join(nq_side, "m_ref")
         .select("rel_id", "qt")
     )
     way_side = (
         members.filter(F.col("m_type") == 1)
-        .join(way_qts.withColumnRenamed("way_id", "m_ref"), "m_ref")
+        .join(wq_side, "m_ref")
         .select("rel_id", "qt")
     )
     base = (
@@ -166,18 +180,37 @@ def relation_quadtrees(
     )
 
     # ---- driver-side exact 5-pass Gauss-Seidel closure -------------------
-    pairs = [
-        (r.rel_id, r.child_id)
-        for r in relrel.orderBy("rel_id", "pos").collect()
-    ]
+    # ONE action fetches both the edge list and the involved relations'
+    # base values (they were two collects — two full jobs through the
+    # member-join lineage — before; the union costs nothing extra)
+    involved_ids = (
+        relrel.select("rel_id")
+        .unionByName(relrel.select(F.col("child_id").alias("rel_id")))
+        .distinct()
+    )
+    snapshot = (
+        relrel.select(
+            F.lit(0).alias("_kind"), "rel_id",
+            F.col("pos").cast("bigint").alias("pos"), "child_id",
+            F.lit(None).cast("bigint").alias("q0"),
+        )
+        .unionByName(
+            with_base.join(involved_ids, "rel_id", "left_semi").select(
+                F.lit(1).alias("_kind"), "rel_id",
+                F.lit(None).cast("bigint").alias("pos"),
+                F.lit(None).cast("bigint").alias("child_id"), "q0",
+            )
+        )
+        .collect()
+    )
+    pairs = sorted(
+        ((r.rel_id, r.pos, r.child_id) for r in snapshot if r._kind == 0),
+        key=lambda t: (t[0], t[1]),
+    )
     if pairs:
-        involved = {i for p in pairs for i in p}
-        cur = {
-            r.rel_id: r.q0
-            for r in with_base.filter(F.col("rel_id").isin(list(involved))).collect()
-        }
+        cur = {r.rel_id: r.q0 for r in snapshot if r._kind == 1}
         for _ in range(5):  # exactly 5 passes (calcqtsinmem.cpp:189-198)
-            for parent, child in pairs:
+            for parent, _pos, child in pairs:
                 a = cur[parent]
                 b = qtk.common_scalar(a, cur[child])
                 if a != b:
@@ -202,6 +235,7 @@ def calc_all_quadtrees(
     buffer: float = qtk.BUFFER_DEFAULT,
     max_depth: int = qtk.MAX_DEPTH_CLI,
     persist_intermediates: bool = True,
+    small_side_hints: bool = False,
 ) -> dict[str, DataFrame]:
     """Full calcqts: returns {'nodes': (node_id, qt), 'ways': ..., 'relations': ...}.
 
@@ -210,10 +244,10 @@ def calc_all_quadtrees(
     driver collects would otherwise replay the whole join lineage per
     action — the reference materializes each stage to file for the same
     reason (calcqts.cpp writes -qts.pbf between passes)."""
-    wq = way_quadtrees(ways, nodes, buffer, max_depth)
+    wq = way_quadtrees(ways, nodes, buffer, max_depth, small_nodes=small_side_hints)
     if persist_intermediates:
         wq = wq.persist()
-    nq = node_quadtrees(nodes, ways, wq, buffer, max_depth)
+    nq = node_quadtrees(nodes, ways, wq, buffer, max_depth, small_way_qts=small_side_hints)
     if persist_intermediates:
         nq = nq.persist()
     rq = relation_quadtrees(relations, nq, wq)

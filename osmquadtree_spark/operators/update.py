@@ -57,14 +57,16 @@ def calc_change_qts(
     active_ways = ways.filter(ct > CT_DELETE)
     # way cells feed the node fold, the way resolution, and the relation
     # member lookup; node cells feed resolution + relations — persist both
-    # (the reference's qts store plays the same role, update.cpp:539)
-    wq = way_quadtrees(active_ways, nodes, buffer, max_depth).persist()
+    # (the reference's qts store plays the same role, update.cpp:539).
+    # small_nodes: a change set is diff-scale by construction (update.cpp
+    # processes daily .osc files), so the node-location lookup broadcasts.
+    wq = way_quadtrees(active_ways, nodes, buffer, max_depth, small_nodes=True).persist()
 
     qt_calc = make_qt_calculate(buffer, max_depth)
     qt_common = make_qt_common()
     from_ways = (
         way_node_pairs(active_ways)
-        .join(wq, "way_id")
+        .join(F.broadcast(wq), "way_id")
         .filter(F.col("qt") >= 0)
         .groupBy("node_id")
         .agg(F.min("qt").alias("qt_min"), F.max("qt").alias("qt_max"))
@@ -86,6 +88,7 @@ def calc_change_qts(
             "node_id", F.col("new_qt").alias("qt")
         ),
         wq,
+        small_member_qts=True,
     )
 
     def resolve(df: DataFrame, id_col: str) -> DataFrame:
