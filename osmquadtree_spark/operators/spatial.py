@@ -10,6 +10,8 @@ between the engine's primary cell ids and raster tile addresses for free.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -147,59 +149,66 @@ def knn_cell_expansion(
         F.col("_t.tile_y").alias("py"),
     )
 
-    def _lat_of_tile_row(y: int) -> float:
-        """Latitude (deg) of the top edge of tile row y (scale-90 inverse
-        mercator of normalized 1 - y*2^(1-zoom))."""
-        my = 1.0 - y * (2.0 ** (1 - zoom))
-        return qtk.latitude_un_mercator(my * 90.0)
+    def _lat_of_row(y):
+        """Latitude (deg) of the top edge of tile row ``y`` as a Column —
+        scale-90 inverse mercator of 1 - y·2^(1-zoom)
+        (kernels.quadtree.latitude_un_mercator)."""
+        my = F.lit(1.0) - y * F.lit(2.0 ** (1 - zoom))
+        return (
+            F.atan(F.exp(my * F.lit(math.pi))) * F.lit(4.0 / math.pi) - F.lit(1.0)
+        ) * F.lit(90.0)
 
-    def _ring_bound_chord(qlon_deg, qlat_deg, qx, qy, radius) -> float:
-        """Lower bound (in squared-half-chord units, the scoring metric) on
-        the distance from the query to any point OUTSIDE the searched ring."""
-        x0, x1 = qx - radius, qx + radius + 1
-        y0, y1 = max(qy - radius, 0), min(qy + radius + 1, n)
-        bounds = []
+    def _ring_bound_chord(radius: int):
+        """Lower bound (squared-half-chord units) on the distance from the
+        query to anything OUTSIDE the searched ring, as a pure JVM
+        expression over the query columns (qx, qy, qlon_deg, qlat_deg) —
+        the per-query driver loop this replaces doesn't survive a query
+        SET that is itself a table."""
+        qx, qy = F.col("qx"), F.col("qy")
+        qlon_deg, qlat_deg = F.col("qlon_deg"), F.col("qlat_deg")
+        y0 = F.greatest(qy - radius, F.lit(0))
+        y1 = F.least(qy + radius + 1, F.lit(n))
+        lat_top, lat_bot = _lat_of_row(y0), _lat_of_row(y1)
         # north/south edges: pure latitude gaps (exact lower bound)
-        if qy - radius >= 0:
-            bounds.append(abs(_lat_of_tile_row(y0) - qlat_deg))
-        if qy + radius + 1 <= n:
-            bounds.append(abs(qlat_deg - _lat_of_tile_row(y1)))
-        # east/west edges (skip when the ring wraps the full planet);
-        # scaled by the smallest cos(lat) in the ring's latitude range
+        north = F.when(qy - radius >= 0, F.abs(lat_top - qlat_deg))
+        south = F.when(qy + radius + 1 <= n, F.abs(qlat_deg - lat_bot))
+        # east/west edges (absent when the ring wraps the planet), scaled by
+        # the smallest cos(lat) in the ring's latitude range
+        ew = None
         if 2 * radius + 1 < n:
-            lat_top = _lat_of_tile_row(y0)
-            lat_bot = _lat_of_tile_row(y1)
-            min_cos = min(
-                float(np.cos(np.radians(lat_top))), float(np.cos(np.radians(lat_bot)))
-            )
-            lon_w = -180.0 + x0 * (360.0 / n)
-            lon_e = -180.0 + x1 * (360.0 / n)
-            dw = abs(qlon_deg - lon_w)
-            de = abs(lon_e - qlon_deg)
-            bounds.append(min(dw, de) * min_cos)
-        if not bounds:
-            return float("inf")
-        theta = np.radians(max(0.0, min(bounds)))
-        return float(np.sin(theta / 2.0) ** 2)
+            min_cos = F.least(F.cos(F.radians(lat_top)), F.cos(F.radians(lat_bot)))
+            lon_w = F.lit(-180.0) + (qx - radius) * F.lit(360.0 / n)
+            lon_e = F.lit(-180.0) + (qx + radius + 1) * F.lit(360.0 / n)
+            ew = F.least(F.abs(qlon_deg - lon_w), F.abs(lon_e - qlon_deg)) * min_cos
+        parts = [north, south] + ([ew] if ew is not None else [])
+        # least() skips NULLs; all-NULL (ring covers the planet) → +inf
+        bound_deg = F.coalesce(F.least(*parts) if len(parts) > 1 else parts[0], F.lit(float("inf")))
+        theta = F.radians(F.greatest(F.lit(0.0), bound_deg))
+        return F.pow(F.sin(theta / 2), 2)
 
-    spark = points.sparkSession
+    # per-query state lives in a DataFrame across rounds: one topk+bound job
+    # per radius ROUND (constant ≤ max_rounds jobs however many queries),
+    # resolved queries leave via an anti-join — no driver-side per-query
+    # loop, no re-planned job per query
+    unresolved = queries.withColumn("_t", xyz(qt_point(F.col("lon"), F.col("lat")))).select(
+        qid_col,
+        "lon",
+        "lat",
+        F.radians(F.col("lon") * 1e-7).alias("qlon"),
+        F.radians(F.col("lat") * 1e-7).alias("qlat"),
+        (F.col("lon") * 1e-7).alias("qlon_deg"),
+        (F.col("lat") * 1e-7).alias("qlat_deg"),
+        F.col("_t.tile_x").alias("qx"),
+        F.col("_t.tile_y").alias("qy"),
+    ).persist()
     results = None
-    unresolved = [(r[qid_col], r["lon"], r["lat"]) for r in queries.collect()]
     radius = 1
     for _ in range(max_rounds):
-        if not unresolved:
+        if unresolved.isEmpty():  # early exit: one tiny aggregate per round
             break
-        qdf = spark.createDataFrame(unresolved, f"{qid_col} bigint, lon bigint, lat bigint")
-        qq = qdf.withColumn("_t", xyz(qt_point(F.col("lon"), F.col("lat")))).select(
-            qid_col,
-            F.radians(F.col("lon") * 1e-7).alias("qlon"),
-            F.radians(F.col("lat") * 1e-7).alias("qlat"),
-            F.col("_t.tile_x").alias("qx"),
-            F.col("_t.tile_y").alias("qy"),
-        )
         dx = F.abs(F.col("px") - F.col("qx"))
         cand = p.join(
-            F.broadcast(qq),
+            F.broadcast(unresolved),
             (F.least(dx, F.lit(n) - dx) <= radius)  # x wraps at the antimeridian
             & (F.abs(F.col("py") - F.col("qy")) <= radius),
         )
@@ -209,33 +218,25 @@ def knn_cell_expansion(
             + F.cos("plat") * F.cos("qlat") * F.pow(F.sin((F.col("plon") - F.col("qlon")) / 2), 2),
         )
         w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
-        topk = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-        stats = {
-            r[0]: (r[1], r[2])
-            for r in topk.groupBy(qid_col)
-            .agg(F.count(F.lit(1)), F.max("dist"))
-            .collect()
-        }
-        qmeta = {
-            r[qid_col]: (r["lon"] * 1e-7, r["lat"] * 1e-7, int(r["qx"]), int(r["qy"]))
-            for r in qdf.withColumn("_t", xyz(qt_point(F.col("lon"), F.col("lat"))))
-            .select(qid_col, "lon", "lat", F.col("_t.tile_x").alias("qx"), F.col("_t.tile_y").alias("qy"))
-            .collect()
-        }
-        resolved = set()
-        for qid, (cnt, kth) in stats.items():
-            if cnt >= k:
-                qlon_deg, qlat_deg, qx, qy = qmeta[qid]
-                if kth <= _ring_bound_chord(qlon_deg, qlat_deg, qx, qy, radius):
-                    resolved.add(qid)
-        if resolved:
-            got = topk.filter(F.col(qid_col).isin(list(resolved))).select(qid_col, id_col, "rank")
-            results = got if results is None else results.unionByName(got)
-        unresolved = [u for u in unresolved if u[0] not in resolved]
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .persist()
+        )
+        resolved_q = (
+            topk.groupBy(qid_col, "qx", "qy", "qlon_deg", "qlat_deg")
+            .agg(F.count(F.lit(1)).alias("_cnt"), F.max("dist").alias("_kth"))
+            .filter((F.col("_cnt") >= k) & (F.col("_kth") <= _ring_bound_chord(radius)))
+            .select(qid_col)
+        )
+        got = topk.join(resolved_q, qid_col, "left_semi").select(qid_col, id_col, "rank")
+        results = got if results is None else results.unionByName(got)
+        unresolved = unresolved.join(resolved_q, qid_col, "left_anti").persist()
         radius *= 2
-    if unresolved:
-        qdf = spark.createDataFrame(unresolved, f"{qid_col} bigint, lon bigint, lat bigint")
-        fallback = knn_bruteforce(points, qdf, k, id_col, qid_col)
+    if not unresolved.isEmpty():
+        fallback = knn_bruteforce(
+            points, unresolved.select(qid_col, "lon", "lat"), k, id_col, qid_col
+        )
         results = fallback if results is None else results.unionByName(fallback)
     return results
 

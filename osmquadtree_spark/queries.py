@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from .functions import calcqts_oracle as cqo
 from .functions import dedup_oracle as do
+from .functions import group_oracle as grpo
 from .functions import geometry_oracle as go
 from .functions import sql_oracle as so
 from .functions import update_oracle as uo
@@ -1440,12 +1441,18 @@ def _oracle_sql() -> dict[str, str]:
               FROM ({_ELEM_CTE}) e CROSS JOIN ({knn_q}) q
               WHERE NOT e.is_box
             ) WHERE rank <= {KNN_K}""",
-        "group_assign_default": f"""
-            -- at sf0.01 scale the reference-default grouping resolves to the
-            -- single root group (weights live at tree level 15, all leaf
-            -- counts ≪ minsize; remainder lands at root) — see
-            -- tests/test_qttree_groups.py::test_no_rollup_reference_semantics
-            SELECT elem_id, 0::BIGINT AS group_qt FROM ({_ELEM_CTE})""",
+        # DuckDB-derived histogram → greedy → SQL-restated find_tile
+        # (functions/group_oracle.py). At the driver's sf the default-CLI
+        # grouping genuinely resolves to the root group — that now falls out
+        # of RUNNING the algorithm on the DuckDB histogram instead of being
+        # assumed; the fine-grained variant exercises real multi-level
+        # splitting through the same gate.
+        "group_assign_default": grpo.group_assign_sql(
+            target=40000, minsize=20000, tree_level=15, rollup=False
+        ),
+        "group_assign_fine": grpo.group_assign_sql(
+            target=1000, minsize=500, tree_level=15, rollup=True
+        ),
         "knn_cells": f"""
             SELECT query_id, point_id, rank FROM (
               SELECT q.query_id, e.elem_id AS point_id,

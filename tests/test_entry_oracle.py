@@ -19,6 +19,9 @@ import __spark_entry__ as entrymod
 from osmquadtree_spark.sources.tables import TABLES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# the group-assignment oracles derive their group tables from the parquet at
+# oracle-build time — point them at the same sf this test compares against
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
 
 
 def _duck_con(sf_dir):
@@ -70,7 +73,6 @@ ORACLES = entrymod.oracle_sql()
 # rows-only ops: driver-greedy grouping / LSH candidate sets / binary codecs
 # are not SQL-expressible; their semantics are pytest-asserted instead
 ROWS_ONLY = {
-    "group_assign_fine",
     "ann_lsh_topk",
     "image_tiles",
     "dedup_embedding_lsh",
