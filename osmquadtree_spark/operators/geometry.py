@@ -299,6 +299,59 @@ def tags_minzoom_join(
     )
 
 
+def minzoom_usage(
+    df: DataFrame,
+    tags_col,
+    geom_class_col,
+    id_cols: list[str],
+    spec=None,
+) -> DataFrame:
+    """findminzoom usage counters (the tagmap's second slot,
+    findminzoom.cpp:58-64, incremented at 121): how many elements each spec
+    row decided. Winner per element = the matching row with the smallest
+    zoom; equal-zoom ties break deterministically (exact before wildcard,
+    then key, then value) — the reference's tie order is its per-element
+    tag iteration order, which is data-dependent; counts can differ only
+    between equal-zoom multi-matches. Returns (cls, key, val, z, n_used)."""
+    spec = spec if spec is not None else gs.MINZOOM_SPEC
+    spark = df.sparkSession
+    sdf = spark.createDataFrame(
+        [(c, k, v, z) for c, k, v, z in spec], "cls int, key string, val string, z bigint"
+    )
+    exact = sdf.filter(F.col("val") != "*").select(
+        "cls", "key", "val", F.col("z").alias("_ze")
+    )
+    wild = sdf.filter(F.col("val") == "*").select(
+        "cls", "key", F.col("z").alias("_zw")
+    )
+    t = df.select(
+        *id_cols,
+        geom_class_col.cast("int").alias("cls"),
+        F.explode(F.col(tags_col) if isinstance(tags_col, str) else tags_col).alias("_t"),
+    ).select(*id_cols, "cls", F.col("_t.key").alias("key"), F.col("_t.val").alias("val"))
+    j = (
+        t.join(F.broadcast(exact), ["cls", "key", "val"], "left")
+        .join(F.broadcast(wild), ["cls", "key"], "left")
+        .withColumn("_z", F.coalesce(F.col("_ze"), F.col("_zw")))
+        .withColumn("_wildcard", F.col("_ze").isNull() & F.col("_zw").isNotNull())
+        .filter(F.col("_z").isNotNull())
+    )
+    w = Window.partitionBy(*id_cols).orderBy(
+        F.col("_z").asc(), F.col("_wildcard").asc(), F.col("key").asc(), F.col("val").asc()
+    )
+    winners = j.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return (
+        winners.select(
+            "cls",
+            "key",
+            F.when(F.col("_wildcard"), F.lit("*")).otherwise(F.col("val")).alias("val"),
+            F.col("_z").alias("z"),
+        )
+        .groupBy("cls", "key", "val", "z")
+        .agg(F.count(F.lit(1)).alias("n_used"))
+    )
+
+
 def with_minzoom(
     df: DataFrame,
     tags_col,

@@ -41,6 +41,11 @@ from ..plans.qttree import (
 )
 
 
+# histogram level of compute_groups_scalable's shallow pass; callers
+# providing a precomputed `shallow_hist` must emit cells at this level
+SHALLOW_LEVEL = 8
+
+
 def cell_histogram(df: DataFrame, qt_col: str = "qt", tree_level: int = 15) -> DataFrame:
     """groupBy(round(qt, tree_level)).count() — the CollectQts pass
     (sortblocks.cpp:58-121) as a single partial+final hash aggregate."""
@@ -82,6 +87,7 @@ def compute_groups_scalable(
     target: int = 40000,
     minsize: int = 20000,
     tree_level: int = 15,
+    shallow_hist: DataFrame | None = None,
 ):
     """Rollup-mode grouping with a driver collect bounded by the OUTPUT size,
     not the input histogram — the planet/10^12-row path.
@@ -110,17 +116,45 @@ def compute_groups_scalable(
     ``compute_groups(rollup=True)`` — equivalence is asserted in
     tests/test_qttree_groups.py and test_sortblocks.py.
     """
-    shallow = min(10, tree_level)
+    # SHALLOW_LEVEL = 8: 4^8 = 65k possible keys means the map-side partial
+    # aggregate collapses each task's input to ≤65k rows before the shuffle
+    # (at level 10 the 1M-key space defeated the combiner and the shuffle
+    # carried ~the full input); levels 9..tree_level go through the deep
+    # pass, which only touches hot subtrees
+    shallow = min(SHALLOW_LEVEL, tree_level)
     # hist is NOT persisted: the deep phase usually never runs (it needs a
     # depth-`shallow` cell holding ≥ minsize rows), and when it does, callers
     # of this function at scale have already materialized `df` upstream, so
     # recomputing the histogram is one cheap cache-scan aggregate
     hist = cell_histogram(df, qt_col, tree_level).filter(F.col("cell") >= 0)
+    # pre-reduce to the shallow level BEFORE exploding ancestors: the
+    # ancestor explode multiplies its input ×(shallow+1), so running it on
+    # the level-`shallow` histogram (≤ 4^shallow rows) instead of the
+    # level-`tree_level` one (≈ n_rows for uniform data) cuts the exploded
+    # volume by ~the data/4^shallow ratio — at 16M uniform rows this was
+    # the single largest non-scaling stage of the pipeline
+    if shallow_hist is None:
+        shallow_hist = (
+            df.select(round_qt_col(F.col(qt_col), shallow).alias("cell"))
+            .filter(F.col("cell") >= 0)
+            .groupBy("cell")
+            .count()
+        )
+    else:
+        # caller-provided PARTIAL histogram at SHALLOW_LEVEL — e.g. emitted
+        # as per-partition (cell, count) rows straight out of the generation
+        # kernel (np.unique per partition), which keeps the full row stream
+        # from ever crossing Arrow just to be counted
+        shallow_hist = (
+            shallow_hist.filter(F.col("cell") >= 0)
+            .groupBy("cell")
+            .agg(F.sum("count").alias("count"))
+        )
     anc_shallow = F.array_distinct(
         F.array(*[round_qt_col(F.col("cell"), lv) for lv in range(shallow + 1)])
     )
     nodes = (
-        hist.select(F.explode(anc_shallow).alias("node"), "count")
+        shallow_hist.select(F.explode(anc_shallow).alias("node"), "count")
         .groupBy("node")
         .agg(F.sum("count").alias("total"))
         .filter((F.col("total") >= minsize) | (F.col("node") == 0))

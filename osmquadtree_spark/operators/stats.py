@@ -79,3 +79,78 @@ def count_elements(nodes: DataFrame, ways: DataFrame, rels: DataFrame) -> DataFr
         F.max("_n").alias("max_per_obj"),
     )
     return n.unionByName(w).unionByName(r)
+
+
+# -- element diff / reconciliation (compare_element + diffreason,
+#    /root/reference/python/src/count_python.cpp:82-186) -----------------------
+
+DIFF_REASONS = (
+    "Same", "Object", "Info", "Tags", "LonLat", "Refs",
+    "Members", "Quadtree", "ChangeType", "NoLeft", "NoRight",
+)
+
+
+def element_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: tuple[str, ...] = ("element_type", "id"),
+    include_same: bool = False,
+) -> DataFrame:
+    """compare_element over two element tables — the reference's
+    operational diff harness restated as ONE full-outer join + a CASE
+    chain in the reference's check precedence
+    (count_python.cpp:114-186): missing side → NoLeft/NoRight; then
+    Info (version/timestamp/changeset/user_id), Tags (sorted compare,
+    the std::sort in compare_element), LonLat, Refs (ordered), Members
+    (ordered incl. role), Quadtree, ChangeType; else Same.
+
+    Compares whichever of the known columns are present in BOTH schemas;
+    identity is the ``keys`` tuple (the reference iterates two id-sorted
+    streams — the join replaces the merge walk). Returns
+    (*keys, reason) — diffs only unless ``include_same``.
+    """
+    shared = [c for c in left.columns if c in right.columns and c not in keys]
+    l = left.select(*keys, *[F.col(c).alias(f"_l_{c}") for c in shared]).withColumn(
+        "_lp", F.lit(True)
+    )
+    r = right.select(*keys, *[F.col(c).alias(f"_r_{c}") for c in shared]).withColumn(
+        "_rp", F.lit(True)
+    )
+    j = l.join(r, list(keys), "full_outer")
+
+    def neq(c):
+        lc, rc = F.col(f"_l_{c}"), F.col(f"_r_{c}")
+        dt = dict(zip(left.columns, [f.dataType.simpleString() for f in left.schema]))[c]
+        if dt.startswith("array<struct"):  # tags / members: ordered struct arrays
+            if c == "tags":  # reference sorts both sides by key before comparing
+                lc, rc = F.array_sort(lc), F.array_sort(rc)
+            return ~(lc.eqNullSafe(rc))
+        return ~(lc.eqNullSafe(rc))
+
+    def any_neq(cols):
+        out = None
+        for c in cols:
+            if c not in shared:
+                continue
+            e = neq(c)
+            out = e if out is None else (out | e)
+        return out
+
+    reason = F.when(F.col("_lp").isNull(), F.lit("NoLeft")).when(
+        F.col("_rp").isNull(), F.lit("NoRight")
+    )
+    checks = [
+        ("Info", ("version", "timestamp", "changeset", "user_id")),
+        ("Tags", ("tags",)),
+        ("LonLat", ("lon", "lat")),
+        ("Refs", ("refs",)),
+        ("Members", ("members",)),
+        ("Quadtree", ("qt",)),
+        ("ChangeType", ("changetype",)),
+    ]
+    for name, cols in checks:
+        cond = any_neq(cols)
+        if cond is not None:
+            reason = reason.when(cond, F.lit(name))
+    out = j.select(*keys, reason.otherwise(F.lit("Same")).alias("reason"))
+    return out if include_same else out.filter(F.col("reason") != "Same")

@@ -191,3 +191,33 @@ def test_ring_centroid_col_matches_kernel(spark):
         gx, gy = got[k]
         assert abs(gx - ex) <= 1e-9 * max(1.0, abs(ex)), (k, gx, ex)
         assert abs(gy - ey) <= 1e-9 * max(1.0, abs(ey)), (k, gy, ey)
+
+
+def test_minzoom_usage_counters(spark):
+    """Usage counters (findminzoom.cpp:58-64): each element credits the spec
+    row that decided its minzoom (smallest zoom; exact shadows wildcard)."""
+    from pyspark.sql import functions as F
+
+    from osmquadtree_spark.operators import geometry as geo
+
+    spec = [
+        (1, "highway", "motorway", 6),
+        (1, "highway", "*", 13),
+        (1, "railway", "rail", 8),
+    ]
+    rows = [
+        (1, [("highway", "motorway")]),            # exact, z6
+        (2, [("highway", "service")]),             # wildcard, z13
+        (3, [("highway", "service"), ("railway", "rail")]),  # rail z8 wins
+        (4, [("name", "x")]),                      # no match → no credit
+    ]
+    df = spark.createDataFrame(rows, "id bigint, tags array<struct<key:string,val:string>>")
+    got = {
+        (r.cls, r.key, r.val): r.n_used
+        for r in geo.minzoom_usage(df, "tags", F.lit(1), ["id"], spec=spec).collect()
+    }
+    assert got == {
+        (1, "highway", "motorway"): 1,
+        (1, "highway", "*"): 1,
+        (1, "railway", "rail"): 1,
+    }

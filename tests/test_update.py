@@ -94,3 +94,45 @@ def test_assign_group_rejects_nulls(spark):
     assign = make_assign_group_udf(spark, gqt)
     with pytest.raises(Exception, match="NULL cell id|PythonException|assign_group"):
         df.select(assign(F.col("qt"))).collect()
+
+
+def test_element_diff_reasons(spark):
+    """compare_element precedence (count_python.cpp:114-186): first failing
+    check wins; tags compare sorted; missing sides are NoLeft/NoRight."""
+    from osmquadtree_spark.operators.stats import element_diff
+
+    schema = (
+        "element_type int, id bigint, version int, lon bigint, lat bigint, "
+        "tags array<struct<key:string,val:string>>, qt bigint, changetype int"
+    )
+    left = spark.createDataFrame(
+        [
+            (0, 1, 1, 10, 10, [("a", "1"), ("b", "2")], 100, 0),   # same (tags order differs right)
+            (0, 2, 1, 10, 10, [("a", "1")], 100, 0),               # info diff beats tag diff
+            (0, 3, 1, 10, 10, [("a", "1")], 100, 0),               # tags diff
+            (0, 4, 1, 10, 10, [("a", "1")], 100, 0),               # lonlat diff
+            (0, 5, 1, 10, 10, [("a", "1")], 100, 0),               # qt diff
+            (0, 6, 1, 10, 10, [("a", "1")], 100, 0),               # changetype diff
+            (0, 7, 1, 10, 10, [("a", "1")], 100, 0),               # right missing
+        ],
+        schema,
+    )
+    right = spark.createDataFrame(
+        [
+            (0, 1, 1, 10, 10, [("b", "2"), ("a", "1")], 100, 0),
+            (0, 2, 2, 10, 10, [("a", "2")], 100, 0),
+            (0, 3, 1, 10, 10, [("a", "2")], 100, 0),
+            (0, 4, 1, 11, 10, [("a", "1")], 100, 0),
+            (0, 5, 1, 10, 10, [("a", "1")], 101, 0),
+            (0, 6, 1, 10, 10, [("a", "1")], 100, 4),
+            (0, 8, 1, 10, 10, [("a", "1")], 100, 0),               # left missing
+        ],
+        schema,
+    )
+    got = {r.id: r.reason for r in element_diff(left, right).collect()}
+    assert got == {
+        2: "Info", 3: "Tags", 4: "LonLat", 5: "Quadtree",
+        6: "ChangeType", 7: "NoRight", 8: "NoLeft",
+    }
+    full = {r.id: r.reason for r in element_diff(left, right, include_same=True).collect()}
+    assert full[1] == "Same"
