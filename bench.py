@@ -85,6 +85,18 @@ def main() -> None:
     # assignment pipeline (lineitem-derived elements)
     n_rows = spark.read.parquet(f"{args.sf_dir}/lineitem.parquet").count()
 
+    # warm the python worker pool + Arrow machinery once (cluster startup is
+    # not steady-state throughput; the scaling bench excludes it the same way)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(v):
+        return v
+
+    spark.range(0, 32 * 1024, 1, args.cpus).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in names:
         fn = registry[name]

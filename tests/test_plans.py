@@ -74,3 +74,49 @@ def test_whole_stage_codegen_covers_relational_query(spark, sf_dir):
     plan = _plan(df)
     assert "isFinalPlan=true" in plan
     assert "*(" in plan  # the codegen-stage marker in compact plan strings
+
+
+def test_text_analysis_is_single_projection(spark, sf_dir):
+    """All four text stages in one pass: no shuffle, no join — one scan +
+    one projection over the documents parquet."""
+    q = Q.spark_queries()["text_analysis"](spark, sf_dir)
+    plan = _plan(q)
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_minzoom_spec_join_broadcasts(spark, sf_dir):
+    """The 726-row minzoom spec must reach the tag join as a broadcast —
+    compiling it to a CASE chain or shuffling the spec would both be wrong."""
+    q = Q.spark_queries()["geom_minzoom"](spark, sf_dir)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_extract_members_uses_hash_joins_not_cartesian(spark, sf_dir):
+    q = Q.spark_queries()["extract_members"](spark, sf_dir)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_candidate_joins_are_slim(spark, sf_dir):
+    """The minhash band join must NOT carry the signature arrays — they are
+    re-joined after pair dedup (shuffle-bytes discipline for 100 TB)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from osmquadtree_spark.operators.dedup import minhash_lsh_pairs
+
+    plan = _plan(minhash_lsh_pairs(docs))
+    # the band-bucket self-join output columns are ids only; sig appears in
+    # the plan solely under the post-pair rejoin (two hash joins on doc ids)
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin") >= 3
+
+
+def test_lsh_bucket_signatures_single_arrow_stage(spark, sf_dir):
+    """Bucket ids come from ONE mapInPandas matmul per side, not per-plane
+    HOF folds (which show up as repeated 'aggregate(' lambdas)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from osmquadtree_spark.operators.ann import bucket_signatures, make_planes
+
+    planes = make_planes(4, 12, 64)
+    plan = _plan(bucket_signatures(emb, planes, ["vec_id"]))
+    assert "MapInPandas" in plan
+    assert "aggregate(" not in plan
