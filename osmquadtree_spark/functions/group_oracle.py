@@ -93,3 +93,36 @@ def group_assign_sql(target: int, minsize: int, tree_level: int, rollup: bool) -
 SELECT elem_id, {find_tile_sql('qt', gqt)} AS group_qt
 FROM ({qt_cte})
 """.strip()
+
+
+def image_tiles_sql(target: int, minsize: int, tree_level: int) -> str:
+    """Full oracle for the north-star image tiling pipeline (stages 1-3):
+    footprint cells re-derived in DuckDB (splitmix64 over HUGEINT), group
+    table from the DuckDB histogram + rollup + greedy (per-item
+    restatement), find_tile in SQL, per-tile counts + cell extrema."""
+    import duckdb
+
+    from ..plans.qttree import QtTree, find_groups, group_table, tree_rollup
+
+    sf_dir = _oracle_sf_dir()
+    qt_cte = so.calculate_cte(
+        so.image_elements_sql("SELECT p_partkey AS i FROM part"), "img_idx"
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM '{sf_dir}/part.parquet'")
+    hist = con.sql(
+        f"SELECT {so.round_sql('qt', tree_level)} AS cell, COUNT(*) AS cnt "
+        f"FROM ({qt_cte}) GROUP BY 1"
+    ).fetchall()
+    con.close()
+    tree = QtTree.from_counts(
+        [int(r[0]) for r in hist], [int(r[1]) for r in hist], tree_level
+    )
+    tree_rollup(tree, minsize)
+    gqt, _, _ = group_table(find_groups(tree, target, minsize))
+    ft = find_tile_sql("qt", [int(q) for q in gqt])
+    return f"""
+SELECT {ft} AS group_qt, COUNT(*)::BIGINT AS n_rows,
+       MIN(qt) AS min_cell, MAX(qt) AS max_cell
+FROM ({qt_cte}) GROUP BY 1
+""".strip()

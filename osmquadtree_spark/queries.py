@@ -358,30 +358,23 @@ def _osm_fixture(spark, sf_dir):
 
 def q_way_qts(spark, sf_dir):
     """calcqts way path: explode refs → join node locations → bbox agg →
-    calculate kernel (wayqts.cpp:159-186 semantics)."""
-    from .operators.calcqts import way_quadtrees
-
-    nodes, ways, _ = _osm_fixture(spark, sf_dir)
-    return way_quadtrees(ways, nodes)
+    calculate kernel (wayqts.cpp:159-186 semantics). Served from the
+    session-memoized _old_state, so the three calcqts queries and the two
+    update queries share ONE derivation per driver run."""
+    return _old_state(spark, sf_dir)[3]["ways"]
 
 
 def q_node_qts(spark, sf_dir):
     """calcqts node path: LCA (common of min/max) of containing ways' qts
-    with point-cell fallback (calcqts.cpp:48-124 semantics)."""
-    from .operators.calcqts import node_quadtrees, way_quadtrees
-
-    nodes, ways, _ = _osm_fixture(spark, sf_dir)
-    wq = way_quadtrees(ways, nodes)
-    return node_quadtrees(nodes, ways, wq)
+    with point-cell fallback (calcqts.cpp:48-124 semantics); memoized via
+    _old_state."""
+    return _old_state(spark, sf_dir)[3]["nodes"]
 
 
 def q_rel_qts(spark, sf_dir):
     """calcqts relation path: member LCA + the exact 5-pass rel→rel closure
-    (calcqtsinmem.cpp:139-207 semantics)."""
-    from .operators.calcqts import calc_all_quadtrees
-
-    nodes, ways, rels = _osm_fixture(spark, sf_dir)
-    return calc_all_quadtrees(nodes, ways, rels)["relations"]
+    (calcqtsinmem.cpp:139-207 semantics); memoized via _old_state."""
+    return _old_state(spark, sf_dir)[3]["relations"]
 
 
 # ----------------------------------------------------------------------------
@@ -1601,6 +1594,10 @@ def _oracle_sql() -> dict[str, str]:
         "image_qt_assign": so.calculate_cte(
             so.image_elements_sql("SELECT p_partkey AS i FROM part"), "img_idx"
         ),
+        # north-star stages 1-3 full-value gate (was rows-only): group table
+        # re-derived from the DuckDB histogram + rollup + greedy, find_tile
+        # in SQL (functions/group_oracle.py)
+        "image_tiles": grpo.image_tiles_sql(target=200, minsize=100, tree_level=15),
         "changes_merge": """
             SELECT key, payload, 0 AS changetype FROM (
               SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY file_idx DESC) AS rn

@@ -74,7 +74,6 @@ ORACLES = entrymod.oracle_sql()
 # are not SQL-expressible; their semantics are pytest-asserted instead
 ROWS_ONLY = {
     "ann_lsh_topk",
-    "image_tiles",
     "dedup_embedding_lsh",
     "media_features",
 }
