@@ -453,7 +453,6 @@ def _change_set(spark, sf_dir):
         .withColumn("changetype", F.lit(4))
         .join(old["relations"].withColumnRenamed("qt", "old_qt"), "rel_id", "left")
     )
-    orig_allocs = None  # built lazily by q_update_change_tiles
     return ch_nodes, ch_ways, ch_rels, old
 
 
