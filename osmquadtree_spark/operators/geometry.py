@@ -416,13 +416,12 @@ def minzoom_col(
 # -- metric geometry (EPSG:3857 fold math, utils.cpp:51-105) ------------------
 
 
-def way_coord_arrays(way_refs: DataFrame, nodes: DataFrame, close_ring=None) -> DataFrame:
-    """(way_id, xs, ys): member coordinates projected to 3857, ordered by
-    ref position; when ``close_ring`` (a way_id predicate column) holds, the
-    first point is appended to close the ring (OSM rings store first==last;
-    the fixture stores open rings)."""
+def collect_way_coords(way_refs: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(way_id, _lons, _lats): raw fixed-point member coordinates ordered by
+    ref position — the shared upstream of every coordinate consumer
+    (metrics, minzoom, WKB, GeoJSON); callers memoize/checkpoint it once."""
     located = way_refs.join(nodes.select("node_id", "lon", "lat"), "node_id")
-    pts = (
+    return (
         located.groupBy("way_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("_pts"))
         .select(
@@ -431,6 +430,13 @@ def way_coord_arrays(way_refs: DataFrame, nodes: DataFrame, close_ring=None) -> 
             F.transform("_pts", lambda p: p["lat"]).alias("_lats"),
         )
     )
+
+
+def project_3857(pts: DataFrame, close_ring=None) -> DataFrame:
+    """(way_id, _lons, _lats) → (way_id, xs, ys) in EPSG:3857; when
+    ``close_ring`` (a way_id predicate column) holds, the first point is
+    appended to close the ring (OSM rings store first==last; the fixture
+    stores open rings)."""
     if close_ring is not None:
         pts = pts.select(
             "way_id",
@@ -447,6 +453,12 @@ def way_coord_arrays(way_refs: DataFrame, nodes: DataFrame, close_ring=None) -> 
         / F.lit(math.pi),
     )
     return pts.select("way_id", xs.alias("xs"), ys.alias("ys"))
+
+
+def way_coord_arrays(way_refs: DataFrame, nodes: DataFrame, close_ring=None) -> DataFrame:
+    """(way_id, xs, ys): member coordinates projected to 3857, ordered by
+    ref position (collect_way_coords ∘ project_3857)."""
+    return project_3857(collect_way_coords(way_refs, nodes), close_ring)
 
 
 def line_length_col(xs, ys):

@@ -363,6 +363,28 @@ def _osm_fixture(spark, sf_dir):
     return _FIXTURE_CACHE[key]
 
 
+_WAY_COORDS_CACHE: dict = {}
+
+
+def _way_coords(spark, sf_dir):
+    """Memoized per (session, sf): raw ordered way coordinate arrays —
+    shared upstream of geom_way_stats, geom_minzoom, wkb_roundtrip and
+    geojson_tiles (each previously re-ran the explode+join+sort-collect)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _WAY_COORDS_CACHE:
+        return _WAY_COORDS_CACHE[key]
+    from .operators import geometry as geo
+
+    nodes, ways, _ = _osm_fixture(spark, sf_dir)
+    refs = ways.select("way_id", F.explode("refs").alias("node_id")).withColumn(
+        "pos", F.col("node_id")
+    )
+    _WAY_COORDS_CACHE[key] = geo.collect_way_coords(refs, nodes).localCheckpoint(
+        eager=False
+    )
+    return _WAY_COORDS_CACHE[key]
+
+
 _EXTRACT_CACHE: dict = {}
 
 
@@ -703,17 +725,8 @@ def q_wkb_roundtrip(spark, sf_dir):
         F.col("lat").alias("sum_lat"),
     )
 
-    ways = fx.fixture_ways(spark, sf_dir)
-    pairs = ways.select("way_id", F.explode("refs").alias("node_id"))
-    coords = (
-        pairs.join(nodes, "node_id")
-        .groupBy("way_id")
-        .agg(F.array_sort(F.collect_list(F.struct("node_id", "lon", "lat"))).alias("_p"))
-        .select(
-            "way_id",
-            F.transform("_p", lambda p: p["lon"]).alias("lons"),
-            F.transform("_p", lambda p: p["lat"]).alias("lats"),
-        )
+    coords = _way_coords(spark, sf_dir).select(
+        "way_id", F.col("_lons").alias("lons"), F.col("_lats").alias("lats")
     )
     is_ring = F.col("way_id") % 6 == 0
 
@@ -879,12 +892,7 @@ def q_geom_way_stats(spark, sf_dir):
 
     _load(spark, sf_dir, "orders")
     _load(spark, sf_dir, "lineitem")
-    nodes = fx.fixture_nodes(spark, sf_dir)
-    ways = fx.fixture_ways(spark, sf_dir)
-    refs = ways.select(
-        "way_id", F.explode("refs").alias("node_id")
-    ).withColumn("pos", F.col("node_id"))
-    coords = geo.way_coord_arrays(refs, nodes, close_ring=F.col("way_id") % 6 == 0)
+    coords = geo.project_3857(_way_coords(spark, sf_dir), close_ring=F.col("way_id") % 6 == 0)
     # gate on floor-scaled integers: the shoelace cancels ~1e14 intermediates
     # down to ~1e10, amplifying cross-engine libm (log/tan) last-ulp
     # differences to ~0.04 absolute — /65536 + floor bounds the flip
@@ -950,23 +958,15 @@ def q_geojson_tiles(spark, sf_dir):
         "tile", F.lit("point").alias("kind"), "geojson"
     )
 
-    ways = fx.fixture_ways(spark, sf_dir)
     wt = fx.fixture_way_tags(spark, sf_dir)
-    pairs = ways.select("way_id", F.explode("refs").alias("node_id"))
-    coords = (
-        pairs.join(nodes, "node_id")
-        .groupBy("way_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("node_id", "lon", "lat"))).alias("_p"),
-            F.min("lon").alias("minx"), F.min("lat").alias("miny"),
-            F.max("lon").alias("maxx"), F.max("lat").alias("maxy"),
-        )
-        .select(
-            "way_id",
-            F.transform("_p", lambda p: p["lon"]).alias("lons"),
-            F.transform("_p", lambda p: p["lat"]).alias("lats"),
-            qt_calc("minx", "miny", "maxx", "maxy").alias("qt"),
-        )
+    coords = _way_coords(spark, sf_dir).select(
+        "way_id",
+        F.col("_lons").alias("lons"),
+        F.col("_lats").alias("lats"),
+        qt_calc(
+            F.array_min("_lons"), F.array_min("_lats"),
+            F.array_max("_lons"), F.array_max("_lats"),
+        ).alias("qt"),
     )
     is_ring = F.col("way_id") % 6 == 0
     w = coords.join(wt, "way_id").withColumn("tile", round_qt_col(F.col("qt"), 3))
@@ -1011,13 +1011,8 @@ def q_geom_minzoom(spark, sf_dir):
     )
 
     wt = fx.fixture_way_tags(spark, sf_dir)
-    nodes = fx.fixture_nodes(spark, sf_dir)
-    ways = fx.fixture_ways(spark, sf_dir)
-    refs = ways.select("way_id", F.explode("refs").alias("node_id")).withColumn(
-        "pos", F.col("node_id")
-    )
     is_ring = F.col("way_id") % 6 == 0
-    coords = geo.way_coord_arrays(refs, nodes, close_ring=is_ring)
+    coords = geo.project_3857(_way_coords(spark, sf_dir), close_ring=is_ring)
     wstats = coords.select(
         "way_id",
         geo.line_length_col(F.col("xs"), F.col("ys")).alias("_len"),
