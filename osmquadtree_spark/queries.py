@@ -1730,6 +1730,14 @@ def _oracle_sql() -> dict[str, str]:
     }
 
 
+def clear_session_caches() -> None:
+    """Drop every per-(session, sf) memo (old-state, fixture frames, extract
+    ids, way coords, resolved updates). bench.py calls this between repeat
+    sweeps so a best-of-N timing never reports a memo hit as a query cost."""
+    for cache in (_RESOLVED_CACHE, _OLD_QTS_CACHE, _FIXTURE_CACHE, _EXTRACT_CACHE, _WAY_COORDS_CACHE):
+        cache.clear()
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qt_assign": q_qt_assign,
