@@ -224,7 +224,7 @@ def multipolygon_stats(members: DataFrame) -> DataFrame:
     (mapInPandas), which is ~5× faster at 150k relations."""
     from pyspark.sql import functions as F
 
-    from .wkb import decode_multi
+    from .wkb import multi_counts
 
     grouped = members.groupBy("rel_id").agg(
         F.array_sort(
@@ -258,10 +258,9 @@ def multipolygon_stats(members: DataFrame) -> DataFrame:
                     out["wkb_n_rings"].append(None)
                     out["wkb_n_points"].append(None)
                 else:
-                    _, _, dparts = decode_multi(blob)
-                    rings = [r for p in dparts for r in p[1]]
-                    out["wkb_n_rings"].append(len(rings))
-                    out["wkb_n_points"].append(sum(len(r[0]) for r in rings))
+                    nr, npts = multi_counts(blob)
+                    out["wkb_n_rings"].append(nr)
+                    out["wkb_n_points"].append(npts)
                 if res["outers"]:
                     cx, cy = ring_centroid(res["outers"][0])
                     out["centroid_x_16"].append(math.floor(cx / 16.0))

@@ -157,6 +157,32 @@ def decode_multi(data: bytes):
     return srid, t, parts
 
 
+def multi_counts(data: bytes) -> tuple[int, int]:
+    """(n_rings, n_points) of a MultiPolygon/Multi blob by walking headers
+    only — no float materialization; the cheap form of the decode gate for
+    per-relation batch kernels (full decode_multi copies every coordinate)."""
+    t, _, pos = _decode_header(data)
+    if t not in (4, 5, 6):
+        raise ValueError("not a multi geometry")
+    (n,) = struct.unpack_from(">I", data, pos)
+    pos += 4
+    rings = 0
+    points = 0
+    for _ in range(n):
+        pt, _, ppos = _decode_header(data[pos:])
+        if pt != 3:
+            raise ValueError("multi_counts expects polygon parts")
+        (nr,) = struct.unpack_from(">I", data, pos + ppos)
+        end = ppos + 4
+        for _r in range(nr):
+            (np_,) = struct.unpack_from(">I", data, pos + end)
+            end += 4 + 16 * np_
+            points += np_
+        rings += nr
+        pos += end
+    return rings, points
+
+
 def decode_point(data: bytes):
     """→ (srid or None, x, y)."""
     if data[0] != 0:
