@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the resumable image tiling pipeline.
+
+The north-rule deployment shape:
+
+    zip -r oqt_spark.zip osmquadtree_spark
+    spark-submit --master <cluster> --py-files oqt_spark.zip \\
+        jobs/tile_pipeline.py --out-dir /data/tiles \\
+        [--input /data/images.parquet | --n-images 1000000] \\
+        [--target 40000 --minsize 20000 --tree-level 15 --partitions 256]
+
+Re-running with the same --out-dir resumes from the first uncommitted
+stage (per-stage manifests are the commit markers — Iceberg snapshots in
+production). Prints one JSON line of stage manifests.
+
+Smoke-tested end to end through real spark-submit --py-files in
+tests/test_submit.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out-dir", required=True)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet with the image+caption schema")
+    src.add_argument("--n-images", type=int, help="synthesize N deterministic rows")
+    ap.add_argument("--target", type=int, default=40000)
+    ap.add_argument("--minsize", type=int, default=20000)
+    ap.add_argument("--tree-level", type=int, default=15)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--stop-after", default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("oqt-tile-pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from osmquadtree_spark.pipeline import run_image_tiling
+    from osmquadtree_spark.sources.images import images_df
+
+    if args.input:
+        images = spark.read.parquet(args.input)
+    else:
+        images = images_df(spark, args.n_images)
+    manifests = run_image_tiling(
+        spark,
+        images,
+        args.out_dir,
+        target=args.target,
+        minsize=args.minsize,
+        tree_level=args.tree_level,
+        num_partitions=args.partitions,
+        stop_after=args.stop_after,
+    )
+    print(json.dumps(manifests))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

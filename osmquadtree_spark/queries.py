@@ -309,10 +309,15 @@ def q_group_assign_default(spark, sf_dir):
 
 
 def q_group_assign_fine(spark, sf_dir):
-    """sortblocks assignment at a bench-scale target (1000/500, rollup) —
-    non-SQL-expressible (driver greedy); rows-only check."""
+    """sortblocks assignment at a bench-scale target (1000/500, rollup) via
+    the SCALABLE survivor-aggregate grouping (driver collect bounded by
+    output, proven ≡ compute_groups(rollup=True) in
+    tests/test_qttree_groups.py) — gated against the DuckDB-derived
+    histogram + per-item greedy + SQL find_tile oracle."""
+    from .operators.sortblocks import compute_groups_scalable
+
     df = _elements_qt(spark, sf_dir)
-    gqt, _, _ = compute_groups(df, "qt", target=1000, minsize=500, tree_level=15, rollup=True)
+    gqt, _, _ = compute_groups_scalable(df, "qt", target=1000, minsize=500, tree_level=15)
     return with_group_column(df, gqt, "qt").select("elem_id", "group_qt")
 
 
