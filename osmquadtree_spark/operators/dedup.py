@@ -251,42 +251,60 @@ def simhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, sig): 32-bit SimHash over word hashes. Bit j of the
     signature is set iff the j-th bits of the word hashes are set in at
     least half the words (2*ones_j >= n_words) — the classic sign-of-votes
-    rule. Expression shape (see minhash_signature): word hashes are hoisted
-    into one array so the string ops run once per word, and the 32 per-bit
-    vote counts come from a single fold with an array accumulator — not 32
-    separate aggregates that would each re-touch every word. (The DuckDB
-    twin stays the flat 32-term per-bit spec — oracles optimize for
-    readability, operators for the interpreter.)"""
+    rule.
+
+    Implemented as a vectorized Arrow batch kernel (same rationale as
+    minhash_signature): the per-word hash and the 32 per-bit vote counts
+    are one exploded word array + a (words × 32) bit unpack +
+    ``np.add.reduceat`` over doc runs — the previous JVM
+    higher-order-function fold evaluated interpreted at ~100× the cost.
+    Integer math is identical to the DuckDB oracle spec (word code
+    len·97+first+31·last, Knuth spread mod 2^32)."""
+    import numpy as np
+    import pandas as pd
+
     spark = docs.sparkSession
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    words = F.split(F.col(text_col), " ")
-    n_words = F.size(words).cast("bigint")
-    hashes = F.transform(words, _word_hash)
-    zeros = F.array_repeat(F.lit(0).cast("bigint"), SIM_BITS)
-    votes = F.aggregate(
-        hashes,
-        zeros,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(SIM_BITS - 1)),
-                lambda j: F.call_function("shiftright", h, j).bitwiseAND(F.lit(1)).cast("bigint"),
-            ),
-            lambda x, y: x + y,
-        ),
+    id_field = docs.schema["doc_id"].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            split = pdf[text_col].str.split(" ")
+            ex = split.explode()
+            row = ex.index.to_numpy(np.int64)
+            w = ex.to_numpy(dtype=object)
+            lens = np.asarray([len(x) for x in w], dtype=np.int64)
+            first = np.asarray([ord(x[0]) if x else 0 for x in w], dtype=np.int64)
+            last = np.asarray([ord(x[-1]) if x else 0 for x in w], dtype=np.int64)
+            h = ((lens * 97 + first + last * 31) * KNUTH) % (1 << 32)
+            bits = ((h[:, None] >> np.arange(SIM_BITS, dtype=np.int64)) & 1).astype(
+                np.int64
+            )  # (words, 32)
+            starts = (
+                np.flatnonzero(np.r_[True, row[1:] != row[:-1]])
+                if len(row)
+                else np.zeros(0, np.int64)
+            )
+            if len(starts):
+                votes = np.add.reduceat(bits, starts, axis=0)  # (docs, 32)
+                n_words = np.diff(np.r_[starts, len(row)])
+                sig_bits = (votes * 2 >= n_words[:, None]).astype(np.int64)
+                sigs = (sig_bits << np.arange(SIM_BITS, dtype=np.int64)).sum(axis=1)
+                out_rows = row[starts]
+            else:
+                sigs = np.zeros(0, np.int64)
+                out_rows = np.zeros(0, np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids).iloc[out_rows].to_numpy(),
+                    "sig": sigs,
+                }
+            )
+
+    return docs.select("doc_id", F.col(text_col)).mapInPandas(
+        gen, f"doc_id {id_field}, sig bigint"
     )
-    sig = F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(SIM_BITS - 1)),
-            lambda ones, j: F.when(
-                ones * 2 >= n_words, F.call_function("shiftleft", F.lit(1).cast("bigint"), j)
-            ).otherwise(F.lit(0).cast("bigint")),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    return docs.select("doc_id", sig.alias("sig"))
 
 
 def simhash_pairs(
