@@ -91,8 +91,9 @@ def minhash_signature(docs: DataFrame, n: int = 3, text_col: str = "text") -> Da
     import numpy as np
     import pandas as pd
 
-    spark = docs.sparkSession
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    from .docs import balanced
+
+    docs = balanced(docs)
     A = np.asarray([a for a, _ in HASH_PARAMS], dtype=np.int64)
     B = np.asarray([b for _, b in HASH_PARAMS], dtype=np.int64)
     id_field = docs.schema["doc_id"].dataType.simpleString()
@@ -263,8 +264,9 @@ def simhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    spark = docs.sparkSession
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    from .docs import balanced
+
+    docs = balanced(docs)
     id_field = docs.schema["doc_id"].dataType.simpleString()
 
     def gen(batches):

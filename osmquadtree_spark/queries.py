@@ -1229,7 +1229,7 @@ def q_text_analysis(spark, sf_dir):
     language-ID, fingerprinting) in one pass — one driver entry with a single
     full-value oracle gating all four; the individual operators remain
     available (operators/docs.py) and unit-tested."""
-    return doc_ops.text_analysis(_load(spark, sf_dir, "documents"))
+    return doc_ops.text_analysis_vectorized(_load(spark, sf_dir, "documents"))
 
 
 def q_dedup_exact(spark, sf_dir):

@@ -85,11 +85,20 @@ def test_whole_stage_codegen_covers_relational_query(spark, sf_dir):
 
 
 def test_text_analysis_is_single_projection(spark, sf_dir):
-    """All four text stages in one pass: no shuffle, no join — one scan +
-    one projection over the documents parquet."""
+    """All four text stages in one pass: one scan + one Arrow kernel — no
+    join, no aggregate; the only permissible exchange is the small-scan
+    balance repartition (absent at scale, see docs.balanced)."""
     q = Q.spark_queries()["text_analysis"](spark, sf_dir)
     plan = _plan(q)
-    assert "Exchange" not in plan and "Join" not in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert "MapInPandas" in plan
+    # at-scale shape: an input that already has enough splits gains NO
+    # further exchange from the kernel (the only Exchange in this plan is
+    # the test's own repartition that fabricates the many-split input)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(64)
+    from osmquadtree_spark.operators.docs import text_analysis_vectorized
+
+    assert _plan(text_analysis_vectorized(docs)).count("Exchange") == 1
 
 
 def test_minzoom_spec_join_broadcasts(spark, sf_dir):
