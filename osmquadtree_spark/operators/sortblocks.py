@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..functions.udfs import round_qt_col
+from ..kernels import quadtree as qtk
 from ..plans.qttree import (
     QtTreeArr,
     assign_groups,
@@ -143,22 +144,43 @@ def compute_groups_scalable(
     else:
         # caller-provided PARTIAL histogram at SHALLOW_LEVEL — e.g. emitted
         # as per-partition (cell, count) rows straight out of the generation
-        # kernel (np.unique per partition), which keeps the full row stream
-        # from ever crossing Arrow just to be counted
+        # kernel (np.bincount per partition), which keeps the full row
+        # stream from ever crossing Arrow just to be counted
         shallow_hist = (
             shallow_hist.filter(F.col("cell") >= 0)
             .groupBy("cell")
             .agg(F.sum("count").alias("count"))
         )
-    anc_shallow = F.array_distinct(
-        F.array(*[round_qt_col(F.col("cell"), lv) for lv in range(shallow + 1)])
-    )
-    nodes = (
-        shallow_hist.select(F.explode(anc_shallow).alias("node"), "count")
-        .groupBy("node")
-        .agg(F.sum("count").alias("total"))
-        .filter((F.col("total") >= minsize) | (F.col("node") == 0))
-        .toPandas()
+    # the level-`shallow` histogram is bounded by 4^shallow = 65k rows —
+    # collect it and roll ancestors up in numpy (each level-(l-1) total is a
+    # reshape-sum of level-l) instead of a Spark explode + second aggregate,
+    # which cost a whole extra job of fixed latency per run. Driver state
+    # stays O(4^shallow), independent of input size.
+    hp = shallow_hist.toPandas()
+    cur_cells = hp["cell"].to_numpy("int64")
+    cur_counts = hp["count"].to_numpy("int64")
+    keep_cells, keep_totals = [], []
+    for lv in range(shallow, -1, -1):
+        # a node's subtree total is complete exactly at its own level's
+        # iteration (all deeper cells have merged in by then); cells whose
+        # level is shallower than lv carry forward untouched
+        at_lv = (cur_cells & 31) == lv
+        fin = at_lv & ((cur_counts >= minsize) | (cur_cells == 0))
+        keep_cells.append(cur_cells[fin])
+        keep_totals.append(cur_counts[fin])
+        if lv == 0:
+            break
+        parent = np.where(at_lv, qtk.round_qt(cur_cells, lv - 1), cur_cells)
+        order = np.argsort(parent, kind="stable")
+        parent, pc = parent[order], cur_counts[order]
+        starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+        cur_cells = parent[starts]
+        cur_counts = np.add.reduceat(pc, starts)
+    nodes = pd.DataFrame(
+        {
+            "node": np.concatenate(keep_cells) if keep_cells else np.zeros(0, np.int64),
+            "total": np.concatenate(keep_totals) if keep_totals else np.zeros(0, np.int64),
+        }
     )
     if tree_level > shallow:
         hot = nodes.loc[(nodes["node"] & 31) == shallow, "node"]
