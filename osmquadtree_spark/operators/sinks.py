@@ -132,6 +132,34 @@ def feature_collection(df, tile_col: str, order_col: str, feature_col: str):
     )
 
 
+def write_postgis_csv(
+    df,
+    path: str,
+    id_col: str = "way_id",
+    tags_col: str = "tags",
+    wkb_col: str = "wkb",
+    extra_cols: list[str] | None = None,
+) -> None:
+    """The CSV/PostGIS sink materialized (the reference pipes
+    `id,tags-hstore,...,EWKB-hex` rows into `COPY ... FROM STDIN WITH CSV`,
+    csvwriter.cpp / postgiswriter.cpp:556-600): one gzip-able CSV part per
+    partition via the built-in writer — hstore packing and the hex EWKB are
+    the already-gated column expressions, so this is a projection + write,
+    no extra pass."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.col(id_col).alias("id"),
+        hstore_tags_col(tags_col).alias("tags"),
+        *[F.col(c) for c in (extra_cols or [])],
+        F.upper(F.hex(F.col(wkb_col))).alias("way"),
+    ]
+    # Postgres COPY ... CSV expects doubled-quote escaping, not backslashes
+    df.select(*cols).write.mode("overwrite").option("quoteAll", True).option(
+        "escape", '"'
+    ).csv(path)
+
+
 def _hex32(n: Column) -> Column:
     return F.lpad(F.hex(n.cast("bigint")), 8, "0")
 

@@ -53,3 +53,31 @@ def test_empty_tags(spark):
         sk.hstore_binary_hex_col("tags").alias("b"),
     ).collect()[0]
     assert r.h == "" and r.j == "{}" and r.b == "00000000"
+
+
+def test_write_postgis_csv(spark, tmp_path):
+    """CSV/PostGIS sink: id, quoted hstore, hex EWKB — one COPY-ready part
+    per partition."""
+    import glob
+
+    from osmquadtree_spark.operators.sinks import write_postgis_csv
+    from osmquadtree_spark.operators.wkb import point_wkb
+
+    rows = [
+        (1, [("highway", "residential")], bytearray(point_wkb(10_0000000, 20_0000000, srid=True))),
+        (2, [("name", 'say "hi"')], bytearray(point_wkb(-30_0000000, 40_0000000, srid=True))),
+    ]
+    df = spark.createDataFrame(
+        rows, "way_id bigint, tags array<struct<key:string,val:string>>, wkb binary"
+    )
+    out = str(tmp_path / "csv")
+    write_postgis_csv(df, out)
+    lines = []
+    for f in glob.glob(out + "/part-*.csv"):
+        lines += open(f).read().splitlines()
+    assert len(lines) == 2
+    by_id = {ln.split(",")[0].strip('"'): ln for ln in lines}
+    # COPY-compatible doubled-quote escaping of the hstore quotes
+    assert '""highway""=>""residential""' in by_id["1"]
+    # EWKB hex payload: big-endian marker + SRID-flagged point type + 4326
+    assert "0020000001000010E6" in by_id["1"]
