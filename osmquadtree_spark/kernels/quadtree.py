@@ -278,6 +278,23 @@ def calculate(
     maxx = _as_i64(maxx)
     maxy = _as_i64(maxy)
 
+    # cache-block: the depth loop touches ~25 same-length temporaries per
+    # level (abs/compare/select/where), ≈3.4 KB of traffic per row over 17
+    # levels — on full-length arrays that runs at DRAM speed and stops
+    # scaling across cores (shared memory bus). Chunks sized to stay in the
+    # per-core L2 make the loop compute-bound; results are element-wise
+    # identical.
+    n = minx.shape[0] if minx.ndim else 1
+    CHUNK = 32768
+    if n > CHUNK:
+        out = np.empty(n, dtype=np.int64)
+        for s in range(0, n, CHUNK):
+            e = min(s + CHUNK, n)
+            out[s:e] = calculate(
+                minx[s:e], miny[s:e], maxx[s:e], maxy[s:e], buffer, max_depth
+            )
+        return out
+
     mx = minx * 0.0000001
     my = miny * 0.0000001
     Mx = maxx * 0.0000001
