@@ -124,3 +124,65 @@ def embedding_pairs_sql(min_cos: float) -> str:
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE {dot} / (a.nrm * b.nrm) >= {min_cos!r}::DOUBLE
     """
+
+
+def _norm_cte() -> str:
+    """Shared (vec_id, e, nrm) CTE body over the embeddings table."""
+    return """
+        v AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+        ), n AS (
+          SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(e, x -> x * x)), (x, y) -> x + y)) AS nrm
+          FROM v
+        )"""
+
+
+def embedding_lsh_soundness_sql(min_cos: float, candidates_path: str) -> str:
+    """Soundness oracle for the LSH dedup path: the engine COMMITS its
+    candidate pair set to parquet (operators/dedup.embedding_dup_pairs_lsh
+    export_pairs_path) and this twin re-scores those candidates from the
+    raw embeddings with the exact operator's float sequence — every pair
+    the engine emits must carry the correct cosine and clear the threshold.
+    Recall (which candidates LSH finds) is gated separately in pytest vs
+    the exact operator; this gate proves the emitted VALUES."""
+    dot = (
+        "list_reduce(list_prepend(0.0::DOUBLE, list_transform("
+        "list_zip(a.e, b.e), t -> t[1] * t[2])), (x, y) -> x + y)"
+    )
+    return f"""
+        WITH cand AS (
+          SELECT id_a, id_b FROM read_parquet('{candidates_path}/*.parquet')
+        ), {_norm_cte()}
+        SELECT c.id_a, c.id_b, {dot} / (a.nrm * b.nrm) AS cos
+        FROM cand c
+        JOIN n a ON a.vec_id = c.id_a
+        JOIN n b ON b.vec_id = c.id_b
+        WHERE {dot} / (a.nrm * b.nrm) >= {min_cos!r}::DOUBLE
+    """
+
+
+def ann_lsh_soundness_sql(k: int, candidates_path: str) -> str:
+    """Soundness oracle for LSH ANN: re-rank the engine's committed
+    candidate set ((query_id, vec_id) parquet export) by exact cosine —
+    the within-candidate-set top-k (ties broken by vec_id asc, the
+    operator's rule) must match row for row."""
+    dot = (
+        "list_reduce(list_prepend(0.0::DOUBLE, list_transform("
+        "list_zip(p.e, q.e), t -> t[1] * t[2])), (x, y) -> x + y)"
+    )
+    return f"""
+        WITH cand AS (
+          SELECT query_id, vec_id FROM read_parquet('{candidates_path}/*.parquet')
+        ), {_norm_cte()}
+        SELECT query_id, vec_id, rank FROM (
+          SELECT c.query_id, c.vec_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY {dot} / (p.nrm * q.nrm) DESC, c.vec_id ASC) AS rank
+          FROM cand c
+          JOIN n p ON p.vec_id = c.vec_id
+          JOIN n q ON q.vec_id = c.query_id
+        ) WHERE rank <= {k}
+    """

@@ -118,6 +118,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     qid_col: str = "query_id",
     vec_col: str = "embedding",
+    export_pairs_path: str | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH candidate generation + exact re-score.
 
@@ -127,9 +128,15 @@ def lsh_topk(
     only viable join; recall is tunable via n_planes/n_tables and verified
     against cosine_topk in tests. Results are exact *within the candidate
     set*.
+
+    ``dim`` skips the LIMIT-1 dimensionality sniff job.
+    ``export_pairs_path`` commits the candidate set to parquet and feeds
+    the returned plan FROM that export — the soundness-oracle surface: a
+    DuckDB twin re-scores the exported candidates from the raw embeddings
+    and must reproduce the exact within-candidate-set top-k ranking
+    (full value gate; recall stays pytest-gated vs cosine_topk).
     """
-    first = vectors.select(vec_col).first()
-    d = dim or len(first[0])
+    d = dim if dim is not None else len(vectors.select(vec_col).first()[0])
     planes = make_planes(n_tables, n_planes, d, seed)
 
     # candidate generation on SLIM rows (ids + bucket only): the vector
@@ -146,6 +153,9 @@ def lsh_topk(
         .select(id_col, qid_col)
         .dropDuplicates([id_col, qid_col])
     )
+    if export_pairs_path is not None:
+        pairs.write.mode("overwrite").parquet(export_pairs_path)
+        pairs = vectors.sparkSession.read.parquet(export_pairs_path)
     vv = with_norm(vectors, vec_col).select(id_col, "_v", "_norm")
     qq = with_norm(queries, vec_col).select(
         qid_col, F.col("_v").alias("_q"), F.col("_norm").alias("_qnorm")

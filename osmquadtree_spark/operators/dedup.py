@@ -101,7 +101,9 @@ def minhash_signature(docs: DataFrame, n: int = 3, text_col: str = "text") -> Da
     def gen(batches):
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
-            split = pdf[text_col].str.split(" ")
+            # NULL text must behave like the Catalyst fold it replaced (null row
+            # passes through with no grams/words), not TypeError mid-batch
+            split = pdf[text_col].fillna("").str.split(" ")
             ex = split.explode()
             row = ex.index.to_numpy(np.int64)  # input row per word
             w = ex.to_numpy(dtype=object)
@@ -153,24 +155,47 @@ def _band_key(sig, band: int, rows: int):
     return acc
 
 
-def cap_hot_buckets(df: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:
+def cap_hot_buckets(
+    df: DataFrame,
+    key_cols: list[str],
+    cap: int | None,
+    metrics_path: str | None = None,
+    operator: str = "unknown",
+) -> DataFrame:
     """Drop join-key buckets holding more than ``cap`` rows before a
     candidate self-join — the 100-TB guard: one degenerate bucket (empty
     text, boilerplate n-grams, zero vectors) otherwise goes quadratic in
     the pair join. The hot-key set is tiny by construction (≤ n_rows/cap
     keys can exceed the cap), so it broadcasts into a left_anti join.
-    Dropped keys are observable via ``hot_bucket_stats`` (and tests pin the
-    bound); pairs entirely inside a dropped bucket are sacrificed recall,
-    the standard trade (AQE still splits the sub-cap skew)."""
+
+    "No silent caps": when ``metrics_path`` is given, the dropped-bucket
+    stats (operator, cap, bucket key, row count) are COMMITTED to a parquet
+    metrics table as part of the run (the Iceberg-metrics analog used by
+    write_tile_sorted) — production runs see exactly which buckets
+    sacrificed recall. The hot set is persisted so the metrics write and
+    the anti-join share one aggregation; pairs entirely inside a dropped
+    bucket are sacrificed recall, the standard trade (AQE still splits the
+    sub-cap skew)."""
     if cap is None:
         return df
+    from ..cache import cached
+
     hot = (
         df.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_bn"))
         .filter(F.col("_bn") > cap)
-        .select(*key_cols)
     )
-    return df.join(F.broadcast(hot), key_cols, "left_anti")
+    if metrics_path is not None:
+        hot = cached(hot)
+        hot.select(
+            F.lit(operator).alias("operator"),
+            F.lit(cap).cast("bigint").alias("cap"),
+            F.concat_ws(",", *[F.col(c).cast("string") for c in key_cols]).alias(
+                "bucket_key"
+            ),
+            F.col("_bn").cast("bigint").alias("n_rows_dropped"),
+        ).write.mode("overwrite").parquet(metrics_path)
+    return df.join(F.broadcast(hot.select(*key_cols)), key_cols, "left_anti")
 
 
 def hot_bucket_stats(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
@@ -189,6 +214,7 @@ def minhash_lsh_pairs(
     min_matches: int = 8,
     text_col: str = "text",
     bucket_cap: int | None = 100_000,
+    metrics_path: str | None = None,
 ) -> DataFrame:
     """MinHash near-dup pairs via LSH banding.
 
@@ -208,7 +234,9 @@ def minhash_lsh_pairs(
     (north-rule axes) using the same banding as Broder's original scheme.
     """
     rows = N_HASHES // N_BANDS
-    sigs = minhash_signature(docs, n, text_col).filter(F.size("sig") > 0).persist()
+    from ..cache import cached
+
+    sigs = cached(minhash_signature(docs, n, text_col).filter(F.size("sig") > 0))
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -220,7 +248,10 @@ def minhash_lsh_pairs(
     ).select("doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
     # persist the CAPPED bands: both self-join branches read them, and the
     # cap's aggregate + broadcast-anti subtree would otherwise run per branch
-    bands = cap_hot_buckets(bands, ["band", "bucket"], bucket_cap).persist()
+    bands = cached(
+        cap_hot_buckets(bands, ["band", "bucket"], bucket_cap, metrics_path,
+                        "dedup_minhash")
+    )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cand = (
@@ -272,7 +303,9 @@ def simhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
     def gen(batches):
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
-            split = pdf[text_col].str.split(" ")
+            # NULL text must behave like the Catalyst fold it replaced (null row
+            # passes through with no grams/words), not TypeError mid-batch
+            split = pdf[text_col].fillna("").str.split(" ")
             ex = split.explode()
             row = ex.index.to_numpy(np.int64)
             w = ex.to_numpy(dtype=object)
@@ -314,6 +347,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     bucket_cap: int | None = 100_000,
+    metrics_path: str | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: block-join candidates + exact hamming filter.
 
@@ -328,7 +362,9 @@ def simhash_pairs(
         raise ValueError("block join is only complete for max_hamming < SIM_BLOCKS")
     # persist the signatures: the 32-bit vote fold is the expensive stage and
     # the cap aggregate + both self-join branches would each re-run it
-    sigs = simhash_signature(docs, text_col).persist()
+    from ..cache import cached
+
+    sigs = cached(simhash_signature(docs, text_col))
     blocks = sigs.select(
         "doc_id",
         "sig",
@@ -342,7 +378,10 @@ def simhash_pairs(
             ])
         ).alias("_b"),
     ).select("doc_id", "sig", F.col("_b.blk").alias("blk"), F.col("_b.val").alias("val"))
-    blocks = cap_hot_buckets(blocks, ["blk", "val"], bucket_cap).persist()
+    blocks = cached(
+        cap_hot_buckets(blocks, ["blk", "val"], bucket_cap, metrics_path,
+                        "dedup_simhash")
+    )
     a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "blk", "val")
     b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "blk", "val")
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint")
@@ -388,6 +427,9 @@ def embedding_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int | None = 100_000,
+    dim: int | None = None,
+    export_pairs_path: str | None = None,
+    metrics_path: str | None = None,
 ) -> DataFrame:
     """Bucketed embedding near-dup pairs — the 10^12-scale path: candidates
     share a random-hyperplane bucket in any table (bucket ids from ONE
@@ -396,17 +438,29 @@ def embedding_dup_pairs_lsh(
     vectors are re-attached to surviving pairs only. Recall < 1 by
     construction (tunable via n_planes/n_tables); compared against the
     exact operator in tests. ``bucket_cap`` drops degenerate buckets
-    (cap_hot_buckets)."""
+    (cap_hot_buckets; drops committed to ``metrics_path``).
+
+    ``dim`` is the embedding dimensionality; pass it to avoid the LIMIT-1
+    sniff job the fallback runs. ``export_pairs_path`` writes the candidate
+    pair set to parquet and feeds the returned plan FROM that export — the
+    soundness-oracle surface: DuckDB re-scores the exported candidates from
+    the raw embeddings table and must reproduce every emitted (pair, cos)
+    exactly, turning the former rows-only driver check into a full value
+    gate (recall itself stays pytest-gated against the exact operator)."""
     from .ann import _dot, bucket_signatures, make_planes, with_norm
 
-    first = vectors.select(vec_col).first()
-    d = len(first[0])
+    d = dim if dim is not None else len(vectors.select(vec_col).first()[0])
     planes = make_planes(n_tables, n_planes, d, seed)
+
+    from ..cache import cached
 
     bucketed = bucket_signatures(vectors, planes, [id_col], vec_col).select(
         id_col, "tbl", "bucket"
     )
-    bucketed = cap_hot_buckets(bucketed, ["tbl", "bucket"], bucket_cap).persist()
+    bucketed = cached(
+        cap_hot_buckets(bucketed, ["tbl", "bucket"], bucket_cap, metrics_path,
+                        "dedup_embedding_lsh")
+    )
     a = bucketed.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
     b = bucketed.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
     pairs = (
@@ -415,6 +469,9 @@ def embedding_dup_pairs_lsh(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if export_pairs_path is not None:
+        pairs.write.mode("overwrite").parquet(export_pairs_path)
+        pairs = vectors.sparkSession.read.parquet(export_pairs_path)
     v = with_norm(vectors, vec_col).select(id_col, "_v", "_norm")
     va = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
     vb = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))

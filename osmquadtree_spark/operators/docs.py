@@ -188,7 +188,9 @@ def text_analysis_vectorized(docs: DataFrame) -> DataFrame:
         pow_tab = None
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
-            texts = pdf["text"]
+            # NULL text degrades to the empty doc (the Catalyst twin's
+            # behavior) instead of a mid-batch TypeError on NaN
+            texts = pdf["text"].fillna("")
             split = texts.str.split(" ")
             ex = split.explode()
             row = ex.index.to_numpy(np.int64)
@@ -273,6 +275,7 @@ def ngram_pairs(
     n: int = 3,
     min_jaccard: float = 0.5,
     gram_cap: int | None = 100_000,
+    metrics_path: str | None = None,
 ) -> DataFrame:
     """Word n-gram Jaccard near-dup pairs: explode distinct n-grams, self-join
     on gram, count intersections, compute |∩|/|∪|. Returns
@@ -299,12 +302,17 @@ def ngram_pairs(
             )
         ).alias("gram"),
     ).distinct()
+    from ..cache import cached
+
     # persist: the exploded-distinct gram table feeds the per-doc sizes, the
     # document-frequency cap aggregate and both self-join branches — without
-    # the cache the split+explode+distinct lineage runs 4x
-    grams = grams.persist()
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    grams = cap_hot_buckets(grams, ["gram"], gram_cap).persist()
+    # the cache the split+explode+distinct lineage runs 4x; both handles go
+    # through the registry so clear_session_caches/bench sweeps release them
+    uncapped = cached(grams)
+    sizes = uncapped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    grams = cached(
+        cap_hot_buckets(uncapped, ["gram"], gram_cap, metrics_path, "ngram_jaccard")
+    )
     a = grams.withColumnRenamed("doc_id", "doc_a")
     b = grams.withColumnRenamed("doc_id", "doc_b")
     inter = (

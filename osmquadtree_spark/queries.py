@@ -14,6 +14,8 @@ libm-vs-StrictMath divergence.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +25,7 @@ from .functions import calcqts_oracle as cqo
 from .functions import dedup_oracle as do
 from .functions import group_oracle as grpo
 from .functions import geometry_oracle as go
+from .functions import media_oracle as mo
 from .functions import sql_oracle as so
 from .functions import update_oracle as uo
 from .functions.udfs import make_qt_calculate, make_qt_common, round_qt_col
@@ -1237,7 +1240,10 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    return doc_ops.ngram_pairs(_load(spark, sf_dir, "documents"), n=3, min_jaccard=0.2)
+    return doc_ops.ngram_pairs(
+        _load(spark, sf_dir, "documents"), n=3, min_jaccard=0.2,
+        metrics_path=_scratch(sf_dir, "metrics_ngram_jaccard"),
+    )
 
 
 def q_changes_stream(spark, sf_dir):
@@ -1308,6 +1314,21 @@ def q_changes_stream(spark, sf_dir):
 
 
 EMB_DUP_MIN_COS = 0.4  # synthetic embeddings top out at cos ≈ 0.51
+EMB_DIM = 64  # testdata embeddings dimensionality (TESTDATA.md)
+
+# run-local artifact root (exports + metrics): inside the repo, gitignored.
+# The LSH soundness oracles read the exported candidate sets back in DuckDB,
+# so the export path is fixed per sf (driver correctness runs at sf0.01).
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    return os.path.join(_SCRATCH, os.path.basename(os.path.normpath(sf_dir)), name)
+
+
+def _ORACLE_SF_DIR() -> str:
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
 
 
 def q_dedup_minhash(spark, sf_dir):
@@ -1316,7 +1337,10 @@ def q_dedup_minhash(spark, sf_dir):
     completeness at this threshold."""
     from .operators import dedup as dd
 
-    return dd.minhash_lsh_pairs(_load(spark, sf_dir, "documents"), n=3, min_matches=8)
+    return dd.minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"), n=3, min_matches=8,
+        metrics_path=_scratch(sf_dir, "metrics_dedup_minhash"),
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -1324,7 +1348,10 @@ def q_dedup_simhash(spark, sf_dir):
     hamming ≤ 3); oracle = all-pairs hamming spec."""
     from .operators import dedup as dd
 
-    return dd.simhash_pairs(_load(spark, sf_dir, "documents"), max_hamming=3)
+    return dd.simhash_pairs(
+        _load(spark, sf_dir, "documents"), max_hamming=3,
+        metrics_path=_scratch(sf_dir, "metrics_dedup_simhash"),
+    )
 
 
 def q_dedup_embedding_pairs(spark, sf_dir):
@@ -1336,11 +1363,18 @@ def q_dedup_embedding_pairs(spark, sf_dir):
 
 
 def q_dedup_embedding_lsh(spark, sf_dir):
-    """Bucketed embedding near-dup pairs — recall < 1 by construction
-    (rows-only check; recall vs exact asserted in tests/test_dedup.py)."""
+    """Bucketed embedding near-dup pairs. Recall < 1 by construction (gated
+    vs the exact operator in tests/test_dedup.py); VALUES are fully gated:
+    the candidate set is committed to parquet and the DuckDB oracle
+    re-scores those candidates from the raw embeddings — every emitted
+    (id_a, id_b, cos) must match exactly (soundness oracle)."""
     from .operators import dedup as dd
 
-    return dd.embedding_dup_pairs_lsh(_load(spark, sf_dir, "embeddings"), EMB_DUP_MIN_COS)
+    return dd.embedding_dup_pairs_lsh(
+        _load(spark, sf_dir, "embeddings"), EMB_DUP_MIN_COS, dim=EMB_DIM,
+        export_pairs_path=_scratch(sf_dir, "lsh_dedup_candidates"),
+        metrics_path=_scratch(sf_dir, "metrics_dedup_embedding_lsh"),
+    )
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -1352,13 +1386,19 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN — the 10^12-scale path; exact within candidates, so
-    rows-only check here (recall vs brute force asserted in pytest)."""
+    """LSH-bucketed ANN — the 10^12-scale path; exact within candidates.
+    The candidate set is committed to parquet and the DuckDB oracle
+    re-ranks those candidates from the raw embeddings — the within-set
+    top-k must match exactly (soundness oracle; recall vs brute force
+    stays pytest-gated)."""
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_ops.lsh_topk(emb, queries, ANN_K)
+    return ann_ops.lsh_topk(
+        emb, queries, ANN_K, dim=EMB_DIM,
+        export_pairs_path=_scratch(sf_dir, "lsh_ann_candidates"),
+    )
 
 
 def _caption_dedup_sql() -> str:
@@ -1704,6 +1744,17 @@ def _oracle_sql() -> dict[str, str]:
         "dedup_minhash": do.minhash_pairs_sql(n=3, min_matches=8),
         "dedup_simhash": do.simhash_pairs_sql(max_hamming=3),
         "dedup_embedding_pairs": do.embedding_pairs_sql(EMB_DUP_MIN_COS),
+        # the LSH soundness oracles read the candidate sets the engine
+        # exported for the sf the driver compares at (sf0.01 per contract;
+        # local tests override via SPARK_GRAFT_ORACLE_SF_DIR, same knob the
+        # group oracles use)
+        "dedup_embedding_lsh": do.embedding_lsh_soundness_sql(
+            EMB_DUP_MIN_COS, _scratch(_ORACLE_SF_DIR(), "lsh_dedup_candidates")
+        ),
+        "ann_lsh_topk": do.ann_lsh_soundness_sql(
+            ANN_K, _scratch(_ORACLE_SF_DIR(), "lsh_ann_candidates")
+        ),
+        "media_features": mo.media_features_sql(every=2),
         "ngram_jaccard_pairs": """
             WITH grams AS (
               SELECT DISTINCT doc_id,
@@ -1769,6 +1820,9 @@ def clear_session_caches(keep_input_stores: bool = False) -> None:
     if not keep_input_stores:
         for cache in stores:
             cache.clear()
+    from .cache import release_all
+
+    release_all()
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
