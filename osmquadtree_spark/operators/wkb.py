@@ -183,6 +183,24 @@ def multi_counts(data: bytes) -> tuple[int, int]:
     return rings, points
 
 
+def geometry_counts(data: bytes) -> tuple[int, int]:
+    """(n_rings, n_points) of either WKB shape the reference polygon writer
+    emits (ComplicatedPolygon::Wkb, complicatedpolygon.cpp:124-137): a plain
+    Polygon (type 3, the one-part case) or a MultiPolygon (type 6). Header
+    walk only — no float materialization."""
+    t, _, pos = _decode_header(data)
+    if t == 3:
+        (nr,) = struct.unpack_from(">I", data, pos)
+        pos += 4
+        points = 0
+        for _ in range(nr):
+            (np_,) = struct.unpack_from(">I", data, pos)
+            pos += 4 + 16 * np_
+            points += np_
+        return nr, points
+    return multi_counts(data)
+
+
 def decode_point(data: bytes):
     """→ (srid or None, x, y)."""
     if data[0] != 0:

@@ -783,8 +783,14 @@ def q_multipolygon_assembly(spark, sf_dir):
     validates the stitching algorithm end to end."""
     from .operators.multipolygons import multipolygon_stats
 
-    o = _load(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").cast("bigint").alias("k")
+    # the fixture parquet is one file/one row group, so without an explicit
+    # spread the (heavy) member-struct projection runs on a single core; the
+    # repartition moves only the 8-byte key and the groupBy inside
+    # multipolygon_stats shuffles afterwards regardless
+    o = (
+        _load(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").cast("bigint").alias("k"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     k = F.col("k")
     cx = (k * 7919) % 3000000000 - 1500000000
