@@ -117,6 +117,35 @@ def knn_bruteforce(
     )
 
 
+def neighbor_cells(unresolved: DataFrame, radius: int, n: int) -> DataFrame:
+    """Explode each query row (qx, qy) into the CELL KEYS (px, py) of its
+    radius-``radius`` square neighborhood at a zoom with ``n`` tiles per
+    axis. x wraps at the antimeridian; the dx range is computed in Python
+    so a planet-wrapping ring emits each wrapped x exactly once — a bare
+    pmod over -r..r would duplicate candidate cells and corrupt the
+    top-k. y rows off the planet are dropped."""
+    if 2 * radius + 1 >= n:
+        dxs = list(range(-(n // 2), -(n // 2) + n))
+    else:
+        dxs = list(range(-radius, radius + 1))
+    return (
+        unresolved.withColumn(
+            "px",
+            F.explode(F.array([F.pmod(F.col("qx") + F.lit(d), F.lit(n)) for d in dxs])),
+        )
+        .withColumn(
+            "py", F.explode(F.sequence(F.col("qy") - radius, F.col("qy") + radius))
+        )
+        .filter((F.col("py") >= 0) & (F.col("py") < n))
+    )
+
+
+def candidate_cell_join(p: DataFrame, cells: DataFrame) -> DataFrame:
+    """Equi-join points to exploded query cells on (px, py) — hash join,
+    never a nested-loop ring predicate (tests/test_plans gates the shape)."""
+    return p.join(F.broadcast(cells), ["px", "py"])
+
+
 def knn_cell_expansion(
     points: DataFrame,
     queries: DataFrame,
@@ -134,19 +163,36 @@ def knn_cell_expansion(
     bare count check unsound near the poles). Unresolved queries after
     ``max_rounds`` doublings fall back to brute force.
 
-    The candidate join is an equi-ish join on tile addresses — prunable and
-    broadcastable — versus the brute-force cross join; at 10^12 points only
-    this shape is viable.
+    The candidate join is a true EQUI-join: each unresolved query explodes
+    into its neighborhood's (px, py) cell keys and hash-joins against the
+    point table — prunable, AQE-friendly, broadcastable — versus the
+    brute-force cross join (or a ring-predicate nested loop, which would
+    re-scan every point per round); at 10^12 points only this shape is
+    viable. Per-round state (the surviving query set, the accepted top-k
+    rows — both ≤ |queries|·k) is eagerly localCheckpoint-ed so the heavy
+    per-round candidate caches are dropped as soon as the round closes
+    instead of accumulating across a long session (blocks are
+    executor-local: on a cluster, a lost executor fails the job rather
+    than silently recomputing — acceptable for a ≤ max_rounds pipeline).
     """
     xyz = make_xyz_udf(zoom)
     qt_point = make_qt_point_udf(zoom)
     n = 1 << zoom
-    p = points.withColumn("_t", xyz(F.col("qt"))).select(
-        id_col,
-        F.radians(F.col("lon") * 1e-7).alias("plon"),
-        F.radians(F.col("lat") * 1e-7).alias("plat"),
-        F.col("_t.tile_x").alias("px"),
-        F.col("_t.tile_y").alias("py"),
+    # cached for the (eager) round jobs only and dropped before returning:
+    # every round equi-joins against p, and re-deriving tile addresses per
+    # round would rescan the source each time. At planet scale the point
+    # table is the engine's stored qt-indexed table, so this cache stands in
+    # for what is otherwise a plain indexed read.
+    p = (
+        points.withColumn("_t", xyz(F.col("qt")))
+        .select(
+            id_col,
+            F.radians(F.col("lon") * 1e-7).alias("plon"),
+            F.radians(F.col("lat") * 1e-7).alias("plat"),
+            F.col("_t.tile_x").alias("px"),
+            F.col("_t.tile_y").alias("py"),
+        )
+        .persist()
     )
 
     def _lat_of_row(y):
@@ -200,18 +246,13 @@ def knn_cell_expansion(
         (F.col("lat") * 1e-7).alias("qlat_deg"),
         F.col("_t.tile_x").alias("qx"),
         F.col("_t.tile_y").alias("qy"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     results = None
     radius = 1
     for _ in range(max_rounds):
         if unresolved.isEmpty():  # early exit: one tiny aggregate per round
             break
-        dx = F.abs(F.col("px") - F.col("qx"))
-        cand = p.join(
-            F.broadcast(unresolved),
-            (F.least(dx, F.lit(n) - dx) <= radius)  # x wraps at the antimeridian
-            & (F.abs(F.col("py") - F.col("qy")) <= radius),
-        )
+        cand = candidate_cell_join(p, neighbor_cells(unresolved, radius, n))
         scored = cand.withColumn(
             "dist",
             F.pow(F.sin((F.col("plat") - F.col("qlat")) / 2), 2)
@@ -229,10 +270,18 @@ def knn_cell_expansion(
             .filter((F.col("_cnt") >= k) & (F.col("_kth") <= _ring_bound_chord(radius)))
             .select(qid_col)
         )
-        got = topk.join(resolved_q, qid_col, "left_semi").select(qid_col, id_col, "rank")
+        got = (
+            topk.join(resolved_q, qid_col, "left_semi")
+            .select(qid_col, id_col, "rank")
+            .localCheckpoint(eager=True)
+        )
         results = got if results is None else results.unionByName(got)
-        unresolved = unresolved.join(resolved_q, qid_col, "left_anti").persist()
+        unresolved = unresolved.join(resolved_q, qid_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        topk.unpersist()
         radius *= 2
+    p.unpersist()  # round jobs were eager; nothing returned still reads p
     if not unresolved.isEmpty():
         fallback = knn_bruteforce(
             points, unresolved.select(qid_col, "lon", "lat"), k, id_col, qid_col

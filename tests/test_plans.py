@@ -137,3 +137,46 @@ def test_lsh_bucket_signatures_single_arrow_stage(spark, sf_dir):
     plan = _plan(bucket_signatures(emb, planes, ["vec_id"]))
     assert "MapInPandas" in plan
     assert "aggregate(" not in plan
+
+
+def test_knn_candidate_join_is_equi_hash_join(spark, sf_dir):
+    """The scale-path kNN candidate join must be an exploded neighbor-cell
+    EQUI-join (hash join), never a ring-predicate BroadcastNestedLoopJoin
+    that re-scans every point per round."""
+    from osmquadtree_spark.operators.spatial import (
+        candidate_cell_join,
+        make_qt_point_udf,
+        make_xyz_udf,
+        neighbor_cells,
+    )
+
+    zoom, n = 8, 1 << 8
+    xyz = make_xyz_udf(zoom)
+    qt_point = make_qt_point_udf(zoom)
+    pts = (
+        Q._elements(spark, sf_dir)
+        .filter(~F.col("is_box"))
+        .select(F.col("elem_id"), F.col("minx").alias("lon"), F.col("miny").alias("lat"))
+        .limit(2000)
+    )
+    p = pts.withColumn("_t", xyz(qt_point(F.col("lon"), F.col("lat")))).select(
+        F.col("elem_id").alias("point_id"),
+        "lon",
+        "lat",
+        F.col("_t.tile_x").alias("px"),
+        F.col("_t.tile_y").alias("py"),
+    )
+    q = pts.limit(5).withColumn("_t", xyz(qt_point(F.col("lon"), F.col("lat")))).select(
+        F.col("elem_id").alias("query_id"),
+        F.col("_t.tile_x").alias("qx"),
+        F.col("_t.tile_y").alias("qy"),
+    )
+    cand = candidate_cell_join(p, neighbor_cells(q, 2, n))
+    plan = _plan(cand)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # wrap ring (2r+1 >= n) emits each x exactly once: cells per query =
+    # n * rows-in-range, no duplicates
+    wrapped = neighbor_cells(q, n, n)
+    counts = wrapped.groupBy("query_id", "px", "py").count()
+    assert counts.filter(F.col("count") > 1).count() == 0
