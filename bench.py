@@ -92,6 +92,17 @@ def main() -> None:
     # assignment pipeline (lineitem-derived elements)
     n_rows = spark.read.parquet(f"{args.sf_dir}/lineitem.parquet").count()
 
+    # the persistent qts store (the -qts.pbf analog) is an INPUT of the
+    # update queries: make sure it exists before any timed sweep, and report
+    # its (one-off) build cost separately — every timed attempt then pays
+    # exactly the production read path
+    from osmquadtree_spark.sources.qts_store import ensure_qts_store, store_is_current
+
+    t0 = time.time()
+    store_was_current = store_is_current(args.sf_dir)
+    ensure_qts_store(spark, args.sf_dir)
+    store_build_sec = 0.0 if store_was_current else round(time.time() - t0, 3)
+
     # warm the python worker pool + Arrow machinery once (cluster startup is
     # not steady-state throughput; the scaling bench excludes it the same way)
     from pyspark.sql.functions import pandas_udf
@@ -108,13 +119,11 @@ def main() -> None:
     attempts: dict[str, list[float]] = {}
     for rep in range(max(1, args.repeats)):
         # memoized computations (resolved updates, extract IdSet, element
-        # cells, way coords) must not leak between repeats — a best-of over
-        # a memo hit would report a cache read as the query's cost. The
-        # old-qt tables persist after the first sweep: production READS
-        # them from the stored tile set, so the steady-state update cost is
-        # the change derivation + resolution + routing, not the fixture's
-        # in-query re-derivation of the store (the first sweep still
-        # records the full derive cost in `attempts`).
+        # cells, way coords, old-qt derivations) must not leak between
+        # repeats — a best-of over a memo hit would report a cache read as
+        # the query's cost. Only the fixture source frames (stand-ins for
+        # the input parquet itself) persist; old element cells are read
+        # from the on-disk qts store on EVERY attempt.
         Q.clear_session_caches(keep_input_stores=rep > 0)
         for name in names:
             fn = registry[name]
@@ -125,6 +134,7 @@ def main() -> None:
 
     pipeline_sec = timings.get("qt_assign", 0) + timings.get("group_assign_fine", 0)
     total = round(sum(timings.values()), 3)
+    first_sweep_total = round(sum(ts[0] for ts in attempts.values()), 3)
     out = {
         "metric": "headline_suite_wall_clock",
         "value": total,
@@ -136,11 +146,14 @@ def main() -> None:
         "pipeline_sec": round(pipeline_sec, 3),
         "rows_per_sec": round(n_rows / pipeline_sec, 1) if pipeline_sec else None,
         "repeats": max(1, args.repeats),
+        "first_sweep_total_sec": first_sweep_total,
+        "qts_store_build_sec": store_build_sec,
         "timing_policy": (
-            "best-of-N per query; computation memos cleared between sweeps; "
-            "the old-qt input store persists after sweep 1 (production reads "
-            "it from the stored tile set) — first-sweep attempts carry the "
-            "full in-query derivation cost"
+            "best-of-N per query (host is multi-tenant; all attempts "
+            "reported, first-sweep total reported separately); computation "
+            "memos cleared between sweeps; old element cells are read from "
+            "the on-disk qts store on every attempt (its one-off build cost "
+            "is qts_store_build_sec)"
         ),
         "attempts": attempts,
     }

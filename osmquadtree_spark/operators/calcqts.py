@@ -250,5 +250,5 @@ def calc_all_quadtrees(
     nq = node_quadtrees(nodes, ways, wq, buffer, max_depth, small_way_qts=small_side_hints)
     if persist_intermediates:
         nq = nq.persist()
-    rq = relation_quadtrees(relations, nq, wq)
+    rq = relation_quadtrees(relations, nq, wq, small_member_qts=small_side_hints)
     return {"nodes": nq, "ways": wq, "relations": rq}

@@ -455,16 +455,9 @@ _OLD_QTS_CACHE: dict = {}
 
 def _old_state(spark, sf_dir):
     """Memoized per (session, sf): the fixture tables and their full
-    calcqts at CLI depth 17, eagerly localCheckpoint-ed.
-
-    In production the old cells are READ from the stored tile set
-    (`-qts.pbf` analog) — deriving them in-query is a bench-fixture
-    artifact. The checkpoint is the Spark equivalent of that store: it
-    truncates the multi-join lineage to materialized blocks, so the change
-    derivation, resolution and allocation stages each re-plan over a
-    one-node scan instead of replaying (and re-AQE-optimizing) the whole
-    calcqts DAG — this, plus the single-collect rel closure, is what took
-    update_change_tiles from ~35 s to target (<15 s)."""
+    calcqts at CLI depth 17, lazily localCheckpoint-ed — serves the three
+    calcqts queries (way/node/rel_qts), whose POINT is the derivation; the
+    update queries instead READ the persistent qts store (_stored_old)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _OLD_QTS_CACHE:
         return _OLD_QTS_CACHE[key]
@@ -487,15 +480,27 @@ def _old_state(spark, sf_dir):
     return _OLD_QTS_CACHE[key]
 
 
+def _stored_old(spark, sf_dir):
+    """Old element cells for the update path, READ from the persistent
+    parquet qts store (sources/qts_store — the ``-qts.pbf`` analog,
+    update.cpp reads the stored cells, it never re-derives them). The store
+    is built once per source fixture; every query run, including the first
+    benchmark attempt, pays only the scan."""
+    from .sources.qts_store import read_qts_store
+
+    return read_qts_store(spark, sf_dir)
+
+
 def _change_set(spark, sf_dir):
     """Deterministic change map over the OSM fixture (mirrored by
     functions/update_oracle.py): node %7==0 → Modify with negated lon,
     node %7==1 ∧ %3==0 → Delete, way %5==0 → Modify, rel %3==0 → Modify,
     plus Normal context nodes (resolvable refs of active ways). old_qt =
-    full-fixture calcqts at CLI depth 17."""
+    full-fixture calcqts at CLI depth 17, read from the qts store."""
     from .operators.calcqts import way_node_pairs
 
-    nodes, ways, rels, old = _old_state(spark, sf_dir)
+    nodes, ways, rels = _osm_fixture(spark, sf_dir)
+    old = _stored_old(spark, sf_dir)
 
     nid = F.col("node_id")
     act_n = nid % 7 == 0
@@ -1810,17 +1815,17 @@ def clear_session_caches(keep_input_stores: bool = False) -> None:
     sweeps so a best-of-N timing never reports a query's OWN computation as
     a memo hit.
 
-    ``keep_input_stores=True`` preserves the memos that play the role of
-    production INPUT stores for the headline queries — the old-qt tables
-    (production reads them from the stored tile set / `-qts.pbf` analog;
-    deriving them in-query is a bench-fixture artifact) and the fixture
-    source frames. Every memo that IS a headline query's computation
-    (resolved change set, extract IdSet chain, element cell kernel, way
-    coords) always clears."""
+    ``keep_input_stores=True`` preserves only the fixture source frames —
+    they stand in for the input parquet tables themselves. Old element
+    cells are no longer a memo at all: the update queries read them from
+    the persistent parquet qts store (sources/qts_store) on every run, so
+    the old-qt derivation memo (_OLD_QTS_CACHE, now serving only the three
+    calcqts queries) clears on every sweep like any other computation."""
     always = (
         _RESOLVED_CACHE, _EXTRACT_CACHE, _WAY_COORDS_CACHE, _ELEMENTS_QT_CACHE,
+        _OLD_QTS_CACHE,
     )
-    stores = (_OLD_QTS_CACHE, _FIXTURE_CACHE)
+    stores = (_FIXTURE_CACHE,)
     for cache in always:
         cache.clear()
     if not keep_input_stores:

@@ -1,0 +1,111 @@
+"""Persistent calcqts store — the ``-qts.pbf`` analog
+(/root/reference/src/calcqts/calcqts.cpp writes the planet's element→cell
+table once; every later run — extracts, updates, sortblocks — READS it).
+
+In this engine the store is three parquet tables (node/way/relation qts at
+CLI depth 17) under ``.stores/qts/<sf-name>/``, written ONCE per source
+fixture and read by the update queries on every run. A ``_meta.json``
+fingerprint of the source parquet files (size + mtime of lineitem/orders/
+customer) guards staleness: a changed source rebuilds the store. Writes go
+to a temp directory and are renamed into place, so a killed build never
+leaves a half-store behind.
+
+This makes the update path's cost profile honest: ``update_change_qts`` /
+``update_change_tiles`` pay a parquet SCAN for the old cells — exactly
+what production pays — not an in-query re-derivation of the whole calcqts
+DAG (and not a memo that only the second benchmark sweep gets to reuse).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SOURCE_TABLES = ("lineitem", "orders", "customer")
+_QT_TABLES = ("node_qts", "way_qts", "rel_qts")
+_STORE_VERSION = 1
+
+
+def default_store_base() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".stores", "qts")
+
+
+def _fingerprint(sf_dir: str) -> dict:
+    fp = {"version": _STORE_VERSION}
+    for t in _SOURCE_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        st = os.stat(p)
+        fp[t] = [st.st_size, int(st.st_mtime)]
+    return fp
+
+
+def store_dir(sf_dir: str, base: str | None = None) -> str:
+    return os.path.join(base or default_store_base(), os.path.basename(os.path.normpath(sf_dir)))
+
+
+def store_is_current(sf_dir: str, base: str | None = None) -> bool:
+    d = store_dir(sf_dir, base)
+    meta = os.path.join(d, "_meta.json")
+    if not os.path.isfile(meta):
+        return False
+    try:
+        with open(meta) as f:
+            return json.load(f) == _fingerprint(sf_dir)
+    except (OSError, ValueError):
+        return False
+
+
+def build_qts_store(spark: SparkSession, sf_dir: str, base: str | None = None) -> str:
+    """Derive node/way/relation qts over the OSM-shaped fixture and write
+    the store (the one-off ``oqt calcqts`` run). Returns the store path."""
+    from ..operators.calcqts import node_quadtrees, relation_quadtrees, way_quadtrees
+    from . import osm_fixture as fx
+
+    nodes = fx.fixture_nodes(spark, sf_dir).localCheckpoint(eager=False)
+    ways = fx.fixture_ways(spark, sf_dir).localCheckpoint(eager=False)
+    rels = fx.fixture_relations(spark, sf_dir)
+    # small_* hints: the store build is fixture-scale; the planet-scale
+    # derivation keeps shuffle joins (operators/calcqts gates on the flags)
+    wq = way_quadtrees(ways, nodes, small_nodes=True).localCheckpoint(eager=False)
+    nq = node_quadtrees(nodes, ways, wq, small_way_qts=True)
+    rq = relation_quadtrees(rels, nq, wq, small_member_qts=True)
+
+    final = store_dir(sf_dir, base)
+    tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        for name, df in (("node_qts", nq), ("way_qts", wq), ("rel_qts", rq)):
+            df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+        with open(os.path.join(tmp, "_meta.json"), "w") as f:
+            json.dump(_fingerprint(sf_dir), f)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        os.rename(tmp, final)
+    finally:
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+def ensure_qts_store(spark: SparkSession, sf_dir: str, base: str | None = None) -> str:
+    """Build the store if absent or stale; otherwise a no-op. Returns path."""
+    if store_is_current(sf_dir, base):
+        return store_dir(sf_dir, base)
+    return build_qts_store(spark, sf_dir, base)
+
+
+def read_qts_store(spark: SparkSession, sf_dir: str, base: str | None = None) -> dict[str, DataFrame]:
+    """→ {"nodes": (node_id, qt), "ways": (way_id, qt),
+    "relations": (rel_id, qt)} as plain parquet scans (prunable,
+    re-plannable — the production read path). Builds on first use."""
+    d = ensure_qts_store(spark, sf_dir, base)
+    return {
+        "nodes": spark.read.parquet(os.path.join(d, "node_qts")),
+        "ways": spark.read.parquet(os.path.join(d, "way_qts")),
+        "relations": spark.read.parquet(os.path.join(d, "rel_qts")),
+    }
