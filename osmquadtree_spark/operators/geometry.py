@@ -528,3 +528,99 @@ def ring_area_col(xs, ys):
     )
     area = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
     return F.when(F.size(xs) >= 3, F.lit(-1.0) * area / F.lit(2.0)).otherwise(F.lit(0.0))
+
+
+def way_stats_kernel(coords: DataFrame, ring_mod: int = 6) -> DataFrame:
+    """Arrow-batch twin of project_3857 ∘ (line_length_col, ring_area_col)
+    over the raw coordinate arrays: (way_id, _lons, _lats) →
+    (way_id, length_m, ring_area, n_pts).
+
+    Same math as the reference folds (utils.cpp:68-105) and BIT-IDENTICAL
+    to the Catalyst column forms (the parity oracle, tests/test_geometry):
+    the mercator projection is numpy float64 through the same libm, and the
+    per-way fold runs through multipolygons._seq_group_sums — a strictly
+    left-to-right accumulation (numpy's pairwise ``sum``/``reduceat`` would
+    drift by ulps the floor-scaled driver gates can amplify). Rings
+    (way_id % ring_mod == 0) are closed by appending the first point, so
+    the closing segment / closing shoelace terms land LAST in the fold,
+    exactly where F.concat(xs, slice(xs,1,1)) puts them. ``n_pts`` is the
+    closed point count (the degenerate-ring gate input).
+
+    Scale shape: one mapInPandas stage, per-vertex work all vectorized —
+    replaces interpreted per-element Catalyst lambda folds (~5-10× on the
+    sf0.1 fixture) while keeping the column twin as the parity oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from .multipolygons import _project_np, _seq_group_sums
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["way_id"].to_numpy(np.int64)
+            n = len(ids)
+            if n == 0:
+                yield pd.DataFrame(
+                    {"way_id": ids, "length_m": [], "ring_area": [], "n_pts": []}
+                )
+                continue
+            lens = pdf["_lons"].map(len).to_numpy(np.int64)
+            total0 = int(lens.sum())
+            flon = (
+                np.concatenate([np.asarray(a, np.int64) for a in pdf["_lons"]])
+                if total0
+                else np.zeros(0, np.int64)
+            )
+            flat = (
+                np.concatenate([np.asarray(a, np.int64) for a in pdf["_lats"]])
+                if total0
+                else np.zeros(0, np.int64)
+            )
+            offs = np.zeros(n + 1, np.int64)
+            np.cumsum(lens, out=offs[1:])
+            # close rings: append each ring row's first point (no-op when empty)
+            ring = (ids % ring_mod == 0) & (lens > 0)
+            newlens = lens + ring.astype(np.int64)
+            noffs = np.zeros(n + 1, np.int64)
+            np.cumsum(newlens, out=noffs[1:])
+            total = int(noffs[-1])
+            rid = np.repeat(np.arange(n), newlens)
+            pos = np.arange(total) - noffs[rid]
+            src = offs[rid] + np.where(pos == lens[rid], 0, pos)
+            X, Y = _project_np(flon[src], flat[src])
+
+            # edge heads: every index that is not a row's last point
+            head = np.ones(total, dtype=bool)
+            ends = noffs[1:]
+            ends = ends[ends > 0]
+            head[ends - 1] = False
+            h = np.flatnonzero(head)
+            ec = np.maximum(newlens - 1, 0)
+            estarts = np.zeros(n, np.int64)
+            np.cumsum(ec[:-1], out=estarts[1:])
+
+            dx = X[h + 1] - X[h]
+            dy = Y[h + 1] - Y[h]
+            seg = np.sqrt(dx * dx + dy * dy)
+            length = _seq_group_sums(seg, estarts, ec)
+            length = np.where(newlens >= 2, length, 0.0)
+
+            # shoelace: x·y' then -(y·x') as SEPARATE accumulations (the
+            # reference's order; a fused x·y'-y·x' invites FMA divergence)
+            terms = np.empty(2 * len(h))
+            terms[0::2] = X[h] * Y[h + 1]
+            terms[1::2] = -(Y[h] * X[h + 1])
+            asum = _seq_group_sums(terms, 2 * estarts, 2 * ec)
+            area = np.where(newlens >= 3, -1.0 * asum / 2.0, 0.0)
+
+            yield pd.DataFrame(
+                {
+                    "way_id": ids,
+                    "length_m": length,
+                    "ring_area": area,
+                    "n_pts": newlens,
+                }
+            )
+
+    return coords.select("way_id", "_lons", "_lats").mapInPandas(
+        gen, "way_id bigint, length_m double, ring_area double, n_pts int"
+    )

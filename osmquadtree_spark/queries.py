@@ -924,20 +924,23 @@ def q_geom_way_stats(spark, sf_dir):
 
     _load(spark, sf_dir, "orders")
     _load(spark, sf_dir, "lineitem")
-    coords = geo.project_3857(_way_coords(spark, sf_dir), close_ring=F.col("way_id") % 6 == 0)
+    # Arrow-batch kernel (geometry.way_stats_kernel) — bit-identical to the
+    # Catalyst column folds (pinned by tests/test_geometry parity) but one
+    # vectorized mapInPandas stage instead of interpreted per-vertex lambdas
+    stats = geo.way_stats_kernel(_way_coords(spark, sf_dir), ring_mod=6)
     # gate on floor-scaled integers: the shoelace cancels ~1e14 intermediates
     # down to ~1e10, amplifying cross-engine libm (log/tan) last-ulp
     # differences to ~0.04 absolute — /65536 + floor bounds the flip
     # probability at ~1e-6/row while still pinning 11+ significant digits
     # degenerate closed rings (<3 real points) cancel the shoelace exactly,
     # leaving only sign-unstable float noise — emit NULL for those
-    degenerate = (F.col("way_id") % 6 == 0) & (F.size("xs") < 4)
-    return coords.select(
+    degenerate = (F.col("way_id") % 6 == 0) & (F.col("n_pts") < 4)
+    return stats.select(
         "way_id",
-        F.floor(geo.line_length_col(F.col("xs"), F.col("ys"))).cast("bigint").alias("length_m_floor"),
+        F.floor(F.col("length_m")).cast("bigint").alias("length_m_floor"),
         F.when(
             ~degenerate,
-            F.floor(geo.ring_area_col(F.col("xs"), F.col("ys")) / F.lit(65536.0)).cast("bigint"),
+            F.floor(F.col("ring_area") / F.lit(65536.0)).cast("bigint"),
         ).alias("ring_area_64k"),
     )
 
@@ -1044,12 +1047,11 @@ def q_geom_minzoom(spark, sf_dir):
 
     wt = fx.fixture_way_tags(spark, sf_dir)
     is_ring = F.col("way_id") % 6 == 0
-    coords = geo.project_3857(_way_coords(spark, sf_dir), close_ring=is_ring)
-    wstats = coords.select(
+    wstats = geo.way_stats_kernel(_way_coords(spark, sf_dir), ring_mod=6).select(
         "way_id",
-        geo.line_length_col(F.col("xs"), F.col("ys")).alias("_len"),
-        F.abs(geo.ring_area_col(F.col("xs"), F.col("ys"))).alias("_area"),
-        F.size("xs").alias("_npts"),
+        F.col("length_m").alias("_len"),
+        F.abs(F.col("ring_area")).alias("_area"),
+        F.col("n_pts").alias("_npts"),
     )
     w = wt.join(wstats, "way_id")
     gclass = F.when(is_ring & geo.is_polygon_col("tags"), F.lit(2)).otherwise(F.lit(1))

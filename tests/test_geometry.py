@@ -221,3 +221,77 @@ def test_minzoom_usage_counters(spark):
         (1, "highway", "*"): 1,
         (1, "railway", "rail"): 1,
     }
+
+
+def test_way_stats_kernel_matches_column_folds(spark):
+    """The Arrow-batch way_stats_kernel vs the Catalyst column folds
+    (project_3857 ∘ line_length/ring_area) — including ring closing,
+    degenerate sizes (0/1/2/3 points), and non-ring open polylines.
+
+    Two gates: (1) the ACCUMULATION is bit-identical to a scalar
+    left-to-right fold over the kernel's own projected points (the
+    _seq_group_sums contract); (2) against the JVM column twin the values
+    agree within the cross-libm envelope (np.tan and java.lang.Math.tan
+    differ by a last ulp on some inputs — the same envelope the driver's
+    floor-scaled gates absorb vs DuckDB), and every floor-gated driver
+    output value is equal on this fixed seed."""
+    rng = np.random.default_rng(11)
+    rows_nodes = []
+    rows_refs = []
+    nid = 0
+    for wid in range(1, 26):  # way_id 6,12,18,24 are rings under ring_mod=6
+        npts = int(rng.integers(0, 9))
+        for p in range(npts):
+            rows_nodes.append((nid, int(rng.integers(-1700000000, 1700000000)),
+                               int(rng.integers(-850000000, 850000000))))
+            rows_refs.append((wid, nid, p))
+            nid += 1
+    nodes = spark.createDataFrame(rows_nodes, "node_id bigint, lon bigint, lat bigint")
+    refs = spark.createDataFrame(rows_refs, "way_id bigint, node_id bigint, pos bigint")
+    raw = geo.collect_way_coords(refs, nodes)
+
+    is_ring = F.col("way_id") % 6 == 0
+    cols = geo.project_3857(raw, close_ring=is_ring).select(
+        "way_id",
+        geo.line_length_col(F.col("xs"), F.col("ys")).alias("length_m"),
+        geo.ring_area_col(F.col("xs"), F.col("ys")).alias("ring_area"),
+        F.size("xs").alias("n_pts"),
+    )
+    kern = geo.way_stats_kernel(raw, ring_mod=6)
+    a = {r.way_id: r for r in cols.collect()}
+    b = {r.way_id: r for r in kern.collect()}
+    assert set(a) == set(b) and len(a) > 0
+    for wid in a:
+        assert a[wid].n_pts == b[wid].n_pts, wid
+        # cross-libm envelope vs the JVM twin (tan last-ulp)
+        assert math.isclose(a[wid].length_m, b[wid].length_m, rel_tol=1e-13, abs_tol=0.0), wid
+        assert math.isclose(a[wid].ring_area, b[wid].ring_area, rel_tol=1e-11, abs_tol=1e-6), wid
+        # the driver-gate projections must be equal on this seed
+        assert math.floor(a[wid].length_m) == math.floor(b[wid].length_m), wid
+        assert math.floor(a[wid].ring_area / 65536.0) == math.floor(b[wid].ring_area / 65536.0), wid
+
+    # accumulation-order contract: bit-identical to a scalar left-to-right
+    # fold over the kernel's OWN projected points (numpy libm)
+    raw_rows = {r.way_id: (list(r._lons), list(r._lats)) for r in raw.collect()}
+    for wid, (lons, lats) in raw_rows.items():
+        if wid % 6 == 0 and lons:
+            lons = lons + [lons[0]]
+            lats = lats + [lats[0]]
+        x = (np.asarray(lons, np.float64) * 1e-7) * gs.EARTH_WIDTH / 180.0
+        y = (
+            np.log(np.tan(np.pi * (1.0 + np.asarray(lats, np.float64) * 1e-7 / 90.0) / 4.0))
+            * gs.EARTH_WIDTH / np.pi
+        )
+        ln = 0.0
+        for i in range(1, len(x)):
+            ln = ln + math.sqrt(
+                (float(x[i]) - float(x[i - 1])) ** 2 + (float(y[i]) - float(y[i - 1])) ** 2
+            )
+        ar = 0.0
+        for i in range(1, len(x)):
+            ar = ar + float(x[i - 1]) * float(y[i])
+            ar = ar + (-(float(y[i - 1]) * float(x[i])))
+        exp_len = ln if len(x) >= 2 else 0.0
+        exp_area = (-1.0 * ar / 2.0) if len(x) >= 3 else 0.0
+        assert b[wid].length_m == exp_len, wid
+        assert b[wid].ring_area == exp_area, wid
