@@ -177,3 +177,51 @@ def hstore_binary_hex_col(tags_col) -> Column:
         ),
     )
     return F.upper(F.concat(_hex32(F.size(F.col(tags_col))), F.array_join(per_tag, "")))
+
+
+def geojson_diff(
+    left, right, keys: tuple[str, ...] = ("tile", "kind"), col: str = "geojson"
+):
+    """Rendered-feature reconciliation — the geojson_diff harness
+    (/root/reference/python/oqt/geometry/process.py:293-307): two keyed
+    FeatureCollection tables → every positional feature pair that differs.
+
+    Reference semantics, faithfully including the quirks: collections
+    present on BOTH sides are zipped positionally (features are sorted by
+    id at collection build, process.py:287-290) and ``zip`` TRUNCATES to
+    the shorter list — trailing extras on either side are not reported; a
+    key present on only one side yields ALL its features paired with NULL.
+    Features compare as strings — the sink emits canonical sorted-key JSON
+    (feature_collection / *_feature_col), so string equality is the
+    reference's dict equality.
+
+    Spark shape: one full-outer equi-join on the key columns + posexplode
+    of the zipped feature arrays — no Python, no driver collect; at planet
+    scale both sides shuffle by (tile, kind), the natural layout tiled
+    stores already have. Returns (keys..., pos, left_feature,
+    right_feature)."""
+    feats = F.from_json(F.col(col), "struct<features:array<string>>")["features"]
+    l = left.select(*keys, feats.alias("_lf"))
+    r = right.select(*keys, feats.alias("_rf"))
+    joined = l.join(r, list(keys), "full_outer")
+    zipped = F.arrays_zip(
+        F.coalesce(F.col("_lf"), F.array()).alias("a"),
+        F.coalesce(F.col("_rf"), F.array()).alias("b"),
+    )
+    exploded = joined.select(
+        *keys,
+        F.col("_lf").isNull().alias("_lmiss"),
+        F.col("_rf").isNull().alias("_rmiss"),
+        F.least(F.size("_lf"), F.size("_rf")).alias("_minlen"),
+        F.posexplode(zipped).alias("pos", "_pair"),
+    )
+    one_sided = F.col("_lmiss") | F.col("_rmiss")
+    differs = (F.col("pos") < F.col("_minlen")) & (
+        F.col("_pair")["a"] != F.col("_pair")["b"]
+    )
+    return exploded.filter(one_sided | differs).select(
+        *keys,
+        "pos",
+        F.col("_pair")["a"].alias("left_feature"),
+        F.col("_pair")["b"].alias("right_feature"),
+    )

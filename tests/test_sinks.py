@@ -81,3 +81,77 @@ def test_write_postgis_csv(spark, tmp_path):
     assert '""highway""=>""residential""' in by_id["1"]
     # EWKB hex payload: big-endian marker + SRID-flagged point type + 4326
     assert "0020000001000010E6" in by_id["1"]
+
+
+def _fc(feats):
+    import json
+
+    return (
+        '{"type":"FeatureCollection","features":['
+        + ",".join(json.dumps(f, sort_keys=True, separators=(",", ":")) for f in feats)
+        + "]}"
+    )
+
+
+def _ref_geojson_diff(left, right):
+    """Reference semantics restated (process.py:293-307): dict of
+    key → FC; zip truncates; one-sided keys pair with None."""
+    res = {}
+    for k, v in left.items():
+        if k not in right:
+            res[k] = [(o, None) for o in v]
+        else:
+            d = [(a, b) for a, b in zip(v, right[k]) if a != b]
+            if d:
+                res[k] = d
+    for k, v in right.items():
+        if k not in left:
+            res[k] = [(None, o) for o in v]
+    return res
+
+
+def test_geojson_diff_matches_reference_semantics(spark):
+    """geojson_diff vs a direct restatement of the reference harness, on a
+    fixture exercising: equal collections (omitted), one changed feature,
+    truncated trailing extras (NOT reported — the reference's zip), and
+    kinds missing on either side (all features, NULL other side)."""
+    import json
+
+    def feat(i, tag):
+        return {"id": i, "type": "Feature", "properties": {"t": tag}}
+
+    left = {
+        ("t0", "point"): [feat(1, "a"), feat(2, "b")],
+        ("t0", "line"): [feat(3, "x"), feat(4, "y"), feat(5, "extra")],
+        ("t1", "point"): [feat(6, "only-left")],
+    }
+    right = {
+        ("t0", "point"): [feat(1, "a"), feat(2, "B")],
+        ("t0", "line"): [feat(3, "x"), feat(4, "y")],
+        ("t2", "poly"): [feat(7, "only-right"), feat(8, "only-right2")],
+    }
+
+    def to_df(d):
+        rows = [
+            (k[0], k[1], _fc(v))
+            for k, v in d.items()
+        ]
+        return spark.createDataFrame(rows, "tile string, kind string, geojson string")
+
+    out = sk.geojson_diff(to_df(left), to_df(right)).collect()
+    got = {}
+    for r in out:
+        got.setdefault((r.tile, r.kind), []).append(
+            (
+                r.pos,
+                json.loads(r.left_feature) if r.left_feature is not None else None,
+                json.loads(r.right_feature) if r.right_feature is not None else None,
+            )
+        )
+    for k in got:
+        got[k] = [(a, b) for _, a, b in sorted(got[k])]
+
+    exp = _ref_geojson_diff(
+        {k: v for k, v in left.items()}, {k: v for k, v in right.items()}
+    )
+    assert got == exp
