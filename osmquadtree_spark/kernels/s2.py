@@ -119,13 +119,20 @@ def cell_level(cell: np.ndarray) -> np.ndarray:
     return (MAX_LEVEL - (np.log2(lsb.astype(np.float64)).astype(np.int64) // 2)).astype(np.int64)
 
 
-def h3_cell(lon_fp, lat_fp, resolution: int = 9):
-    """H3 adapter seam: resolves through the real `h3` package when
-    installed; this container has none (no pip), so the seam raises — the
-    S2 path above is the in-repo hex-free secondary index."""
+def h3_cell(lon_fp, lat_fp, resolution: int = 9, allow_hexlite: bool = True):
+    """Hex-index adapter: resolves through the real `h3` package when
+    installed; otherwise falls back to the in-repo pure-numpy aperture-7
+    hexlite kernel (kernels/hexlite.py — same hierarchy algebra, planar
+    projection, different cell VALUES; see its module docstring). Pass
+    ``allow_hexlite=False`` to require real-H3 ids (raises when the
+    package is absent, e.g. to guard an interop sink)."""
     try:
         import h3  # noqa: F401
     except ImportError as e:
+        if allow_hexlite:
+            from . import hexlite
+
+            return hexlite.cell_id(lon_fp, lat_fp, resolution)
         raise NotImplementedError("h3 package not available in this container") from e
     import h3 as _h3
 

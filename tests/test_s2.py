@@ -78,6 +78,22 @@ def test_determinism():
     assert np.array_equal(a, b)
 
 
-def test_h3_seam_raises_without_package():
-    with pytest.raises(NotImplementedError):
-        s2.h3_cell([0], [0])
+def test_h3_seam_resolves_or_raises():
+    """Without the h3 package the seam falls back to the in-repo hexlite
+    kernel (and must agree with it exactly); strict mode still raises."""
+    try:
+        import h3  # noqa: F401
+
+        have_h3 = True
+    except ImportError:
+        have_h3 = False
+    if not have_h3:
+        from osmquadtree_spark.kernels import hexlite
+
+        got = s2.h3_cell([123456789, -987654321], [456789123, -123456789], 9)
+        want = hexlite.cell_id(
+            np.asarray([123456789, -987654321]), np.asarray([456789123, -123456789]), 9
+        )
+        assert np.array_equal(got, want)
+        with pytest.raises(NotImplementedError):
+            s2.h3_cell([0], [0], allow_hexlite=False)
