@@ -186,3 +186,22 @@ def test_hot_bucket_cap_bounds_candidates(spark):
     ng_ids = {r.doc_a for r in ng.collect()} | {r.doc_b for r in ng.collect()}
     assert not (ng_ids & set(range(60)))
     assert (200, 201) in {(r.doc_a, r.doc_b) for r in ng.collect()}
+
+
+def test_cap_metrics_committed(spark, tmp_path):
+    """"No silent caps": passing metrics_path commits the dropped-bucket
+    stats to a parquet metrics table as part of the run — operator name,
+    cap, bucket key, and the row count each dropped bucket held."""
+    from osmquadtree_spark.operators.dedup import N_BANDS, minhash_lsh_pairs
+
+    boiler = [(i, "the same boilerplate text repeated for every row here") for i in range(60)]
+    uniq = [(100 + i, f"unique document number {i} with words w{i} x{i} y{i} z{i}") for i in range(5)]
+    docs = spark.createDataFrame(boiler + uniq, "doc_id bigint, text string")
+
+    mpath = str(tmp_path / "cap_metrics")
+    minhash_lsh_pairs(docs, n=3, min_matches=8, bucket_cap=50, metrics_path=mpath).collect()
+    m = spark.read.parquet(mpath).collect()
+    assert len(m) == N_BANDS  # the boilerplate cluster saturates every band
+    assert all(r.operator == "dedup_minhash" and r.cap == 50 for r in m)
+    assert all(r.n_rows_dropped == 60 for r in m)
+    assert all("," in r.bucket_key for r in m)  # "band,bucket" composite key
