@@ -329,7 +329,10 @@ def main() -> None:
     results = {}
     attempts: dict[int, list] = {c: [] for c in levels}
     for _rep in range(args.repeats):
-        for cpus in levels[::-1]:  # hi first, then lo, alternating
+        # one "window" = both levels back-to-back (hi first, then lo) —
+        # the primary metric pairs observations from the SAME window, so a
+        # co-tenant noise burst hits both sides of the ratio, not one
+        for cpus in levels[::-1]:
             with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
                 out_path = tf.name
             subprocess.run(
@@ -347,8 +350,34 @@ def main() -> None:
         results[cpus] = best
 
     lo, hi = levels[0], levels[-1]
-    speedup = results[hi]["rows_per_sec"] / results[lo]["rows_per_sec"]
-    efficiency = speedup / (hi / lo)
+
+    # PRIMARY: same-window paired efficiency. Each window yields one
+    # (lo, hi) pair; the reported pair is the quietest window — the one
+    # with the highest geometric-mean absolute throughput (a noise burst
+    # lowers rates, never raises them, so max-rate selects least
+    # contention). Every window's pair is disclosed.
+    windows = []
+    for w, (r_lo, r_hi) in enumerate(zip(attempts[lo], attempts[hi])):
+        eff_w = (r_hi["rows_per_sec"] / r_lo["rows_per_sec"]) / (hi / lo)
+        windows.append(
+            {
+                "window": w,
+                "rows_per_sec": {str(lo): r_lo["rows_per_sec"], str(hi): r_hi["rows_per_sec"]},
+                "efficiency": round(eff_w, 3),
+                "quality": r_lo["rows_per_sec"] * r_hi["rows_per_sec"],
+            }
+        )
+    primary = max(windows, key=lambda w: w["quality"])
+    for w in windows:
+        del w["quality"]
+    efficiency = primary["efficiency"]
+    speedup = efficiency * (hi / lo)
+
+    # secondary (previous rounds' metric): best-per-level composite — may
+    # pair observations from different windows
+    composite_eff = (
+        results[hi]["rows_per_sec"] / results[lo]["rows_per_sec"] / (hi / lo)
+    )
 
     # hardware envelope on the same pinned core sets: what the box itself
     # can scale, independent of Spark. kernel = the Arrow-batch numpy
@@ -369,6 +398,10 @@ def main() -> None:
         "value": round(efficiency, 3),
         "unit": "ratio",
         "rows": args.rows,
+        "primary": "same-window pair (quietest window by absolute throughput)",
+        "primary_window": primary,
+        "all_windows": windows,
+        "composite_best_per_level_efficiency": round(composite_eff, 3),
         "per_level": {str(c): results[c] for c in levels},
         "speedup": round(speedup, 3),
         "hardware_envelope": envelope,

@@ -173,3 +173,150 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-probing alternative to LSH.
+# Train a small spherical-k-means codebook on a bounded deterministic
+# sample (driver-side numpy — the codebook is n_centroids × d, tiny),
+# broadcast it, assign every vector to its nearest centroid in one Arrow
+# matmul, and answer queries by probing the nprobe nearest centroid lists
+# via an equi-join on centroid id + exact re-score. At 10^12 vectors the
+# lists shard evenly (~n/n_centroids each; AQE splits residual skew) and
+# no stage ever touches more than nprobe/n_centroids of the corpus per
+# query — the classic IVF-Flat trade (recall tunable via nprobe).
+
+
+def train_centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    dim: int,
+    sample_mod: int = 1,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical k-means codebook, (n_centroids, dim) unit rows.
+
+    The sample is ``xxhash64(id) % sample_mod == 0`` — a fixed property of
+    the ROWS, so the same codebook comes back regardless of partitioning or
+    cluster size (``.sample()`` is partition-order-dependent; this is not).
+    Size ``sample_mod`` so n/sample_mod is a few-MB driver collect; the
+    k-means itself is numpy on that bounded sample. Empty clusters reseed
+    to the point farthest from its centroid (still deterministic)."""
+    s = vectors.select(id_col, vec_col)
+    if sample_mod > 1:
+        s = s.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    pdf = s.toPandas().sort_values(id_col)
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    if X.shape[0] < n_centroids:
+        raise ValueError(
+            f"sample of {X.shape[0]} rows cannot seed {n_centroids} centroids "
+            "— lower sample_mod or n_centroids"
+        )
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(X.shape[0], n_centroids, replace=False)]
+    for _ in range(iters):
+        sims = X @ C.T  # (n, k)
+        assign = sims.argmax(axis=1)
+        best = sims[np.arange(X.shape[0]), assign]
+        newC = np.zeros_like(C)
+        np.add.at(newC, assign, X)
+        counts = np.bincount(assign, minlength=n_centroids)
+        empty = counts == 0
+        if empty.any():
+            # farthest points (lowest best-sim), one per empty cluster
+            order = np.argsort(best)
+            newC[empty] = X[order[: int(empty.sum())]]
+            counts[empty] = 1
+        C = newC / np.maximum(np.linalg.norm(newC, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_cols: list[str],
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Nearest-centroid ids as ONE Arrow-batch matmul against the broadcast
+    codebook — (*id_cols, cid int) with ``nprobe`` rows per input (rank-th
+    nearest centroid each; nprobe=1 is the list-assignment side, >1 the
+    query-probe side)."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(centroids.T))
+    id_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols
+    )
+
+    def gen(batches):
+        CT = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            sims = V @ CT  # (n, k)
+            if nprobe == 1:
+                cid = sims.argmax(axis=1)[:, None]
+            else:
+                cid = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            cols = {c: np.repeat(pdf[c].to_numpy(), cid.shape[1]) for c in id_cols}
+            cols["cid"] = cid.reshape(-1).astype(np.int32)
+            yield pd.DataFrame(cols)
+
+    return df.select(*id_cols, vec_col).mapInPandas(gen, f"{id_schema}, cid int")
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    dim: int | None = None,
+    sample_mod: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-Flat cosine top-k: probe the ``nprobe`` nearest centroid lists
+    per query, re-score candidates exactly, window top-k — (query_id,
+    vec_id, rank), exact within the probed lists; recall vs cosine_topk is
+    the pytest gate (as for lsh_topk). Pass ``centroids`` to reuse a
+    trained codebook (the production shape: train once, serve many)."""
+    if centroids is None:
+        if dim is None:
+            dim = len(vectors.select(vec_col).first()[0])
+        centroids = train_centroids(
+            vectors, n_centroids, dim, sample_mod, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    v = ivf_assign(vectors, centroids, [id_col], vec_col, nprobe=1)
+    q = ivf_assign(queries, centroids, [qid_col], vec_col, nprobe=nprobe)
+    pairs = v.join(F.broadcast(q), "cid").select(id_col, qid_col)
+    vv = with_norm(vectors, vec_col).select(id_col, "_v", "_norm")
+    qq = with_norm(queries, vec_col).select(
+        qid_col, F.col("_v").alias("_q"), F.col("_norm").alias("_qnorm")
+    )
+    scored = (
+        pairs.join(vv, id_col)
+        .join(F.broadcast(qq), qid_col)
+        .withColumn(
+            "sim", _dot(F.col("_v"), F.col("_q")) / (F.col("_norm") * F.col("_qnorm"))
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "rank")
+    )

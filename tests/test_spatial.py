@@ -93,3 +93,33 @@ def test_sortblocks_resume(spark, tmp_path):
     # rows are tile-clustered: within each partition file group_qt is sorted
     pdf = back.select("group_qt", "point_id").toPandas()
     assert set(pdf["group_qt"].unique()) <= set(gqt.tolist()) | {0}
+
+
+def test_ivf_recall_vs_exact_and_determinism(spark, sf_dir):
+    """IVF-Flat: probing half the centroid lists recovers most exact
+    neighbors; probing ALL lists IS brute force (recall 1.0 — every vector
+    is a candidate); the codebook is a deterministic function of the data,
+    not of partitioning."""
+    from osmquadtree_spark.operators.ann import ivf_topk, train_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, queries, 10).collect()}
+
+    C = train_centroids(emb, n_centroids=16, dim=64)
+    C2 = train_centroids(emb.repartition(7), n_centroids=16, dim=64)
+    assert (C == C2).all()  # partitioning-independent codebook
+
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, queries, 10, nprobe=8, centroids=C).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.5
+
+    full = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, queries, 10, nprobe=16, centroids=C).collect()
+    }
+    assert full == exact
