@@ -33,7 +33,10 @@ def make_qt_calculate(buffer: float = qtk.BUFFER_DEFAULT, max_depth: int = qtk.M
 
 
 def make_qt_common():
-    """pandas UDF factory: LCA of two cell ids (null-safe: null → -1)."""
+    """pandas UDF factory: LCA of two cell ids (null-safe: null → -1).
+
+    Kept as the parity twin of ``qt_common_col`` (tests compare the two);
+    hot paths use the JVM expression."""
 
     @pandas_udf("bigint")
     def qt_common(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -42,6 +45,36 @@ def make_qt_common():
         return pd.Series(qtk.common(av, bv))
 
     return qt_common
+
+
+def qt_common_sql(a: str, b: str) -> str:
+    """quadtree::common (quadtree.cpp:189-213) as a pure Spark-SQL
+    expression — no Python worker round-trip, stays in whole-stage codegen.
+
+    A cell id packs its path as 2-bit digits from bit 62 down, depth in the
+    low 5 bits; digits below the depth are zero. The LCA of two valid cells
+    is the longest common digit prefix capped at the shallower depth:
+    ``kx`` = common-prefix length of the paths (the CASE is monotone — the
+    first true branch from 18 down is the max j with the top 2j bits
+    equal), ``k = least(depth_min, kx)``, result = path truncated to k
+    digits with depth k. Null/-1 is the fold identity, as in the kernel."""
+    A = f"coalesce({a}, CAST(-1 AS BIGINT))"
+    B = f"coalesce({b}, CAST(-1 AS BIGINT))"
+    x = f"(({A}) ^ ({B}))"
+    d = f"least(({A}) & 31, ({B}) & 31)"
+    kx = (
+        "CASE "
+        + " ".join(f"WHEN shiftright({x}, {63 - 2 * j}) = 0 THEN {j}" for j in range(18, 0, -1))
+        + " ELSE 0 END"
+    )
+    k = f"least({d}, {kx})"
+    res = f"(shiftleft(shiftright({A}, 63 - 2*({k})), 63 - 2*({k})) + ({k}))"
+    return f"CASE WHEN ({A}) = -1 THEN ({B}) WHEN ({B}) = -1 THEN ({A}) ELSE {res} END"
+
+
+def qt_common_col(a: str, b: str) -> Column:
+    """Column form of ``qt_common_sql`` (args are column names/SQL exprs)."""
+    return F.expr(qt_common_sql(a, b))
 
 
 def make_s2_cell(level: int = 16):

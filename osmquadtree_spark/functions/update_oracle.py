@@ -2,13 +2,19 @@
 (operators/update.py) over a deterministic change set derived from the OSM
 fixture.
 
-Change set (pure function of the fixture, mirrored by queries.py):
-* nodes with id % 7 == 0            → Modify(4), longitude negated
-* nodes with id % 7 == 1, id % 3 == 0 → Delete(1)
-* ways  with id % 5 == 0            → Modify(4)
-* rels  with id % 3 == 0            → Modify(4)
+Change set (pure function of the fixture; queries.py imports the same
+modulus constants, so the two sides cannot drift):
+* nodes with id % 47 == 0             → Modify(4), longitude negated
+* nodes with id % 47 == 1, id % 3 == 0 → Delete(1)
+* ways  with id % 41 == 0             → Modify(4)
+* rels  with id % 13 == 0             → Modify(4)
 * context nodes (Normal 0): resolvable refs of the active ways not already
   in the set, original coordinates
+
+The moduli make the change set DIFF-scale (~10% of elements, vs the 44%
+of an earlier fixture): the reference's update path processes daily .osc
+diffs (update.cpp) — a change set approaching the planet's size is a full
+calcqts re-run, not an update, and benchmarks the wrong operation.
 Old cells come from the full-fixture calcqts at the CLI depth 17; the update
 recomputes at depth 18 (update.cpp:562) — exactly the reference's pairing of
 `oqt calcqts` defaults with the update path. Original tile allocations are
@@ -24,10 +30,14 @@ from ..sources.osm_fixture import nodes_sql, way_pairs_sql
 
 # -- change-set CTEs ----------------------------------------------------------
 
-ACT_NODE = "(node_id % 7 = 0)"
-DEL_NODE = "(node_id % 7 = 1 AND node_id % 3 = 0)"
-ACT_WAY = "(way_id % 5 = 0)"
-ACT_REL = "(rel_id % 3 = 0)"
+ACT_NODE_MOD = 47
+ACT_WAY_MOD = 41
+ACT_REL_MOD = 13
+
+ACT_NODE = f"(node_id % {ACT_NODE_MOD} = 0)"
+DEL_NODE = f"(node_id % {ACT_NODE_MOD} = 1 AND node_id % 3 = 0)"
+ACT_WAY = f"(way_id % {ACT_WAY_MOD} = 0)"
+ACT_REL = f"(rel_id % {ACT_REL_MOD} = 0)"
 
 
 def _ch_nodes_sql() -> str:
@@ -75,8 +85,9 @@ LEFT JOIN ({so.calculate_cte(point_base, "node_id", max_depth=UPDATE_DEPTH)}) pq
 
 def _new_rel_qts_sql() -> str:
     """Active relations' member-LCA cells. The fixture's rel→rel edges never
-    connect two ACTIVE relations (r%3=0 parents have r-1 / r+2 children,
-    neither divisible by 3), so the 5-pass closure is the identity here —
+    connect two ACTIVE relations (an active parent r has r % 13 = 0 and
+    children r-1 / r+2; (r-1) % 13 = 0 or (r+2) % 13 = 0 would force
+    1 ≡ 0 or 2 ≡ 0 (mod 13)), so the 5-pass closure is the identity here —
     closure-order parity is covered by the rel_qts query and
     tests/test_calcqts.py."""
     from ..sources.osm_fixture import rel_members_sql

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.udfs import make_qt_calculate, make_qt_common
+from ..functions.udfs import make_qt_calculate, qt_common_col
 from ..kernels import quadtree as qtk
 
 
@@ -84,7 +84,6 @@ def node_quadtrees(
     filtered, and LCA(S) = common(min S, max S) in DFS-preorder int64 order.
     """
     qt_calc = make_qt_calculate(buffer, max_depth)
-    qt_common = make_qt_common()
     pairs = way_node_pairs(ways)
     wq = F.broadcast(way_qts) if small_way_qts else way_qts
     from_ways = (
@@ -92,7 +91,7 @@ def node_quadtrees(
         .filter(F.col("qt") >= 0)
         .groupBy("node_id")
         .agg(F.min("qt").alias("qt_min"), F.max("qt").alias("qt_max"))
-        .select("node_id", qt_common("qt_min", "qt_max").alias("way_qt"))
+        .select("node_id", qt_common_col("qt_min", "qt_max").alias("way_qt"))
     )
     return (
         nodes.join(from_ways, "node_id", "left")
@@ -121,7 +120,6 @@ def relation_quadtrees(
     no located members and no *existing* relation members gets qt 0 before
     the closure; after the closure any remaining negative qt becomes 0.
     """
-    qt_common = make_qt_common()
     spark = relations.sparkSession
 
     members = relations.select(
@@ -147,7 +145,7 @@ def relation_quadtrees(
         .filter(F.col("qt") >= 0)
         .groupBy("rel_id")
         .agg(F.min("qt").alias("qt_min"), F.max("qt").alias("qt_max"))
-        .select("rel_id", qt_common("qt_min", "qt_max").alias("q0"))
+        .select("rel_id", qt_common_col("qt_min", "qt_max").alias("q0"))
     )
 
     rel_ids = relations.select("rel_id").distinct()

@@ -28,7 +28,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.udfs import make_qt_calculate, make_qt_common
+from ..cache import cached
+from ..functions.udfs import make_qt_calculate, qt_common_col
 from ..kernels import quadtree as qtk
 from .calcqts import relation_quadtrees, way_node_pairs, way_quadtrees
 from .changes import CT_DELETE, CT_REMOVE, CT_UNCHANGED
@@ -60,17 +61,16 @@ def calc_change_qts(
     # (the reference's qts store plays the same role, update.cpp:539).
     # small_nodes: a change set is diff-scale by construction (update.cpp
     # processes daily .osc files), so the node-location lookup broadcasts.
-    wq = way_quadtrees(active_ways, nodes, buffer, max_depth, small_nodes=True).persist()
+    wq = cached(way_quadtrees(active_ways, nodes, buffer, max_depth, small_nodes=True))
 
     qt_calc = make_qt_calculate(buffer, max_depth)
-    qt_common = make_qt_common()
     from_ways = (
         way_node_pairs(active_ways)
         .join(F.broadcast(wq), "way_id")
         .filter(F.col("qt") >= 0)
         .groupBy("node_id")
         .agg(F.min("qt").alias("qt_min"), F.max("qt").alias("qt_max"))
-        .select("node_id", qt_common("qt_min", "qt_max").alias("way_qt"))
+        .select("node_id", qt_common_col("qt_min", "qt_max").alias("way_qt"))
     )
     node_new = nodes.join(from_ways, "node_id", "left").select(
         "node_id",
@@ -79,7 +79,8 @@ def calc_change_qts(
         F.when(F.col("way_qt").isNotNull(), F.col("way_qt"))
         .when(ct > CT_DELETE, qt_calc("lon", "lat", "lon", "lat"))
         .alias("new_qt"),
-    ).persist()
+    )
+    node_new = cached(node_new)
 
     active_rels = rels.filter(ct > CT_DELETE)
     rq = relation_quadtrees(
@@ -154,7 +155,7 @@ def find_change_tiles(
     assign = make_assign_group_udf(elements.sparkSession, group_qts)
     # three output branches (placed / tombstones / deletes) read this join —
     # materialize once instead of re-running the resolution lineage 3×
-    e = elements.join(orig_allocs, ["element_type", "id"], "left").persist()
+    e = cached(elements.join(orig_allocs, ["element_type", "id"], "left"))
     ct = F.col("changetype")
 
     surv = e.filter(ct > CT_REMOVE).withColumn("tile_qt", assign(F.col("qt")))

@@ -367,20 +367,18 @@ _FIXTURE_CACHE: dict = {}
 
 
 def _osm_fixture(spark, sf_dir):
-    """Memoized per (session, sf): the OSM-shaped fixture tables, lazily
-    localCheckpoint-ed — a dozen queries derive from them, and without the
-    memo each pays the derive-distinct lineage again."""
+    """Memoized per (session, sf): the OSM-shaped element tables, READ from
+    the on-disk planet store (sources/qts_store — the planet-file analog;
+    built once per source fixture). A dozen queries derive from these, and
+    every one pays exactly what production pays: a prunable parquet scan,
+    not a re-synthesis of the fixture lineage."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _FIXTURE_CACHE:
         return _FIXTURE_CACHE[key]
-    from .sources import osm_fixture as fx
+    from .sources.qts_store import read_planet_store
 
-    _load(spark, sf_dir, "orders")
-    _load(spark, sf_dir, "customer")
-    nodes = fx.fixture_nodes(spark, sf_dir).localCheckpoint(eager=False)
-    ways = fx.fixture_ways(spark, sf_dir).localCheckpoint(eager=False)
-    rels = fx.fixture_relations(spark, sf_dir).localCheckpoint(eager=False)
-    _FIXTURE_CACHE[key] = (nodes, ways, rels)
+    t = read_planet_store(spark, sf_dir)
+    _FIXTURE_CACHE[key] = (t["nodes"], t["ways"], t["rels"])
     return _FIXTURE_CACHE[key]
 
 
@@ -492,20 +490,23 @@ def _stored_old(spark, sf_dir):
 
 
 def _change_set(spark, sf_dir):
-    """Deterministic change map over the OSM fixture (mirrored by
-    functions/update_oracle.py): node %7==0 → Modify with negated lon,
-    node %7==1 ∧ %3==0 → Delete, way %5==0 → Modify, rel %3==0 → Modify,
-    plus Normal context nodes (resolvable refs of active ways). old_qt =
-    full-fixture calcqts at CLI depth 17, read from the qts store."""
+    """Deterministic DIFF-scale change map over the OSM fixture (the
+    modulus constants live in functions/update_oracle.py and are imported
+    here, so engine and oracle cannot drift): node %47==0 → Modify with
+    negated lon, node %47==1 ∧ %3==0 → Delete, way %41==0 → Modify,
+    rel %13==0 → Modify, plus Normal context nodes (resolvable refs of
+    active ways). old_qt = full-fixture calcqts at CLI depth 17, read from
+    the qts store."""
+    from .functions.update_oracle import ACT_NODE_MOD, ACT_REL_MOD, ACT_WAY_MOD
     from .operators.calcqts import way_node_pairs
 
     nodes, ways, rels = _osm_fixture(spark, sf_dir)
     old = _stored_old(spark, sf_dir)
 
     nid = F.col("node_id")
-    act_n = nid % 7 == 0
-    del_n = (nid % 7 == 1) & (nid % 3 == 0)
-    act_ways = ways.filter(F.col("way_id") % 5 == 0)
+    act_n = nid % ACT_NODE_MOD == 0
+    del_n = (nid % ACT_NODE_MOD == 1) & (nid % 3 == 0)
+    act_ways = ways.filter(F.col("way_id") % ACT_WAY_MOD == 0)
     ctx = way_node_pairs(act_ways).select("node_id").distinct()
     ch_nodes = (
         nodes.join(ctx.withColumn("_ctx", F.lit(True)), "node_id", "left")
@@ -523,7 +524,7 @@ def _change_set(spark, sf_dir):
         .join(old["ways"].withColumnRenamed("qt", "old_qt"), "way_id", "left")
     )
     ch_rels = (
-        rels.filter(F.col("rel_id") % 3 == 0)
+        rels.filter(F.col("rel_id") % ACT_REL_MOD == 0)
         .withColumn("changetype", F.lit(4))
         .join(old["relations"].withColumnRenamed("qt", "old_qt"), "rel_id", "left")
     )
@@ -541,10 +542,15 @@ def _resolved_elements(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _RESOLVED_CACHE:
         return _RESOLVED_CACHE[key]
+    from .cache import cached
     from .operators.update import calc_change_qts
 
     ch_nodes, ch_ways, ch_rels, old = _change_set(spark, sf_dir)
-    ch_nodes = ch_nodes.persist()  # read by way-bbox, fallback, and rel passes
+    # read by way-bbox, fallback, and rel passes; registered with the cache
+    # registry so bench sweeps release it — a raw persist() would survive
+    # release_all and let the NEXT sweep's identical plan hit Spark's
+    # CacheManager, reporting a cache read as the query's cost
+    ch_nodes = cached(ch_nodes)
     res = calc_change_qts(ch_nodes, ch_ways, ch_rels)
     parts = [
         res["nodes"].select(
@@ -560,7 +566,12 @@ def _resolved_elements(spark, sf_dir):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    _RESOLVED_CACHE[key] = (out.persist(), old)
+    # the union concatenates its branches' partitions (~3×66 at 32 threads
+    # with AQE); coalesce before the persist so downstream consumers
+    # (find_change_tiles' joins, the driver's collect) schedule 32 tasks,
+    # not 198 — the branches end in Python-UDF stages, and each extra task
+    # is an Arrow round-trip
+    _RESOLVED_CACHE[key] = (cached(out.coalesce(32)), old)
     return _RESOLVED_CACHE[key]
 
 

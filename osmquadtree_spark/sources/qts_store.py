@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 _SOURCE_TABLES = ("lineitem", "orders", "customer")
 _QT_TABLES = ("node_qts", "way_qts", "rel_qts")
-_STORE_VERSION = 1
+_PLANET_TABLES = ("nodes", "ways", "rels")
+_STORE_VERSION = 2
 
 
 def default_store_base() -> str:
@@ -60,24 +61,34 @@ def store_is_current(sf_dir: str, base: str | None = None) -> bool:
 
 
 def build_qts_store(spark: SparkSession, sf_dir: str, base: str | None = None) -> str:
-    """Derive node/way/relation qts over the OSM-shaped fixture and write
-    the store (the one-off ``oqt calcqts`` run). Returns the store path."""
+    """Write the planet store (nodes/ways/rels — the ``planet.osm.pbf``
+    analog: the reference READS its element tables from disk, it never
+    re-synthesizes them per run) and derive node/way/relation qts over the
+    written tables (the one-off ``oqt calcqts`` run). Returns the store
+    path."""
     from ..operators.calcqts import node_quadtrees, relation_quadtrees, way_quadtrees
     from . import osm_fixture as fx
-
-    nodes = fx.fixture_nodes(spark, sf_dir).localCheckpoint(eager=False)
-    ways = fx.fixture_ways(spark, sf_dir).localCheckpoint(eager=False)
-    rels = fx.fixture_relations(spark, sf_dir)
-    # small_* hints: the store build is fixture-scale; the planet-scale
-    # derivation keeps shuffle joins (operators/calcqts gates on the flags)
-    wq = way_quadtrees(ways, nodes, small_nodes=True).localCheckpoint(eager=False)
-    nq = node_quadtrees(nodes, ways, wq, small_way_qts=True)
-    rq = relation_quadtrees(rels, nq, wq, small_member_qts=True)
 
     final = store_dir(sf_dir, base)
     tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
     os.makedirs(tmp, exist_ok=True)
     try:
+        for name, df in (
+            ("nodes", fx.fixture_nodes(spark, sf_dir)),
+            ("ways", fx.fixture_ways(spark, sf_dir)),
+            ("rels", fx.fixture_relations(spark, sf_dir)),
+        ):
+            df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+        # derive qts from the read-back scans, so the stored cells
+        # correspond byte-for-byte to the stored element tables
+        nodes = spark.read.parquet(os.path.join(tmp, "nodes"))
+        ways = spark.read.parquet(os.path.join(tmp, "ways"))
+        rels = spark.read.parquet(os.path.join(tmp, "rels"))
+        # small_* hints: the store build is fixture-scale; the planet-scale
+        # derivation keeps shuffle joins (operators/calcqts gates on the flags)
+        wq = way_quadtrees(ways, nodes, small_nodes=True).localCheckpoint(eager=False)
+        nq = node_quadtrees(nodes, ways, wq, small_way_qts=True)
+        rq = relation_quadtrees(rels, nq, wq, small_member_qts=True)
         for name, df in (("node_qts", nq), ("way_qts", wq), ("rel_qts", rq)):
             df.write.mode("overwrite").parquet(os.path.join(tmp, name))
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
@@ -109,3 +120,13 @@ def read_qts_store(spark: SparkSession, sf_dir: str, base: str | None = None) ->
         "ways": spark.read.parquet(os.path.join(d, "way_qts")),
         "relations": spark.read.parquet(os.path.join(d, "rel_qts")),
     }
+
+
+def read_planet_store(
+    spark: SparkSession, sf_dir: str, base: str | None = None
+) -> dict[str, DataFrame]:
+    """→ {"nodes", "ways", "rels"} element tables as plain parquet scans
+    (prunable, re-plannable — the production read path: the reference reads
+    the planet file from disk every run). Builds on first use."""
+    d = ensure_qts_store(spark, sf_dir, base)
+    return {t: spark.read.parquet(os.path.join(d, t)) for t in _PLANET_TABLES}

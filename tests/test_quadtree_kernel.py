@@ -220,3 +220,48 @@ def test_is_ancestor():
     assert not qtk.is_ancestor(a, qtk.from_string_scalar("BD"))
     assert not qtk.is_ancestor(qtk.from_string_scalar("BCDA"), a)
     assert qtk.is_ancestor(0, a)
+
+
+def test_qt_common_col_matches_kernel(spark):
+    """The pure-JVM qt_common expression (functions/udfs.py) is bit-exact
+    vs the numpy kernel over random valid cells, sentinels, nulls, equal
+    pairs and ancestor pairs — it replaces the pandas UDF in the calcqts
+    and update hot paths (quadtree.cpp:189-213 semantics)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from osmquadtree_spark.functions.udfs import qt_common_col
+
+    rng = np.random.default_rng(424242)
+    N = 20000
+
+    def rand_qts():
+        lon = rng.integers(-1800000000, 1800000000, N)
+        lat = rng.integers(-900000000, 900000000, N)
+        base = qtk.calculate(lon, lat, lon, lat, buffer=0.05, max_depth=18)
+        out = np.empty(N, np.int64)
+        levs = rng.integers(0, 19, N)
+        for lev in range(19):
+            m = levs == lev
+            out[m] = qtk.round_qt(base[m], lev)
+        return out
+
+    a, b = rand_qts(), rand_qts()
+    a[:500] = -1
+    b[250:750] = -1
+    b[1000:2000] = a[1000:2000]  # equal pairs
+    b[2000:3000] = qtk.round_qt(a[2000:3000], 3)  # ancestor pairs
+    an, bn = a.copy(), b.copy()
+    an[3000:3500] = -1  # null slots (null ≡ -1 fold identity)
+    expected = qtk.common(an, bn)
+
+    rows = [
+        (None if 3000 <= i < 3500 else int(a[i]), int(b[i])) for i in range(N)
+    ]
+    schema = StructType(
+        [StructField("a", LongType(), True), StructField("b", LongType(), True)]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = np.array(
+        [r[0] for r in df.select(qt_common_col("a", "b")).collect()], np.int64
+    )
+    assert (got == expected).all()
