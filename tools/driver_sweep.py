@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Emulate the external driver's correctness sweep over the full query
+registry: run every ``queries()`` entry on Spark at a given scale factor,
+run its ``oracle_sql()`` twin in DuckDB over the same parquet, and compare
+row counts, column names and full sorted values.
+
+This is the repo-local twin of the per-round CORRECTNESS_r{N}.json gate —
+run it after touching any operator the registry exercises:
+
+    python tools/driver_sweep.py                       # all 50, sf0.01
+    python tools/driver_sweep.py --queries geom_ways   # subset
+    python tools/driver_sweep.py --sf /root/testdata/sf0.001
+
+Comparison pitfalls this script gets right (learned the hard way):
+- NULL sorting: raw ``sorted()`` on tuples containing None raises
+  TypeError against ints/strs — sort via a (is_null, type, value) key.
+- DuckDB ``.df()`` coerces nullable integer columns to float64 + NaN,
+  which then never compares equal to Spark's int + None. Use
+  ``fetchall()`` (native Python values) instead.
+- Column ORDER differs between engines; the driver sorts columns by
+  name before hashing — do the same on both sides.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _sort_key(t):
+    return tuple((v is None, type(v).__name__, 0 if v is None else v) for v in t)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--queries", nargs="*", default=None, help="subset of registry keys")
+    args = ap.parse_args()
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.sql.shuffle.partitions", str(args.cpus))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    queries, oracles = entry.queries(), entry.oracle_sql()
+    names = args.queries or list(queries)
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, args.sf)
+            cols = sorted(sdf.columns)
+            srows = sorted((tuple(r[c] for c in cols) for r in sdf.collect()), key=_sort_key)
+            if name in oracles:
+                rel = con.sql(oracles[name])
+                ocols = rel.columns
+                order = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                orows = sorted(
+                    (tuple(t[i] for i in order) for t in rel.fetchall()), key=_sort_key
+                )
+                ok = cols == sorted(ocols) and srows == orows
+                status = "EQ" if ok else "MISMATCH"
+                if not ok:
+                    failures.append(name)
+                    if cols != sorted(ocols):
+                        print(f"  cols: spark={cols} oracle={sorted(ocols)}")
+                    for a, b in [(a, b) for a, b in zip(srows, orows) if a != b][:3]:
+                        print(f"  spark:  {a}\n  oracle: {b}")
+            else:
+                status = "rows-only"
+                if not srows:
+                    failures.append(name)
+                    status = "rows-only EMPTY"
+        except Exception as ex:  # surface, keep sweeping
+            failures.append(name)
+            status = f"ERROR {type(ex).__name__}: {ex}"
+            srows = []
+        print(f"{name}: {status} rows={len(srows)} {time.time() - t0:.1f}s", flush=True)
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} green; failures: {failures or 'none'}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
