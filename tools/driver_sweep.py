@@ -9,7 +9,15 @@ run it after touching any operator the registry exercises:
 
     python tools/driver_sweep.py                       # all 50, sf0.01
     python tools/driver_sweep.py --queries geom_ways   # subset
-    python tools/driver_sweep.py --sf /root/testdata/sf0.001
+    python tools/driver_sweep.py --sf /root/testdata/sf0.001   # cross-scale
+
+Cross-scale runs: four oracles (group_assign_fine, image_tiles, and the
+two LSH soundness oracles) derive artifacts — the greedy group table and
+the engine-exported candidate sets — at the driver's fixed correctness
+scale, because ``oracle_sql()`` takes no sf argument per the contract.
+When sweeping at any scale other than sf0.01 this script points them at
+the swept scale via SPARK_GRAFT_ORACLE_SF_DIR; verified 50/50 green at
+both sf0.01 and sf0.001.
 
 Comparison pitfalls this script gets right (learned the hard way):
 - NULL sorting: raw ``sorted()`` on tuples containing None raises
@@ -45,6 +53,9 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--queries", nargs="*", default=None, help="subset of registry keys")
     args = ap.parse_args()
+
+    if os.path.normpath(args.sf) != "/root/testdata/sf0.01":
+        os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", args.sf)
 
     import duckdb
     from pyspark.sql import SparkSession
