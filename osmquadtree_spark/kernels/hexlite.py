@@ -134,21 +134,13 @@ def _base_id(q0, r0):
 
 
 def cell_id(lon_fp, lat_fp, res: int = 9) -> np.ndarray:
-    """Fixed-point 1e-7° lon/lat → int64 hexlite cell id at ``res``."""
+    """Fixed-point 1e-7° lon/lat → int64 hexlite cell id at ``res`` —
+    axial cell, then the one canonical id packing (``_pack_axial``, shared
+    with grid_disk so the two can never emit divergent layouts)."""
     if not 0 <= res <= RES_MAX:
         raise ValueError(f"res must be 0..{RES_MAX}")
     q, r = axial_cell(lon_fp, lat_fp, res)
-    q0, r0, digits = _digits_up(q, r, res)
-    out = (
-        (np.int64(MODE) << np.int64(55))
-        | (np.int64(res) << np.int64(51))
-        | (_base_id(q0, r0).astype(np.int64) << np.int64(3 * RES_MAX))
-    )
-    for k, d in enumerate(digits):  # digit_1 in the highest digit slot
-        out = out | (d.astype(np.int64) << np.int64(3 * (RES_MAX - 1 - k)))
-    for k in range(res, RES_MAX):  # unused digits = 7
-        out = out | (np.int64(7) << np.int64(3 * (RES_MAX - 1 - k)))
-    return out
+    return _pack_axial(q, r, res)
 
 
 def cell_res(cell) -> np.ndarray:

@@ -156,6 +156,24 @@ def lsh_topk(
     if export_pairs_path is not None:
         pairs.write.mode("overwrite").parquet(export_pairs_path)
         pairs = vectors.sparkSession.read.parquet(export_pairs_path)
+    return _rescore_topk(pairs, vectors, queries, k, id_col, qid_col, vec_col)
+
+
+def _rescore_topk(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    qid_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared exact re-score + window top-k tail of every candidate-based
+    ANN path (LSH, IVF): attach vectors to the slim (id, qid) candidate
+    pairs, cosine-score, rank per query with the deterministic (sim desc,
+    id asc) tie-break. ONE canonical op order — the DuckDB soundness
+    oracles pin this exact float sequence, so it must not fork per
+    operator."""
     vv = with_norm(vectors, vec_col).select(id_col, "_v", "_norm")
     qq = with_norm(queries, vec_col).select(
         qid_col, F.col("_v").alias("_q"), F.col("_norm").alias("_qnorm")
@@ -190,7 +208,6 @@ def lsh_topk(
 def train_centroids(
     vectors: DataFrame,
     n_centroids: int,
-    dim: int,
     sample_mod: int = 1,
     iters: int = 10,
     seed: int = 42,
@@ -230,7 +247,8 @@ def train_centroids(
             # farthest points (lowest best-sim), one per empty cluster
             order = np.argsort(best)
             newC[empty] = X[order[: int(empty.sum())]]
-            counts[empty] = 1
+        # spherical k-means: renormalize the summed assignments (no mean
+        # division — direction is what matters on the unit sphere)
         C = newC / np.maximum(np.linalg.norm(newC, axis=1, keepdims=True), 1e-12)
     return C
 
@@ -280,7 +298,6 @@ def ivf_topk(
     k: int,
     n_centroids: int = 64,
     nprobe: int = 8,
-    dim: int | None = None,
     sample_mod: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -294,29 +311,11 @@ def ivf_topk(
     the pytest gate (as for lsh_topk). Pass ``centroids`` to reuse a
     trained codebook (the production shape: train once, serve many)."""
     if centroids is None:
-        if dim is None:
-            dim = len(vectors.select(vec_col).first()[0])
         centroids = train_centroids(
-            vectors, n_centroids, dim, sample_mod, seed=seed,
+            vectors, n_centroids, sample_mod, seed=seed,
             id_col=id_col, vec_col=vec_col,
         )
     v = ivf_assign(vectors, centroids, [id_col], vec_col, nprobe=1)
     q = ivf_assign(queries, centroids, [qid_col], vec_col, nprobe=nprobe)
     pairs = v.join(F.broadcast(q), "cid").select(id_col, qid_col)
-    vv = with_norm(vectors, vec_col).select(id_col, "_v", "_norm")
-    qq = with_norm(queries, vec_col).select(
-        qid_col, F.col("_v").alias("_q"), F.col("_norm").alias("_qnorm")
-    )
-    scored = (
-        pairs.join(vv, id_col)
-        .join(F.broadcast(qq), qid_col)
-        .withColumn(
-            "sim", _dot(F.col("_v"), F.col("_q")) / (F.col("_norm") * F.col("_qnorm"))
-        )
-    )
-    w = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(qid_col, id_col, "rank")
-    )
+    return _rescore_topk(pairs, vectors, queries, k, id_col, qid_col, vec_col)

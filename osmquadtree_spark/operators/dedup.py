@@ -101,8 +101,12 @@ def minhash_signature(docs: DataFrame, n: int = 3, text_col: str = "text") -> Da
     def gen(batches):
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
-            # NULL text must behave like the Catalyst fold it replaced (null row
-            # passes through with no grams/words), not TypeError mid-batch
+            # NULL text contributes no grams — the SQL twin's
+            # string_split(NULL) is NULL so the doc never reaches the gram
+            # CTE. The fillna keeps the batch math total-function; the mask
+            # below forces the no-gram outcome even at n=1, where the fake
+            # empty word would otherwise form a real 1-gram
+            isnull = pdf[text_col].isna().to_numpy()
             split = pdf[text_col].fillna("").str.split(" ")
             ex = split.explode()
             row = ex.index.to_numpy(np.int64)  # input row per word
@@ -113,7 +117,7 @@ def minhash_signature(docs: DataFrame, n: int = 3, text_col: str = "text") -> Da
             c = lens * 97 + first + last * 31
             # gram fold over n consecutive words within the same input row
             g = c.copy()
-            ok = np.ones(len(c), dtype=bool)
+            ok = ~isnull[row] if len(row) else np.ones(0, dtype=bool)
             for j in range(1, n):
                 cj = np.roll(c, -j)
                 rj = np.roll(row, -j)
@@ -180,11 +184,7 @@ def cap_hot_buckets(
         return df
     from ..cache import cached
 
-    hot = (
-        df.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("_bn"))
-        .filter(F.col("_bn") > cap)
-    )
+    hot = hot_bucket_stats(df, key_cols, cap)
     if metrics_path is not None:
         hot = cached(hot)
         hot.select(
@@ -303,8 +303,10 @@ def simhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
     def gen(batches):
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
-            # NULL text must behave like the Catalyst fold it replaced (null row
-            # passes through with no grams/words), not TypeError mid-batch
+            # NULL text yields a NULL signature — string_split(NULL) is NULL
+            # in the SQL twin and propagates; fillna here only keeps the
+            # batch math total-function, the mask restores the NULL at the end
+            isnull = pdf[text_col].isna().to_numpy()
             split = pdf[text_col].fillna("").str.split(" ")
             ex = split.explode()
             row = ex.index.to_numpy(np.int64)
@@ -330,10 +332,14 @@ def simhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
             else:
                 sigs = np.zeros(0, np.int64)
                 out_rows = np.zeros(0, np.int64)
+            sig_col = pd.Series(sigs, dtype="Int64")
+            null_out = isnull[out_rows] if len(out_rows) else isnull[:0]
+            if null_out.any():
+                sig_col[null_out] = pd.NA
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids).iloc[out_rows].to_numpy(),
-                    "sig": sigs,
+                    "sig": sig_col,
                 }
             )
 

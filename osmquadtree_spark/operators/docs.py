@@ -188,8 +188,10 @@ def text_analysis_vectorized(docs: DataFrame) -> DataFrame:
         pow_tab = None
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
-            # NULL text degrades to the empty doc (the Catalyst twin's
-            # behavior) instead of a mid-batch TypeError on NaN
+            # NULL text yields NULL analysis columns — string_split(NULL)
+            # is NULL in the SQL twin and propagates through every derived
+            # metric; the fillna only keeps the batch math total-function
+            isnull = pdf["text"].isna().to_numpy()
             texts = pdf["text"].fillna("")
             split = texts.str.split(" ")
             ex = split.explode()
@@ -239,7 +241,7 @@ def text_analysis_vectorized(docs: DataFrame) -> DataFrame:
                 np.where(stop_cnt * 5 >= n_words, "high", "mid"),
                 "low",
             )
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "doc_id": ids,
                     "n_tokens": n_words,
@@ -251,6 +253,14 @@ def text_analysis_vectorized(docs: DataFrame) -> DataFrame:
                     "fp": fp,
                 }
             )
+            if isnull.any():
+                ints = ["n_tokens", "n_chars_computed", "stopword_cnt",
+                        "mean_word_len_x100", "fp"]
+                for c in ints:
+                    out[c] = out[c].astype("Int64")
+                out.loc[isnull, ints] = pd.NA
+                out.loc[isnull, ["quality_bucket", "lang_pred"]] = None
+            yield out
 
     id_field = docs.schema["doc_id"].dataType.simpleString()
     return docs.select("doc_id", "text").mapInPandas(

@@ -204,6 +204,12 @@ def ring_centroid(pts: list[tuple[int, int]]) -> tuple[float, float]:
         area += cross
         last = nxt
     area /= 2
+    if area == 0.0:
+        # exactly-cancelling shoelace (e.g. a closed A->B->A sliver): the
+        # centroid is undefined — NULL, matching Spark SQL's x/0.0 -> NULL
+        # in the column twin (geometry.ring_centroid_cols) rather than a
+        # ZeroDivisionError here and ±inf/NaN in the vectorized kernel
+        return (None, None)
     return (x / (area * 6), y / (area * 6))
 
 
@@ -534,8 +540,17 @@ def multipolygon_stats(members: DataFrame) -> DataFrame:
             )
             out["centroid_x_16"] = out["centroid_x_16"].astype("object")
             out["centroid_y_16"] = out["centroid_y_16"].astype("object")
-            out.loc[has_out, "centroid_x_16"] = np.floor(cx / 16.0).astype(np.int64)
-            out.loc[has_out, "centroid_y_16"] = np.floor(cy / 16.0).astype(np.int64)
+            # zero-area first outers leave cx/cy non-finite under the
+            # suppressed errstate — emit NULL (the scalar twin's and Spark
+            # SQL's x/0.0 behavior), never floor(NaN)-cast garbage
+            fx, fy = np.floor(cx / 16.0), np.floor(cy / 16.0)
+            good = np.isfinite(fx) & np.isfinite(fy)
+            xv = np.where(good, fx, 0).astype(np.int64).astype(object)
+            yv = np.where(good, fy, 0).astype(np.int64).astype(object)
+            xv[~good] = None
+            yv[~good] = None
+            out.loc[has_out, "centroid_x_16"] = xv
+            out.loc[has_out, "centroid_y_16"] = yv
             out.loc[~has_out, "centroid_x_16"] = None
             out.loc[~has_out, "centroid_y_16"] = None
             out["wkb_n_rings"] = out["wkb_n_rings"].astype("object")

@@ -5,8 +5,9 @@ table once; every later run — extracts, updates, sortblocks — READS it).
 In this engine the store is three parquet tables (node/way/relation qts at
 CLI depth 17) under ``.stores/qts/<sf-name>/``, written ONCE per source
 fixture and read by the update queries on every run. A ``_meta.json``
-fingerprint of the source parquet files (size + mtime of lineitem/orders/
-customer) guards staleness: a changed source rebuilds the store. Writes go
+fingerprint of the source parquet files (size + mtime_ns) AND a content
+hash of the deriving code modules guards staleness: a changed source or
+a changed derivation rebuilds the store. Writes go
 to a temp directory and are renamed into place, so a killed build never
 leaves a half-store behind.
 
@@ -35,12 +36,35 @@ def default_store_base() -> str:
     return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".stores", "qts")
 
 
+def _code_fingerprint() -> str:
+    """Content hash of the modules whose semantics the stored tables bake
+    in (fixture synthesis, calcqts derivation, the quadtree kernel and its
+    SQL expressions, and this module). Editing any of them invalidates the
+    store automatically — no manual _STORE_VERSION bump to forget, which
+    would silently serve old-code tables while the DuckDB oracles restate
+    the new code."""
+    import hashlib
+
+    pkg = os.path.dirname(os.path.dirname(__file__))
+    h = hashlib.sha256()
+    for rel in (
+        "sources/osm_fixture.py",
+        "sources/qts_store.py",
+        "operators/calcqts.py",
+        "kernels/quadtree.py",
+        "functions/udfs.py",
+    ):
+        with open(os.path.join(pkg, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def _fingerprint(sf_dir: str) -> dict:
-    fp = {"version": _STORE_VERSION}
+    fp = {"version": _STORE_VERSION, "code": _code_fingerprint()}
     for t in _SOURCE_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         st = os.stat(p)
-        fp[t] = [st.st_size, int(st.st_mtime)]
+        fp[t] = [st.st_size, st.st_mtime_ns]
     return fp
 
 

@@ -205,3 +205,29 @@ def test_cap_metrics_committed(spark, tmp_path):
     assert all(r.operator == "dedup_minhash" and r.cap == 50 for r in m)
     assert all(r.n_rows_dropped == 60 for r in m)
     assert all("," in r.bucket_key for r in m)  # "band,bucket" composite key
+
+
+def test_null_text_yields_null_signatures(spark):
+    """NULL text must propagate like the SQL twins' string_split(NULL):
+    NULL simhash signature, empty minhash signature (no grams), NULL
+    text-analysis metrics — never a real signature for a fake empty word."""
+    from osmquadtree_spark.operators.docs import text_analysis_vectorized
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps again"), (2, None), (3, None)],
+        "doc_id bigint, text string",
+    )
+    sigs = {r.doc_id: r.sig for r in dd.simhash_signature(docs).collect()}
+    assert sigs[1] is not None
+    assert sigs[2] is None and sigs[3] is None
+    # the two NULL docs must NOT pair with each other via a shared fake sig
+    assert dd.simhash_pairs(docs, max_hamming=3).count() == 0
+
+    msigs = {r.doc_id: r.sig for r in dd.minhash_signature(docs).collect()}
+    assert msigs[1] and msigs[2] == [] and msigs[3] == []
+
+    ta = {r.doc_id: r for r in text_analysis_vectorized(docs).collect()}
+    assert ta[1].n_tokens == 6 and ta[1].lang_pred is not None
+    for d in (2, 3):
+        assert ta[d].n_tokens is None and ta[d].fp is None
+        assert ta[d].quality_bucket is None and ta[d].lang_pred is None

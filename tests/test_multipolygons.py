@@ -74,3 +74,17 @@ def test_assemble_roles_and_orientation():
     assert ring_area(res["outers"][0]) > 0
     assert ring_area(res["inners"][0]) > 0
     assert ring_area(res["outers"][0]) > ring_area(res["inners"][0])
+
+
+def test_zero_area_ring_centroid_is_null():
+    """A closed A->B->A sliver cancels the shoelace exactly: the centroid
+    is undefined and must come back as (None, None) — matching Spark SQL's
+    x/0.0 -> NULL in the column twin — not ZeroDivisionError (scalar) or a
+    floor(NaN) int64 cast (vectorized batch path)."""
+    from osmquadtree_spark.operators.multipolygons import ring_centroid
+
+    sliver = [(0, 0), (1000000, 0), (0, 0)]
+    assert ring_centroid(sliver) == (None, None)
+    # healthy ring still returns real coordinates
+    cx, cy = ring_centroid(C + [C[0]])
+    assert cx is not None and cy is not None

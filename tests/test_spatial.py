@@ -108,8 +108,8 @@ def test_ivf_recall_vs_exact_and_determinism(spark, sf_dir):
     )
     exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, queries, 10).collect()}
 
-    C = train_centroids(emb, n_centroids=16, dim=64)
-    C2 = train_centroids(emb.repartition(7), n_centroids=16, dim=64)
+    C = train_centroids(emb, n_centroids=16)
+    C2 = train_centroids(emb.repartition(7), n_centroids=16)
     assert (C == C2).all()  # partitioning-independent codebook
 
     approx = {
