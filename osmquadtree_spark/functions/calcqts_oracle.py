@@ -45,7 +45,12 @@ LEFT JOIN ({so.calculate_cte(point_base, "node_id")}) pq ON pq.node_id = n.node_
 
 def _jacobi_pass(prev: str, k: int) -> str:
     """One Jacobi pass over the rel→rel edges: parent absorbs the LCA of its
-    existing children's current (non-negative) values."""
+    existing children's current (non-negative) values.
+
+    Each p{{k}} is read twice (agg{{k+1}} and p{{k+1}}) — MATERIALIZED, or
+    DuckDB's inlining re-evaluates the whole chain per reference,
+    exponentially (2^5 evaluations of p0's member-qt derivation; measured
+    17 s → sub-second for the rel_qts oracle at sf0.01)."""
     return f"""
 agg{k} AS (
   SELECT e.parent AS rel_id, MIN(c.q) AS mn, MAX(c.q) AS mx
@@ -53,7 +58,7 @@ agg{k} AS (
   WHERE c.q >= 0 GROUP BY e.parent
 ), cq{k} AS (
   SELECT rel_id, {so.common_sql("mn", "mx")} AS cq FROM agg{k}
-), p{k} AS (
+), p{k} AS MATERIALIZED (
   SELECT r.rel_id,
          CASE WHEN a.cq IS NULL THEN r.q
               ELSE {so.common_sql("a.cq", "r.q")} END AS q
@@ -64,13 +69,13 @@ agg{k} AS (
 def rel_qts_sql() -> str:
     passes = ",\n".join(_jacobi_pass(f"p{k - 1}", k) for k in range(1, 6))
     return f"""
-WITH m AS (
+WITH m AS MATERIALIZED (
 {rel_members_sql()}
 ), rel_ids AS (
   SELECT DISTINCT rel_id FROM m
-), nq AS (
+), nq AS MATERIALIZED (
 {node_qts_sql()}
-), wq AS (
+), wq AS MATERIALIZED (
 {way_qts_sql()}
 ), memqt AS (
   SELECT m.rel_id, nq.qt FROM m JOIN nq ON m.m_type = 0 AND nq.node_id = m.m_ref
@@ -79,11 +84,11 @@ WITH m AS (
 ), base AS (
   SELECT rel_id, {so.common_sql("MIN(qt)", "MAX(qt)")} AS q0
   FROM memqt WHERE qt >= 0 GROUP BY rel_id
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT m.rel_id AS parent, m.m_ref AS child
   FROM m JOIN rel_ids c ON c.rel_id = m.m_ref
   WHERE m.m_type = 2
-), p0 AS (
+), p0 AS MATERIALIZED (
   -- no located members and no existing rel member → 0 (calcqtsinmem.cpp:182-184)
   SELECT r.rel_id,
          CASE WHEN b.q0 IS NULL AND e.parent IS NULL THEN 0
