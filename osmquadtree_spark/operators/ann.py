@@ -136,7 +136,18 @@ def lsh_topk(
     and must reproduce the exact within-candidate-set top-k ranking
     (full value gate; recall stays pytest-gated vs cosine_topk).
     """
-    d = dim if dim is not None else len(vectors.select(vec_col).first()[0])
+    if dim is not None:
+        d = dim
+    else:
+        row = vectors.select(vec_col).first()
+        if row is None:  # empty corpus: schema-stable empty top-k
+            spark = vectors.sparkSession
+            qidt = queries.schema[qid_col].dataType.simpleString()
+            idt = vectors.schema[id_col].dataType.simpleString()
+            return spark.createDataFrame(
+                [], f"{qid_col} {qidt}, {id_col} {idt}, rank int"
+            )
+        d = len(row[0])
     planes = make_planes(n_tables, n_planes, d, seed)
 
     # candidate generation on SLIM rows (ids + bucket only): the vector

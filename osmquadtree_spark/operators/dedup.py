@@ -455,7 +455,17 @@ def embedding_dup_pairs_lsh(
     gate (recall itself stays pytest-gated against the exact operator)."""
     from .ann import _dot, bucket_signatures, make_planes, with_norm
 
-    d = dim if dim is not None else len(vectors.select(vec_col).first()[0])
+    if dim is not None:
+        d = dim
+    else:
+        row = vectors.select(vec_col).first()
+        if row is None:  # empty corpus (empty diff/region at scale): no pairs
+            spark = vectors.sparkSession
+            idt = vectors.schema[id_col].dataType.simpleString()
+            return spark.createDataFrame(
+                [], f"id_a {idt}, id_b {idt}, cos double"
+            )
+        d = len(row[0])
     planes = make_planes(n_tables, n_planes, d, seed)
 
     from ..cache import cached

@@ -1,0 +1,58 @@
+"""Empty-input robustness: at 10^12-row scale, empty diffs, empty extract
+regions and all-filtered partitions are routine — every library operator
+must return a schema-stable empty result (or raise an EXPLICIT error, as
+train_centroids does for an unseedable codebook), never crash in a kernel
+(np.concatenate([]), None[0] from a .first() sniff, reduceat on zero
+rows)."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def empties(spark):
+    return {
+        "docs": spark.createDataFrame([], "doc_id bigint, text string"),
+        "emb": spark.createDataFrame([], "vec_id bigint, embedding array<double>"),
+        "q": spark.createDataFrame([], "query_id bigint, embedding array<double>"),
+        "nodes": spark.createDataFrame([], "node_id bigint, lon bigint, lat bigint"),
+        "ways": spark.createDataFrame([], "way_id bigint, refs array<bigint>"),
+    }
+
+
+def test_dedup_operators_on_empty(spark, empties):
+    from osmquadtree_spark.operators import dedup as dd
+    from osmquadtree_spark.operators import docs as do
+
+    e = empties["docs"]
+    assert dd.minhash_signature(e).count() == 0
+    assert dd.simhash_signature(e).count() == 0
+    assert dd.simhash_pairs(e).count() == 0
+    assert dd.minhash_lsh_pairs(e).count() == 0
+    assert do.text_analysis_vectorized(e).count() == 0
+    assert do.ngram_pairs(e).count() == 0
+
+
+def test_embedding_operators_on_empty(spark, empties):
+    from osmquadtree_spark.operators import ann
+    from osmquadtree_spark.operators import dedup as dd
+
+    emb, q = empties["emb"], empties["q"]
+    assert ann.cosine_topk(emb, q, 5).count() == 0
+    # LSH paths must short-circuit the dim sniff (first() is None) into a
+    # schema-stable empty result, not None[0]
+    topk = ann.lsh_topk(emb, q, 5)
+    assert topk.count() == 0
+    assert set(topk.columns) == {"query_id", "vec_id", "rank"}
+    pairs = dd.embedding_dup_pairs_lsh(emb, min_cos=0.9)
+    assert pairs.count() == 0
+    assert set(pairs.columns) == {"id_a", "id_b", "cos"}
+    # an unseedable codebook is an explicit, actionable error — not a crash
+    with pytest.raises(ValueError, match="cannot seed"):
+        ann.train_centroids(emb, 4)
+
+
+def test_calcqts_on_empty(spark, empties):
+    from osmquadtree_spark.operators import calcqts as cq
+
+    wq = cq.way_quadtrees(empties["ways"], empties["nodes"])
+    assert wq.count() == 0
