@@ -56,3 +56,27 @@ def test_calcqts_on_empty(spark, empties):
 
     wq = cq.way_quadtrees(empties["ways"], empties["nodes"])
     assert wq.count() == 0
+
+
+def test_changes_and_update_on_empty(spark, empties):
+    """An empty diff (no changes since the last snapshot) is the most
+    common production input of all — the update pipeline must pass it
+    through without a kernel crash."""
+    import numpy as np
+
+    from osmquadtree_spark.operators.changes import apply_changes
+    from osmquadtree_spark.operators.update import find_change_tiles
+
+    snap = spark.createDataFrame(
+        [(1, 5, 0), (2, 9, 0)], "id bigint, qt bigint, changetype int"
+    )
+    empty_ch = spark.createDataFrame([], "id bigint, qt bigint, changetype int")
+    merged = apply_changes(snap, [empty_ch], ["id"])
+    assert merged.count() == 2
+
+    resolved = spark.createDataFrame(
+        [], "element_type int, id bigint, qt bigint, changetype int"
+    )
+    allocs = spark.createDataFrame([], "element_type int, id bigint, alloc bigint")
+    gqt = np.asarray([3], dtype=np.int64)
+    assert find_change_tiles(resolved, allocs, gqt).count() == 0
