@@ -97,7 +97,8 @@ WITH kv AS ({_kv_cte(WAY_TAG_RULES, _ways_src(), "way_id")})
 SELECT way_id,
        ({has_feature}) AS has_feature,
        ({' + '.join(kept_terms)}) AS n_kept,
-       TRY_CAST(v_layer AS BIGINT) AS layer,
+       -- stoll prefix parse (leading ws/sign/digits), unparsable -> NULL
+       CAST(NULLIF(regexp_extract(v_layer, '^\\s*([+-]?[0-9]+)', 1), '') AS BIGINT) AS layer,
        ({_z_order_sql(keys)})::BIGINT AS z_order,
        {_is_polygon_sql(keys)} AS is_polygon,
        CASE WHEN way_id % 6 = 0 AND {_is_polygon_sql(keys)} THEN 5 ELSE 2 END AS geom_type
@@ -171,12 +172,15 @@ agg AS (
   HAVING MIN(av) IS NOT NULL
 ),
 bus AS (
+  -- all-empty ref set joins to '' -> tag omitted (find_list semantics)
   SELECT way_id, string_agg(DISTINCT ref, '; ' ORDER BY ref) AS bus_routes
   FROM routes WHERE route = 'bus' GROUP BY way_id
+  HAVING string_agg(DISTINCT ref, '; ' ORDER BY ref) <> ''
 ),
 bike AS (
   SELECT way_id, string_agg(DISTINCT ref, '; ' ORDER BY ref) AS bicycle_routes
   FROM routes WHERE route = 'bicycle' GROUP BY way_id
+  HAVING string_agg(DISTINCT ref, '; ' ORDER BY ref) <> ''
 )
 SELECT COALESCE(a.way_id, b.way_id, k.way_id) AS way_id,
        a.min_admin_level, a.max_admin_level, b.bus_routes, k.bicycle_routes

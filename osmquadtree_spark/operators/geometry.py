@@ -82,11 +82,22 @@ def filter_tags_summary(
     has_feature = F.exists(tags, lambda t: F.array_contains(feats, t["key"]))
     if all_objs:
         has_feature = has_feature | (n_kept > 0)
+    # reference layer parse is std::stoll (makegeometries.cpp:181-187):
+    # leading whitespace/sign/digits prefix ("5.5"→5, "2;3"→2, "1a"→1),
+    # unparsable values ignored, and the loop overwrites on success so the
+    # LAST parseable layer tag wins — not a strict full-string cast of the
+    # first one
     layer_vals = F.filter(tags, lambda t: t["key"] == F.lit("layer"))
-    layer = F.when(
-        F.size(layer_vals) > 0,
-        F.element_at(layer_vals, 1)["val"].try_cast("bigint"),
+    parsed = F.filter(
+        F.transform(
+            layer_vals,
+            lambda t: F.nullif(
+                F.regexp_extract(t["val"], r"^\s*([+-]?\d+)", 1), F.lit("")
+            ),
+        ),
+        lambda v: v.isNotNull(),
     )
+    layer = F.when(F.size(parsed) > 0, F.element_at(parsed, -1).cast("bigint"))
     return df.withColumn("has_feature", has_feature).withColumn(
         "n_kept", n_kept.cast("bigint")
     ).withColumn("layer", layer)
@@ -208,7 +219,11 @@ def relation_tags(
                 .agg(F.array_sort(F.collect_set("_val")).alias("_l"))
                 .select("way_id", F.array_join("_l", "; ").alias(target))
             )
-        per_spec.append(res.filter(F.col(target).isNotNull()))
+        # reference find_list/find_min/find_max return "" for an all-empty
+        # (or all-unparsable) value set and finish_way drops the tag on
+        # empty (handlerelations.cpp) — != '' covers both that and the
+        # NULL min/max case (NULL != '' is NULL, filtered)
+        per_spec.append(res.filter(F.col(target) != F.lit("")))
     out = per_spec[0]
     for p in per_spec[1:]:
         out = out.join(p, "way_id", "outer")
@@ -374,6 +389,18 @@ def with_minzoom(
     zt_df = tags_minzoom_join(df, tags_col, geom_class_col, id_cols, spec)
     out = df.join(zt_df, id_cols, "left")
     zt = F.col("_zt")
+    zg = _geom_zoom_col(geom_class_col, length_col, area_col, minlen, minarea)
+    return out.withColumn(
+        out_col,
+        F.when(zt.isNull(), F.lit(None).cast("bigint")).otherwise(F.greatest(zt, zg)),
+    ).drop("_zt")
+
+
+def _geom_zoom_col(geom_class_col, length_col, area_col, minlen, minarea):
+    """Geometric zoom floor (findminzoom.cpp:127-161): length_zoom for
+    linestrings (class 1), area_zoom for polygons (class 2), 0 otherwise —
+    the one definition shared by with_minzoom and minzoom_col so a clamp
+    or cast fix cannot fork between them."""
     zg = F.lit(0).cast("bigint")
     if length_col is not None and minlen > 0:
         zl = res_zoom_col(length_col / F.lit(minlen))
@@ -381,10 +408,7 @@ def with_minzoom(
     if area_col is not None and minarea > 0:
         za = res_zoom_col(F.sqrt(area_col / F.lit(minarea)))
         zg = F.when(geom_class_col == 2, za.cast("bigint")).otherwise(zg)
-    return out.withColumn(
-        out_col,
-        F.when(zt.isNull(), F.lit(None).cast("bigint")).otherwise(F.greatest(zt, zg)),
-    ).drop("_zt")
+    return zg
 
 
 def minzoom_col(
@@ -401,13 +425,7 @@ def minzoom_col(
     area_zoom(sqrt(area/minarea)) for polygons (class 2); truncation toward
     zero like the C cast."""
     zt = minzoom_tags_col(tags_col, geom_class_col, spec)
-    zg = F.lit(0).cast("bigint")
-    if length_col is not None and minlen > 0:
-        zl = res_zoom_col(length_col / F.lit(minlen))
-        zg = F.when(geom_class_col == 1, zl.cast("bigint")).otherwise(zg)
-    if area_col is not None and minarea > 0:
-        za = res_zoom_col(F.sqrt(area_col / F.lit(minarea)))
-        zg = F.when(geom_class_col == 2, za.cast("bigint")).otherwise(zg)
+    zg = _geom_zoom_col(geom_class_col, length_col, area_col, minlen, minarea)
     return F.when(zt.isNull(), F.lit(None).cast("bigint")).otherwise(
         F.greatest(zt, zg)
     )

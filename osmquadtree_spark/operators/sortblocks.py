@@ -159,6 +159,19 @@ def compute_groups_scalable(
     hp = shallow_hist.toPandas()
     cur_cells = hp["cell"].to_numpy("int64")
     cur_counts = hp["count"].to_numpy("int64")
+    # contract: every histogram cell is at depth <= `shallow`. A deeper
+    # cell would match NO level iteration below — neither finalized nor
+    # merged into a parent — and its count would silently vanish from all
+    # ancestor totals. Fail loudly instead (same posture as
+    # make_assign_group_udf on bad input).
+    too_deep = (cur_cells & 31) > shallow
+    if too_deep.any():
+        raise ValueError(
+            f"shallow_hist holds {int(too_deep.sum())} cells deeper than "
+            f"level {shallow} (e.g. qt={int(cur_cells[too_deep][0])}) — "
+            "pre-round the histogram to SHALLOW_LEVEL or pass a matching "
+            "tree_level"
+        )
     keep_cells, keep_totals = [], []
     for lv in range(shallow, -1, -1):
         # a node's subtree total is complete exactly at its own level's

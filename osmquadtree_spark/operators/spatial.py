@@ -54,6 +54,14 @@ def raster_vector_join(
     broadcast equi-join on round(qt, zoom). For skewed tiles pass ``salt``
     to split hot cells across ``salt`` sub-keys (explicit skew handling per
     the north rule; AQE handles the residual).
+
+    Elements SHALLOWER than ``zoom`` (a bbox spanning several tiles keeps
+    a short cell id) match every raster tile inside their cell: the small
+    raster side emits its ancestor id at each depth 0..zoom ((zoom+1)×
+    replication of the broadcast side — trivial), and a depth-d element's
+    own id equals exactly the ancestor@d rows of the tiles it contains.
+    Without this the equi-join silently dropped shallow elements (their
+    short id can never equal a depth-``zoom`` cell).
     """
     @pandas_udf("bigint")
     def xyz_to_qt(x: pd.Series, y: pd.Series) -> pd.Series:
@@ -63,7 +71,14 @@ def raster_vector_join(
             )
         )
 
-    r = rasters.withColumn("cell", xyz_to_qt("tile_x", "tile_y"))
+    r = (
+        rasters.withColumn("_c", xyz_to_qt("tile_x", "tile_y"))
+        .withColumn(
+            "cell",
+            F.explode(F.array([round_qt_col(F.col("_c"), d) for d in range(zoom + 1)])),
+        )
+        .drop("_c")
+    )
     e = elements.withColumn("cell", round_qt_col(F.col(qt_col), zoom))
     if salt:
         # replicate each raster row salt× and scatter elements across salts
@@ -75,6 +90,17 @@ def raster_vector_join(
     rj = F.broadcast(r) if broadcast_rasters else r
     out = e.join(rj, keys)
     return out.drop("_salt") if salt else out
+
+
+def _chord_dist_col():
+    """Squared half-chord distance (the haversine ``a`` term) between the
+    (plat, plon) and (qlat, qlon) radian columns — monotone in great-circle
+    distance, so top-k sets match a haversine oracle. ONE definition shared
+    by the brute-force baseline and the cell-expansion path (they union
+    into a single result set and must score identically)."""
+    return F.pow(F.sin((F.col("plat") - F.col("qlat")) / 2), 2) + F.cos(
+        "plat"
+    ) * F.cos("qlat") * F.pow(F.sin((F.col("plon") - F.col("qlon")) / 2), 2)
 
 
 def knn_bruteforce(
@@ -106,8 +132,7 @@ def knn_bruteforce(
     # squared chord distance: monotone transform of haversine
     joined = p.crossJoin(F.broadcast(q)).withColumn(
         "dist",
-        F.pow(F.sin((F.col("plat") - F.col("qlat")) / 2), 2)
-        + F.cos("plat") * F.cos("qlat") * F.pow(F.sin((F.col("plon") - F.col("qlon")) / 2), 2),
+        _chord_dist_col(),
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
     return (
@@ -209,28 +234,40 @@ def knn_cell_expansion(
         query to anything OUTSIDE the searched ring, as a pure JVM
         expression over the query columns (qx, qy, qlon_deg, qlat_deg) —
         the per-query driver loop this replaces doesn't survive a query
-        SET that is itself a table."""
+        SET that is itself a table.
+
+        Each edge contributes its own CHORD-unit bound and the minimum is
+        taken in chord units. The east/west term is
+        min_cos(band)·cos(φq)·sin²(Δλ_edge/2) — the true cross term of the
+        half-chord metric with cos φp bounded below over the band. (The
+        earlier form sin²(min_cos·Δλ/2) was NOT a lower bound: concavity
+        gives sin(c·t) ≥ c·sin(t), so it overestimated the separation and
+        could resolve a query while a closer point sat just outside the
+        ring.) sin²(gap/2) is 360°-periodic, so the unwrapped edge gap is
+        automatically wrap-correct for rings near the antimeridian."""
         qx, qy = F.col("qx"), F.col("qy")
         qlon_deg, qlat_deg = F.col("qlon_deg"), F.col("qlat_deg")
         y0 = F.greatest(qy - radius, F.lit(0))
         y1 = F.least(qy + radius + 1, F.lit(n))
         lat_top, lat_bot = _lat_of_row(y0), _lat_of_row(y1)
-        # north/south edges: pure latitude gaps (exact lower bound)
-        north = F.when(qy - radius >= 0, F.abs(lat_top - qlat_deg))
-        south = F.when(qy + radius + 1 <= n, F.abs(qlat_deg - lat_bot))
-        # east/west edges (absent when the ring wraps the planet), scaled by
-        # the smallest cos(lat) in the ring's latitude range
-        ew = None
+
+        def chord(deg):
+            return F.pow(F.sin(F.radians(deg) / 2), 2)
+
+        # north/south edges: pure latitude gaps — sin²(Δφ/2) is an exact
+        # lower bound (the cross term of the metric is non-negative)
+        north = F.when(qy - radius >= 0, chord(F.abs(lat_top - qlat_deg)))
+        south = F.when(qy + radius + 1 <= n, chord(F.abs(qlat_deg - lat_bot)))
+        parts = [north, south]
+        # east/west edges (absent when the ring wraps the planet)
         if 2 * radius + 1 < n:
             min_cos = F.least(F.cos(F.radians(lat_top)), F.cos(F.radians(lat_bot)))
             lon_w = F.lit(-180.0) + (qx - radius) * F.lit(360.0 / n)
             lon_e = F.lit(-180.0) + (qx + radius + 1) * F.lit(360.0 / n)
-            ew = F.least(F.abs(qlon_deg - lon_w), F.abs(lon_e - qlon_deg)) * min_cos
-        parts = [north, south] + ([ew] if ew is not None else [])
+            gap = F.least(F.abs(qlon_deg - lon_w), F.abs(lon_e - qlon_deg))
+            parts.append(min_cos * F.cos(F.radians(qlat_deg)) * chord(gap))
         # least() skips NULLs; all-NULL (ring covers the planet) → +inf
-        bound_deg = F.coalesce(F.least(*parts) if len(parts) > 1 else parts[0], F.lit(float("inf")))
-        theta = F.radians(F.greatest(F.lit(0.0), bound_deg))
-        return F.pow(F.sin(theta / 2), 2)
+        return F.coalesce(F.least(*parts), F.lit(float("inf")))
 
     # per-query state lives in a DataFrame across rounds: one topk+bound job
     # per radius ROUND (constant ≤ max_rounds jobs however many queries),
@@ -255,8 +292,7 @@ def knn_cell_expansion(
         cand = candidate_cell_join(p, neighbor_cells(unresolved, radius, n))
         scored = cand.withColumn(
             "dist",
-            F.pow(F.sin((F.col("plat") - F.col("qlat")) / 2), 2)
-            + F.cos("plat") * F.cos("qlat") * F.pow(F.sin((F.col("plon") - F.col("qlon")) / 2), 2),
+            _chord_dist_col(),
         )
         w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
         topk = (

@@ -314,9 +314,17 @@ class QtTreeArr:
         order = np.argsort(qts, kind="stable")
         qt = np.asarray(qts, dtype=np.int64)[order]
         total = np.asarray(totals, dtype=np.int64)[order]
-        if len(qt) == 0 or qt[0] != 0:
-            qt = np.concatenate([np.zeros(1, dtype=np.int64), qt])
-            total = np.concatenate([total.sum(keepdims=True), total])
+        if len(qt) == 0:
+            qt = np.zeros(1, dtype=np.int64)
+            total = np.zeros(1, dtype=np.int64)
+        elif qt[0] != 0:
+            # ancestor-closure means the root (ancestor of everything) is
+            # present whenever the set is non-empty; fabricating it as
+            # total.sum() would double-count (every node's total already
+            # includes its surviving descendants) — refuse bad input loudly
+            raise ValueError(
+                "survivor rows are not ancestor-closed: root (qt=0) missing"
+            )
         n = len(qt)
         dep = (qt & 31).astype(np.int64)
         parent = np.zeros(n, dtype=np.int64)

@@ -295,3 +295,37 @@ def test_way_stats_kernel_matches_column_folds(spark):
         exp_area = (-1.0 * ar / 2.0) if len(x) >= 3 else 0.0
         assert b[wid].length_m == exp_len, wid
         assert b[wid].ring_area == exp_area, wid
+
+
+def test_layer_stoll_prefix_parse_last_wins(spark):
+    """Reference layer parse is std::stoll (makegeometries.cpp:181-187):
+    leading-integer prefix parse ('5.5'→5, '2;3'→2, '1a'→1), unparsable
+    ignored, and the LAST parseable layer tag wins."""
+    df = _tags_df(spark, [
+        (1, [("layer", "5.5")]),
+        (2, [("layer", "2;3")]),
+        (3, [("layer", " +7a")]),
+        (4, [("layer", "abc"), ("layer", "4")]),   # first unparsable, later wins
+        (5, [("layer", "1"), ("layer", "9")]),     # last parseable wins
+        (6, [("layer", "abc"), ("layer", "x2")]),  # none parseable
+    ])
+    out = {r.id: r.layer for r in geo.filter_tags_summary(df).collect()}
+    assert out == {1: 5, 2: 2, 3: 7, 4: 4, 5: 9, 6: None}
+
+
+def test_relation_tags_all_empty_values_omitted(spark):
+    """find_list inserts '' values into the set but finish_way drops the
+    tag when the joined result is EMPTY (handlerelations.cpp) — a way whose
+    only route refs are '' must receive no bus_routes tag, not ''."""
+    rels = _tags_df(spark, [
+        (1, [("type", "route"), ("route", "bus"), ("ref", "")]),
+        (2, [("type", "route"), ("route", "bus"), ("ref", "")]),
+        (3, [("type", "route"), ("route", "bus"), ("ref", "9")]),
+    ], "rel_id")
+    members = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 300), (1, 300)],
+        "rel_id bigint, way_id bigint",
+    )
+    out = {r.way_id: r for r in geo.relation_tags(rels, members).collect()}
+    assert 100 not in out                 # all-empty set → tag omitted → no row
+    assert out[300].bus_routes == "; 9"   # mixed set keeps the empty component

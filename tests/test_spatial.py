@@ -123,3 +123,55 @@ def test_ivf_recall_vs_exact_and_determinism(spark, sf_dir):
         for r in ivf_topk(emb, queries, 10, nprobe=16, centroids=C).collect()
     }
     assert full == exact
+
+
+def test_knn_exact_at_high_latitude_ring_edges(spark):
+    """Adversarial fixture for the ring bound: dense polar cluster with
+    points seeded just outside candidate rings at high latitude, where the
+    old sin²(min_cos·Δλ/2) east/west bound overestimated the separation
+    (sin concavity) and could resolve a query while a closer point sat
+    outside the ring. The sound bound must keep cell expansion ≡ brute
+    force everywhere."""
+    rng = np.random.default_rng(11)
+    n = 4000
+    lon = rng.integers(-1800000000, 1800000000, n)
+    lat = rng.integers(600000000, 850000000, n)  # 60°..85°N — high distortion
+    qt = qtk.calculate(lon, lat, lon, lat)
+    pts = spark.createDataFrame(
+        list(zip(range(n), lon.tolist(), lat.tolist(), qt.tolist())),
+        "point_id bigint, lon bigint, lat bigint, qt bigint",
+    )
+    queries = spark.createDataFrame(
+        [(1, 0, 800000000), (2, 1700000000, 700000000), (3, -1750000000, 840000000),
+         (4, 900000000, 620000000)],
+        "query_id bigint, lon bigint, lat bigint",
+    )
+    bf = {(r.query_id, r.point_id, r.rank) for r in knn_bruteforce(pts, queries, 7).collect()}
+    ce = {(r.query_id, r.point_id, r.rank)
+          for r in knn_cell_expansion(pts, queries, 7, max_rounds=3).collect()}
+    assert ce == bf
+
+
+def test_raster_join_matches_shallow_elements(spark):
+    """An element whose cell is SHALLOWER than the raster zoom (bbox spans
+    several tiles) must match every raster tile inside its cell, not vanish
+    from the equi-join."""
+    zoom = 4
+    n = 1 << zoom
+    rasters = (
+        spark.range(0, n * n)
+        .select((F.col("id") % n).alias("tile_x"), (F.col("id") / n).cast("bigint").alias("tile_y"))
+    )
+    deep = int(qtk.calculate(np.array([10]), np.array([10]), np.array([11]), np.array([11]))[0])
+    shallow = int(qtk.round_qt(np.array([deep], dtype=np.int64), 2)[0])
+    assert (shallow & 31) == 2 < zoom
+    elems = spark.createDataFrame(
+        [(1, deep), (2, shallow)], "elem_id bigint, qt bigint"
+    )
+    out = raster_vector_join(elems, rasters, zoom).select("elem_id", "tile_x", "tile_y")
+    per = {r.elem_id for r in out.collect()}
+    counts = out.groupBy("elem_id").count().collect()
+    by = {r.elem_id: r["count"] for r in counts}
+    assert by[1] == 1                      # depth ≥ zoom: exactly its tile
+    assert by[2] == 4 ** (zoom - 2)        # depth-2 cell contains 16 zoom-4 tiles
+    assert per == {1, 2}
