@@ -152,17 +152,14 @@ def relation_quadtrees(
     # rel→rel pairs, only when the member relation exists (calcqtsinmem.cpp:171-178)
     relrel = (
         members.filter(F.col("m_type") == 2)
-        .join(
-            rel_ids.withColumnRenamed("rel_id", "m_ref").withColumn("exists", F.lit(True)),
-            "m_ref",
-        )
+        .join(rel_ids.withColumnRenamed("rel_id", "m_ref"), "m_ref")
         .select("rel_id", "pos", F.col("m_ref").alias("child_id"))
     )
 
     with_base = (
         rel_ids.join(base, "rel_id", "left")
         .join(
-            relrel.groupBy("rel_id").count().select("rel_id", F.lit(True).alias("has_relrel")),
+            relrel.select("rel_id").distinct().withColumn("has_relrel", F.lit(True)),
             "rel_id",
             "left",
         )

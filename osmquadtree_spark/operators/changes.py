@@ -30,17 +30,29 @@ def apply_changes(
     changes: list[DataFrame],
     key_cols: list[str],
     changetype_col: str = "changetype",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Merge ``main`` (file index 0) with change tables (file index 1..k,
     newest last); latest wins per key; Delete/Remove survivors dropped and
-    the rest normalized to changetype 0."""
+    the rest normalized to changetype 0.
+
+    A key may repeat WITHIN one change table (a raw .osc can carry a
+    <create> and a <modify> for the same element — sources/osc.py emits
+    both). Ordering only by file index would pick a shuffle-dependent
+    winner, so the window breaks same-file ties by ``tiebreak_cols``
+    descending (pass ["version", "timestamp"] for OSM change rows),
+    falling back to ``changetype_col`` descending — any fixed rule makes
+    the merge a pure function of the row CONTENT."""
     parts = [main.withColumn("_file_idx", F.lit(0))]
     for i, ch in enumerate(changes):
         parts.append(ch.withColumn("_file_idx", F.lit(i + 1)))
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p)
-    w = Window.partitionBy(*key_cols).orderBy(F.col("_file_idx").desc())
+    order = [F.col("_file_idx").desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [changetype_col])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         unioned.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -27,8 +27,20 @@ def _esc_hstore(s: Column) -> Column:
 
 
 def _esc_json(s: Column) -> Column:
+    """picojson serialize_str_char (thirdparty/picojson.h:518-545), exactly:
+    named escapes for \" \\\\ / \\b \\f \\n \\r \\t, \\u%04x for the other
+    control chars (<0x20) and 0x7f. Anything less emits invalid JSON for
+    multi-line tag values (raw newline inside a string) and diverges from
+    the reference sink's bytes (picojson writes '\\/' for '/')."""
     s = F.replace(s, F.lit("\\"), F.lit("\\\\"))
-    return F.replace(s, F.lit('"'), F.lit('\\"'))
+    for ch, sym in (
+        ('"', '\\"'), ("/", "\\/"), ("\b", "\\b"), ("\f", "\\f"),
+        ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t"),
+    ):
+        s = F.replace(s, F.lit(ch), F.lit(sym))
+    for cc in [c for c in range(0x20) if chr(c) not in '\b\f\n\r\t'] + [0x7F]:
+        s = F.replace(s, F.lit(chr(cc)), F.lit("\\u%04x" % cc))
+    return s
 
 
 def hstore_tags_col(tags_col) -> Column:

@@ -325,8 +325,12 @@ def write_tile_sorted(
         "groups": int(len(group_qts)),
         "elapsed_sec": time.time() - t0,
     }
-    with open(os.path.join(path, "_manifest.json"), "w") as f:
+    # temp-write + rename: the manifest IS the commit record
+    # (is_committed checks existence), so it must appear atomically
+    final = os.path.join(path, "_manifest.json")
+    with open(final + ".tmp", "w") as f:
         json.dump(manifest, f)
+    os.rename(final + ".tmp", final)
     return manifest
 
 

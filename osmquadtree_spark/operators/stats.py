@@ -120,11 +120,10 @@ def element_diff(
 
     def neq(c):
         lc, rc = F.col(f"_l_{c}"), F.col(f"_r_{c}")
-        dt = dict(zip(left.columns, [f.dataType.simpleString() for f in left.schema]))[c]
-        if dt.startswith("array<struct"):  # tags / members: ordered struct arrays
-            if c == "tags":  # reference sorts both sides by key before comparing
-                lc, rc = F.array_sort(lc), F.array_sort(rc)
-            return ~(lc.eqNullSafe(rc))
+        if c == "tags":  # reference sorts both sides by key before comparing
+            lc, rc = F.array_sort(lc), F.array_sort(rc)
+        # every other column (incl. ordered struct arrays like members/refs)
+        # compares positionally
         return ~(lc.eqNullSafe(rc))
 
     def any_neq(cols):

@@ -29,16 +29,19 @@ from pyspark.sql import functions as F
 
 from .operators.images import with_footprint
 from .operators.sortblocks import is_committed, write_tile_sorted
-from .plans.qttree import QtTreeArr, find_groups, group_table, tree_rollup_arr
-
 import numpy as np
-
-from .functions.udfs import round_qt_col
 
 
 def _commit(path: str, manifest: dict) -> dict:
-    with open(os.path.join(path, "_manifest.json"), "w") as f:
+    """Atomic manifest commit: write to a temp file and rename into place.
+    A kill mid-write must not leave a truncated _manifest.json that
+    is_committed() (existence check) treats as a completed stage — the
+    resume contract is 'manifest present ⇒ stage output complete'."""
+    final = os.path.join(path, "_manifest.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(manifest, f)
+    os.rename(tmp, final)
     return manifest
 
 
@@ -73,19 +76,15 @@ def stage_groups(
         return _read_manifest(path)
     t0 = time.time()
     data = spark.read.parquet(os.path.join(qts_path, "data"))
-    hist = (
-        data.select(round_qt_col(F.col("qt"), tree_level).alias("cell"))
-        .groupBy("cell")
-        .count()
-        .toPandas()
+    # the library grouping op IS the pipeline stage — one code path for
+    # histogram → tree → rollup → greedy groups, pinned by the sortblocks
+    # tests, instead of a drifting inline copy
+    from .operators.sortblocks import compute_groups
+
+    gqt, gidx, gweight = compute_groups(
+        data, "qt", target=target, minsize=minsize,
+        tree_level=tree_level, rollup=rollup,
     )
-    tree = QtTreeArr.build(
-        hist["cell"].to_numpy("int64"), hist["count"].to_numpy("int64"), tree_level
-    )
-    if rollup:
-        tree = tree_rollup_arr(tree, minsize)
-    groups = find_groups(tree, target, minsize)
-    gqt, gidx, gweight = group_table(groups)
     import pandas as pd
 
     os.makedirs(path, exist_ok=True)

@@ -48,6 +48,7 @@ def _code_fingerprint() -> str:
     pkg = os.path.dirname(os.path.dirname(__file__))
     h = hashlib.sha256()
     for rel in (
+        "sources/geo.py",  # elements_sql: the coordinates the fixture bakes in
         "sources/osm_fixture.py",
         "sources/qts_store.py",
         "operators/calcqts.py",

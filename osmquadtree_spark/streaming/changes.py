@@ -63,7 +63,13 @@ def apply_changes_stream(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            best = pdf.loc[pdf[seq_col].idxmax()]
+            # deterministic winner among equal-seq rows: break ties by
+            # (changetype, payload) — idxmax alone keeps whichever row
+            # landed first in the Arrow batch, which is arrival-order-
+            # dependent and varies between runs on identical input
+            best = pdf.sort_values(
+                [seq_col, changetype_col, payload_col], kind="stable"
+            ).iloc[-1]
             if int(best[seq_col]) > seq:
                 seq = int(best[seq_col])
                 payload = float(best[payload_col])

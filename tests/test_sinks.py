@@ -155,3 +155,26 @@ def test_geojson_diff_matches_reference_semantics(spark):
         {k: v for k, v in left.items()}, {k: v for k, v in right.items()}
     )
     assert got == exp
+
+
+def test_json_picojson_escape_table(spark):
+    """picojson serialize_str_char parity (thirdparty/picojson.h:518-545):
+    named escapes, '\\/' for '/', \\u%04x for other control chars and 0x7f
+    — and the output must round-trip through a strict JSON parser."""
+    import json
+
+    df = _df(spark, [
+        ("url", "http://x/y"),
+        ("note", "line1\nline2\ttab"),
+        ("ctl", "a\x01b\x7fc"),
+        ("bs", 'q\\"x'),
+    ])
+    out = df.select(sk.json_tags_col("tags").alias("j")).collect()[0].j
+    assert '"url":"http:\\/\\/x\\/y"' in out
+    assert '"note":"line1\\nline2\\ttab"' in out
+    assert '"ctl":"a\\u0001b\\u007fc"' in out
+    assert '"bs":"q\\\\\\"x"' in out
+    parsed = json.loads(out)  # strictly valid JSON
+    assert parsed["note"] == "line1\nline2\ttab"
+    assert parsed["ctl"] == "a\x01b\x7fc"
+    assert parsed["url"] == "http://x/y"
