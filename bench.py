@@ -115,7 +115,6 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    timings: dict[str, float] = {}
     attempts: dict[str, list[float]] = {}
     for rep in range(max(1, args.repeats)):
         # memoized computations (resolved updates, extract IdSet, element

@@ -111,14 +111,7 @@ def embedding_pairs_sql(min_cos: float) -> str:
         "list_zip(a.e, b.e), t -> t[1] * t[2])), (x, y) -> x + y)"
     )
     return f"""
-        WITH v AS (
-          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
-        ), n AS (
-          SELECT vec_id, e,
-                 sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-                    list_transform(e, x -> x * x)), (x, y) -> x + y)) AS nrm
-          FROM v
-        )
+        WITH {norm_cte()}
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                {dot} / (a.nrm * b.nrm) AS cos
         FROM n a JOIN n b ON a.vec_id < b.vec_id
@@ -126,7 +119,7 @@ def embedding_pairs_sql(min_cos: float) -> str:
     """
 
 
-def _norm_cte() -> str:
+def norm_cte() -> str:
     """Shared (vec_id, e, nrm) CTE body over the embeddings table."""
     return """
         v AS (
@@ -154,7 +147,7 @@ def embedding_lsh_soundness_sql(min_cos: float, candidates_path: str) -> str:
     return f"""
         WITH cand AS (
           SELECT id_a, id_b FROM read_parquet('{candidates_path}/*.parquet')
-        ), {_norm_cte()}
+        ), {norm_cte()}
         SELECT c.id_a, c.id_b, {dot} / (a.nrm * b.nrm) AS cos
         FROM cand c
         JOIN n a ON a.vec_id = c.id_a
@@ -175,7 +168,7 @@ def ann_lsh_soundness_sql(k: int, candidates_path: str) -> str:
     return f"""
         WITH cand AS (
           SELECT query_id, vec_id FROM read_parquet('{candidates_path}/*.parquet')
-        ), {_norm_cte()}
+        ), {norm_cte()}
         SELECT query_id, vec_id, rank FROM (
           SELECT c.query_id, c.vec_id,
                  ROW_NUMBER() OVER (

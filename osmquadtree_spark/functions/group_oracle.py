@@ -27,7 +27,7 @@ from . import sql_oracle as so
 from ..sources.geo import elements_sql
 
 
-def _oracle_sf_dir() -> str:
+def oracle_sf_dir() -> str:
     return (
         os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
         or "/root/testdata/sf0.01"  # the driver's correctness scale
@@ -86,7 +86,7 @@ def find_tile_sql(qt_expr: str, group_qts: list[int]) -> str:
 
 def group_assign_sql(target: int, minsize: int, tree_level: int, rollup: bool) -> str:
     """Full oracle: every element assigned to its group tile."""
-    sf_dir = _oracle_sf_dir()
+    sf_dir = oracle_sf_dir()
     gqt = _group_qts(sf_dir, target, minsize, tree_level, rollup)
     qt_cte = so.calculate_cte(elements_sql(intdiv="//"), "elem_id")
     return f"""
@@ -104,7 +104,7 @@ def image_tiles_sql(target: int, minsize: int, tree_level: int) -> str:
 
     from ..plans.qttree import QtTree, find_groups, group_table, tree_rollup
 
-    sf_dir = _oracle_sf_dir()
+    sf_dir = oracle_sf_dir()
     qt_cte = so.calculate_cte(
         so.image_elements_sql("SELECT p_partkey AS i FROM part"), "img_idx"
     )

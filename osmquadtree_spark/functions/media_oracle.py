@@ -74,7 +74,10 @@ WITH ids AS (
   FROM vids, unnest(generate_series(0, nf - 1, {every})) f(fi)
 ), vmeans AS (
   SELECT i, fi,
-         (SUM((xv.x * a + yv.y + 7 * fi) % 256) * 100) // MAX(w * h) AS mean_x100
+         -- SUM(BIGINT) is HUGEINT in DuckDB and would promote the whole
+         -- unioned value column to int128, breaking the driver's TYPED
+         -- value hash even when every value matches Spark's bigint
+         ((SUM((xv.x * a + yv.y + 7 * fi) % 256) * 100) // MAX(w * h))::BIGINT AS mean_x100
   FROM vframes,
        unnest(generate_series(0, w - 1)) xv(x),
        unnest(generate_series(0, h - 1)) yv(y)

@@ -303,7 +303,11 @@ def ngram_pairs(
     from .dedup import cap_hot_buckets
 
     words = F.split(F.col("text"), " ")
-    grams = docs.select(
+    # guard: a doc with fewer than n words has no n-grams. Without the
+    # filter, sequence(0, size-n) with a negative stop auto-steps DOWNWARD
+    # and slice(words, 0, n) throws 'array indices start at 1' at runtime —
+    # while the SQL twin (WHERE len >= n) silently excludes those docs
+    grams = docs.filter(F.size(words) >= n).select(
         "doc_id",
         F.explode(
             F.transform(

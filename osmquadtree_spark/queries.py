@@ -426,8 +426,10 @@ def _extract_ids(spark, sf_dir):
 def q_way_qts(spark, sf_dir):
     """calcqts way path: explode refs → join node locations → bbox agg →
     calculate kernel (wayqts.cpp:159-186 semantics). Served from the
-    session-memoized _old_state, so the three calcqts queries and the two
-    update queries share ONE derivation per driver run."""
+    session-memoized _old_state shared by the three calcqts queries; the
+    UPDATE queries do not read this memo — they scan the persistent
+    on-disk qts store (_stored_old / sources.qts_store), paying the
+    production read path instead."""
     return _old_state(spark, sf_dir)[3]["ways"]
 
 
@@ -600,7 +602,6 @@ def q_update_change_tiles(spark, sf_dir):
     from .operators.update import find_change_tiles
 
     out, old = _resolved_elements(spark, sf_dir)
-    allocs = None
     parts = [
         old["nodes"].select(F.lit(0).alias("element_type"), F.col("node_id").alias("id"), "qt"),
         old["ways"].select(F.lit(1).alias("element_type"), F.col("way_id").alias("id"), "qt"),
@@ -1320,7 +1321,11 @@ def q_changes_stream(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a timed-out (not failed) stream would leave a partially
+            # processed memory sink — a silent wrong answer; fail loudly
+            q.stop()
+            raise TimeoutError("changes stream did not finish within 300 s")
         from pyspark.sql import Window
 
         w = Window.partitionBy("key").orderBy(F.col("seq").desc())
@@ -1351,7 +1356,12 @@ def _scratch(sf_dir: str, name: str) -> str:
 
 
 def _ORACLE_SF_DIR() -> str:
-    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    # single source of truth for the driver's correctness scale — shared
+    # with the group-table oracles so a scale change cannot drift between
+    # the LSH-candidate exports and the derived group tables
+    from .functions.group_oracle import oracle_sf_dir
+
+    return oracle_sf_dir()
 
 
 
@@ -1805,14 +1815,7 @@ def _oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE inter_cnt >= (sa.n_grams + sb.n_grams - inter_cnt) * 0.2""",
         "ann_cosine_topk": f"""
-            WITH v AS (
-              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
-            ), n AS (
-              SELECT vec_id, e,
-                     sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-                        list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
-              FROM v
-            )
+            WITH {do.norm_cte()}
             SELECT query_id, vec_id, rank FROM (
               SELECT q.vec_id AS query_id, p.vec_id AS vec_id,
                      ROW_NUMBER() OVER (

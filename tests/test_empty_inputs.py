@@ -80,3 +80,17 @@ def test_changes_and_update_on_empty(spark, empties):
     allocs = spark.createDataFrame([], "element_type int, id bigint, alloc bigint")
     gqt = np.asarray([3], dtype=np.int64)
     assert find_change_tiles(resolved, allocs, gqt).count() == 0
+
+
+def test_ngram_pairs_short_docs(spark):
+    """Documents with fewer than n words have no n-grams — the engine must
+    skip them like the SQL twin's len >= n filter, not crash in
+    sequence(0, negative) / slice(words, 0, n)."""
+    from osmquadtree_spark.operators.docs import ngram_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "a b c d e"), (4, "a b c d e")],
+        "doc_id bigint, text string",
+    )
+    pairs = ngram_pairs(docs, n=3, min_jaccard=0.5).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(3, 4)}
