@@ -135,6 +135,28 @@ def missing_ref_count(nodes: DataFrame, ways: DataFrame) -> int:
     return pairs.join(nodes.select("node_id"), "node_id", "left_anti").count()
 
 
+def change_allocs(
+    stored: DataFrame,
+    elements: DataFrame,
+    group_qts: np.ndarray,
+) -> DataFrame:
+    """Diff-bounded original-tile allocations (element_type, id, alloc).
+
+    ``stored`` is the full old-element cell table (element_type, id, qt) —
+    planet-scale; ``elements`` the resolved change rows. The stored table is
+    SEMI-JOINED to the change-set ids BEFORE the ``find_tile`` kernel runs,
+    so the assign UDF touches O(|change set|) rows per update, not
+    O(planet) — the Spark analog of the reference's ``-index.pbf`` prune
+    (update.cpp:217-254: only tiles containing affected ids are read).
+    The change-set id list is diff-scale by construction (a daily .osc), so
+    it broadcasts; the planet-side scan stays a pruned parquet scan and the
+    only full-store work is the columnar (element_type, id, qt) read."""
+    assign = make_assign_group_udf(stored.sparkSession, group_qts)
+    ids = elements.select("element_type", "id")
+    bounded = stored.join(F.broadcast(ids), ["element_type", "id"], "leftsemi")
+    return bounded.select("element_type", "id", assign(F.col("qt")).alias("alloc"))
+
+
 def find_change_tiles(
     elements: DataFrame,
     orig_allocs: DataFrame,

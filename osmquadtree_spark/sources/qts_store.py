@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 _SOURCE_TABLES = ("lineitem", "orders", "customer")
 _QT_TABLES = ("node_qts", "way_qts", "rel_qts")
 _PLANET_TABLES = ("nodes", "ways", "rels")
-_STORE_VERSION = 2
+_CHANGE_TABLES = ("ch_nodes", "ch_ways", "ch_rels")
+_STORE_VERSION = 3
 
 
 def default_store_base() -> str:
@@ -51,6 +52,8 @@ def _code_fingerprint() -> str:
         "sources/geo.py",  # elements_sql: the coordinates the fixture bakes in
         "sources/osm_fixture.py",
         "sources/qts_store.py",
+        "sources/change_fixture.py",  # the stored .osc-analog change set
+        "functions/update_oracle.py",  # its modulus constants
         "operators/calcqts.py",
         "kernels/quadtree.py",
         "functions/udfs.py",
@@ -116,6 +119,20 @@ def build_qts_store(spark: SparkSession, sf_dir: str, base: str | None = None) -
         rq = relation_quadtrees(rels, nq, wq, small_member_qts=True)
         for name, df in (("node_qts", nq), ("way_qts", wq), ("rel_qts", rq)):
             df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+        # the .osc-analog change set (sources/change_fixture.py): production
+        # reads a diff-scale daily change file — the update queries read
+        # these tables the same way, instead of re-synthesizing the change
+        # map from the planet per run. Derived over the read-back stores so
+        # old_qt matches the stored cells byte-for-byte.
+        from .change_fixture import derive_change_set
+
+        old = {
+            "nodes": spark.read.parquet(os.path.join(tmp, "node_qts")),
+            "ways": spark.read.parquet(os.path.join(tmp, "way_qts")),
+            "relations": spark.read.parquet(os.path.join(tmp, "rel_qts")),
+        }
+        for name, df in derive_change_set(nodes, ways, rels, old).items():
+            df.write.mode("overwrite").parquet(os.path.join(tmp, name))
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
             json.dump(_fingerprint(sf_dir), f)
         if os.path.isdir(final):
@@ -145,6 +162,16 @@ def read_qts_store(spark: SparkSession, sf_dir: str, base: str | None = None) ->
         "ways": spark.read.parquet(os.path.join(d, "way_qts")),
         "relations": spark.read.parquet(os.path.join(d, "rel_qts")),
     }
+
+
+def read_change_store(
+    spark: SparkSession, sf_dir: str, base: str | None = None
+) -> dict[str, DataFrame]:
+    """→ {"ch_nodes", "ch_ways", "ch_rels"} — the materialized .osc-analog
+    change tables (diff-scale parquet scans; see sources/change_fixture.py).
+    Builds the store on first use."""
+    d = ensure_qts_store(spark, sf_dir, base)
+    return {t: spark.read.parquet(os.path.join(d, t)) for t in _CHANGE_TABLES}
 
 
 def read_planet_store(

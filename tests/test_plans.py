@@ -180,3 +180,31 @@ def test_knn_candidate_join_is_equi_hash_join(spark, sf_dir):
     wrapped = neighbor_cells(q, n, n)
     counts = wrapped.groupBy("query_id", "px", "py").count()
     assert counts.filter(F.col("count") > 1).count() == 0
+
+
+def test_update_alloc_kernel_is_diff_bounded(spark, sf_dir):
+    """change_allocs must semi-join the planet-scale stored cells to the
+    change-set ids BEFORE the find_tile assign UDF — the reference's
+    -index.pbf prune (update.cpp:217-254). The kernel's input row count is
+    O(|change set|), and the physical plan shows the semi join feeding the
+    Python UDF stage."""
+    from osmquadtree_spark.operators.update import change_allocs
+
+    stored = Q._elements(spark, sf_dir).select(
+        (F.col("elem_id") % 3).cast("int").alias("element_type"),
+        F.col("elem_id").alias("id"),
+        F.abs(F.col("elem_id") * 37 % 1000).alias("qt"),
+    )
+    changes = stored.filter(F.col("id") % 101 == 0).select(
+        "element_type", "id", "qt", F.lit(4).alias("changetype")
+    )
+    gqt = Q._level3_groups()
+    allocs = change_allocs(stored, changes, gqt)
+    plan = _plan(allocs)
+    # the semi join is present and the kernel is an Arrow eval stage
+    assert "LeftSemi" in plan
+    assert "ArrowEval" in plan or "BatchEvalPython" in plan or "MapInPandas" in plan
+    # row-count bound: kernel input == store ∩ change ids, not the store
+    n_changes = changes.count()
+    assert allocs.count() <= n_changes
+    assert stored.count() > 10 * n_changes  # the prune actually prunes
