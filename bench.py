@@ -115,7 +115,11 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    from osmquadtree_spark import metrics as M
+
     attempts: dict[str, list[float]] = {}
+    sub: dict[str, list[dict]] = {}
+    metrics_commit: list[dict] = []
     for rep in range(max(1, args.repeats)):
         # memoized computations (resolved updates, extract IdSet, element
         # cells, way coords, old-qt derivations) must not leak between
@@ -127,8 +131,22 @@ def main() -> None:
         for name in names:
             fn = registry[name]
             t0 = time.time()
-            materialize(fn(spark, args.sf_dir))
-            attempts.setdefault(name, []).append(round(time.time() - t0, 3))
+            df = fn(spark, args.sf_dir)
+            t1 = time.time()
+            materialize(df)
+            t2 = time.time()
+            attempts.setdefault(name, []).append(round(t2 - t0, 3))
+            # construct = plan build incl. any eager artifact work (LSH
+            # candidate exports); exec = the Spark job(s). The r3 verdict
+            # demanded this split to attribute the dedup-family deltas.
+            sub.setdefault(name, []).append(
+                {"construct": round(t1 - t0, 3), "exec": round(t2 - t1, 3)}
+            )
+        # operator metrics (hot-bucket drops, candidate counts) commit ONCE
+        # per sweep, against the operators' still-warm caches; timed and
+        # reported separately so the per-query numbers are the production
+        # query cost and the commit cost is visible, not hidden
+        metrics_commit.append(M.commit_pending())
     timings = {name: min(ts) for name, ts in attempts.items()}
 
     pipeline_sec = timings.get("qt_assign", 0) + timings.get("group_assign_fine", 0)
@@ -150,11 +168,17 @@ def main() -> None:
         "timing_policy": (
             "best-of-N per query (host is multi-tenant; all attempts "
             "reported, first-sweep total reported separately); computation "
-            "memos cleared between sweeps; old element cells are read from "
-            "the on-disk qts store on every attempt (its one-off build cost "
-            "is qts_store_build_sec)"
+            "memos cleared between sweeps; old element cells and the "
+            ".osc-analog change set are read from the on-disk qts store on "
+            "every attempt (one-off build cost is qts_store_build_sec); "
+            "operator metrics (hot-bucket drops, candidate counts) commit "
+            "once per sweep against warm caches — metrics_commit per sweep "
+            "below; sub_timings split plan construction (incl. eager LSH "
+            "candidate exports) from Spark execution per attempt"
         ),
         "attempts": attempts,
+        "sub_timings": sub,
+        "metrics_commit": metrics_commit,
     }
     line = json.dumps(out)
     print(line)

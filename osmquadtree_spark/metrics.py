@@ -1,0 +1,151 @@
+"""Run-scoped operator metrics — the "no silent caps" surface.
+
+Operators that sacrifice recall for scale (hot-bucket caps in the dedup /
+ANN family) REGISTER their drop statistics and recall proxies here as lazy
+DataFrames at plan-construction time; nothing executes until
+``commit_pending`` runs ONCE per run, writing every registered frame under
+a single run-id directory of one metrics table:
+
+    <base>/run_id=<rid>/part-*.parquet
+    columns: operator, metric, bucket_key, value (bigint)
+
+Why deferred: round 3 committed each operator's drops as an eager
+overwrite-parquet action at plan-construction time, which (a) paid a full
+signature pass per query before the query even ran (the 2.3× dedup-family
+bench regression), (b) clobbered the previous run's table even for
+constructed-but-abandoned plans, and (c) could overwrite mid-lifetime
+under concurrent runs. Deferring to one run-scoped append keeps the
+committed-metrics guarantee (any endpoint that ends a run —
+queries.clear_session_caches, bench sweeps, tools/driver_sweep, the jobs
+pipeline — flushes) while the registered frames read the operator's OWN
+cached intermediates, so the commit costs one small job, not a recompute.
+
+Standard metric names:
+- ``bucket_rows_dropped``  rows in each dropped hot bucket (key = bucket)
+- ``bucket_cap``           the cap in force
+- ``candidate_pairs``      candidate-set size before re-scoring — the
+  production recall proxy (a collapsing candidate count flags silent
+  recall loss without a brute-force twin)
+- ``recall_x1000_vs_exact`` recall vs the exact operator ×1000, committed
+  by the test-scale gates (tests/test_dedup.py) where brute force is
+  feasible
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+METRIC_COLS = ("operator", "metric", "bucket_key", "value")
+
+_PENDING: list[tuple[str, DataFrame]] = []  # (base_path, canonical frame)
+
+
+def metric_frame(
+    operator: str, metric: str, bucket_key_col, value_col
+) -> list:
+    """Column list in canonical order for a metrics row set."""
+    return [
+        F.lit(operator).alias("operator"),
+        F.lit(metric).alias("metric"),
+        bucket_key_col.cast("string").alias("bucket_key"),
+        value_col.cast("bigint").alias("value"),
+    ]
+
+
+def register(base_path: str, frame: DataFrame) -> None:
+    """Queue a canonical (operator, metric, bucket_key, value) frame for
+    the next commit. Lazy — no Spark action here."""
+    _PENDING.append((base_path, frame))
+
+
+def register_count(
+    base_path: str, operator: str, metric: str, df: DataFrame
+) -> None:
+    """Queue ``count(df)`` as a single metric row. Point it at a CACHED
+    frame (or a parquet scan) so the commit pays a cache read, not a
+    recompute of the operator's joins."""
+    register(
+        base_path,
+        df.groupBy().agg(F.count(F.lit(1)).alias("_n")).select(
+            *metric_frame(operator, metric, F.lit(""), F.col("_n"))
+        ),
+    )
+
+
+def register_literal(
+    base_path: str, operator: str, metric: str, value: int, spark
+) -> None:
+    """Queue a constant metric row (e.g. the cap in force)."""
+    register(
+        base_path,
+        spark.range(1).select(
+            *metric_frame(operator, metric, F.lit(""), F.lit(int(value)))
+        ),
+    )
+
+
+def pending_count() -> int:
+    return len(_PENDING)
+
+
+def commit_pending(run_id: str | None = None) -> dict:
+    """Write all pending frames — ONE union + write per base path, under a
+    fresh run-id subdirectory (append-by-directory: concurrent or repeated
+    runs never clobber each other; ADVICE r3). Returns
+    {"bases": n, "run_id": rid, "sec": t}; empty pending is a no-op."""
+    global _PENDING
+    pend, _PENDING = _PENDING, []
+    if not pend:
+        return {"bases": 0, "run_id": None, "sec": 0.0}
+    rid = run_id or uuid.uuid4().hex[:12]
+    t0 = time.time()
+    by_base: dict[str, list[DataFrame]] = {}
+    for base, fr in pend:
+        by_base.setdefault(base, []).append(fr)
+    for base, frames in by_base.items():
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        out.write.mode("overwrite").parquet(os.path.join(base, f"run_id={rid}"))
+    return {"bases": len(by_base), "run_id": rid, "sec": round(time.time() - t0, 3)}
+
+
+def discard_pending() -> None:
+    """Drop pending frames without writing (test isolation only — a real
+    run endpoint must commit instead)."""
+    global _PENDING
+    _PENDING = []
+
+
+def atomic_export(df: DataFrame, path: str) -> None:
+    """Write ``df`` to ``path`` via tmp-dir + rename — the soundness-oracle
+    export surface (LSH/IVF candidate sets). The candidate sets are
+    deterministic functions of the inputs, so repeated builds write
+    identical content; the atomic swap removes the only hazard (a reader
+    hitting a half-overwritten directory mid-swap). A DataFrame already
+    reading ``path`` across a swap sees the same rows by determinism —
+    treat the export as immutable-by-content (ADVICE r3)."""
+    import shutil
+
+    tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
+    try:
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+    finally:
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def read_metrics(spark, base_path: str) -> DataFrame:
+    """All committed runs of a metrics table (run_id recovered from the
+    directory name)."""
+    return spark.read.option("basePath", base_path).parquet(
+        os.path.join(base_path, "run_id=*")
+    )

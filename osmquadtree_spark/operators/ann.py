@@ -119,6 +119,7 @@ def lsh_topk(
     qid_col: str = "query_id",
     vec_col: str = "embedding",
     export_pairs_path: str | None = None,
+    metrics_path: str | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH candidate generation + exact re-score.
 
@@ -165,8 +166,15 @@ def lsh_topk(
         .dropDuplicates([id_col, qid_col])
     )
     if export_pairs_path is not None:
-        pairs.write.mode("overwrite").parquet(export_pairs_path)
+        from .. import metrics
+
+        metrics.atomic_export(pairs, export_pairs_path)
         pairs = vectors.sparkSession.read.parquet(export_pairs_path)
+        if metrics_path is not None:
+            # recall proxy: candidates per run from the export scan (free)
+            metrics.register_count(
+                metrics_path, "ann_lsh_topk", "candidate_pairs", pairs
+            )
     return _rescore_topk(pairs, vectors, queries, k, id_col, qid_col, vec_col)
 
 

@@ -173,29 +173,64 @@ def cap_hot_buckets(
     keys can exceed the cap), so it broadcasts into a left_anti join.
 
     "No silent caps": when ``metrics_path`` is given, the dropped-bucket
-    stats (operator, cap, bucket key, row count) are COMMITTED to a parquet
-    metrics table as part of the run (the Iceberg-metrics analog used by
-    write_tile_sorted) — production runs see exactly which buckets
-    sacrificed recall. The hot set is persisted so the metrics write and
-    the anti-join share one aggregation; pairs entirely inside a dropped
-    bucket are sacrificed recall, the standard trade (AQE still splits the
-    sub-cap skew)."""
+    stats (bucket_rows_dropped per bucket + the cap in force) are
+    REGISTERED with the run-scoped metrics registry (osmquadtree_spark.
+    metrics) and committed once per run by the run endpoint — NOT written
+    eagerly at plan-construction time (that paid a full signature pass per
+    query before it ran, and clobbered prior runs' tables for plans that
+    were never executed). The hot set is persisted, so the query's own
+    anti-join materializes it and the commit pays a cache read. Pairs
+    entirely inside a dropped bucket are sacrificed recall, the standard
+    trade (AQE still splits the sub-cap skew)."""
     if cap is None:
         return df
+    from .. import metrics
     from ..cache import cached
 
     hot = hot_bucket_stats(df, key_cols, cap)
     if metrics_path is not None:
         hot = cached(hot)
-        hot.select(
-            F.lit(operator).alias("operator"),
-            F.lit(cap).cast("bigint").alias("cap"),
-            F.concat_ws(",", *[F.col(c).cast("string") for c in key_cols]).alias(
-                "bucket_key"
+        metrics.register(
+            metrics_path,
+            hot.select(
+                *metrics.metric_frame(
+                    operator,
+                    "bucket_rows_dropped",
+                    F.concat_ws(",", *[F.col(c).cast("string") for c in key_cols]),
+                    F.col("_bn"),
+                )
             ),
-            F.col("_bn").cast("bigint").alias("n_rows_dropped"),
-        ).write.mode("overwrite").parquet(metrics_path)
+        )
+        metrics.register_literal(
+            metrics_path, operator, "bucket_cap", cap, df.sparkSession
+        )
     return df.join(F.broadcast(hot.select(*key_cols)), key_cols, "left_anti")
+
+
+def register_pair_volume(
+    metrics_path: str, operator: str, keyed: DataFrame, key_cols: list[str]
+) -> None:
+    """Register the per-run recall proxy ``candidate_pair_volume`` =
+    Σ_buckets n·(n−1)/2 over the CAPPED bucket table — the pre-dedup pair
+    volume the candidate join will process. One cheap aggregate over an
+    already-cached slim table (no extra pair join, no plan barrier in the
+    query); a collapsing volume across runs flags silent recall loss in
+    production where no brute-force twin exists. The exact post-dedup
+    count is committed where it is free (the export-scan paths)."""
+    from .. import metrics
+
+    vol = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy()
+        .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2).cast("bigint").alias("_v"))
+        .select(
+            *metrics.metric_frame(
+                operator, "candidate_pair_volume", F.lit(""), F.coalesce("_v", F.lit(0))
+            )
+        )
+    )
+    metrics.register(metrics_path, vol)
 
 
 def hot_bucket_stats(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
@@ -260,6 +295,8 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    if metrics_path is not None:
+        register_pair_volume(metrics_path, "dedup_minhash", bands, ["band", "bucket"])
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     match_cnt = F.size(
@@ -391,6 +428,8 @@ def simhash_pairs(
     a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "blk", "val")
     b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "blk", "val")
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint")
+    if metrics_path is not None:
+        register_pair_volume(metrics_path, "dedup_simhash", blocks, ["blk", "val"])
     return (
         a.join(b, ["blk", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -486,8 +525,15 @@ def embedding_dup_pairs_lsh(
         .dropDuplicates(["id_a", "id_b"])
     )
     if export_pairs_path is not None:
-        pairs.write.mode("overwrite").parquet(export_pairs_path)
+        from .. import metrics
+
+        metrics.atomic_export(pairs, export_pairs_path)
         pairs = vectors.sparkSession.read.parquet(export_pairs_path)
+        if metrics_path is not None:
+            # recall proxy from the export scan — a free count at commit
+            metrics.register_count(
+                metrics_path, "dedup_embedding_lsh", "candidate_pairs", pairs
+            )
     v = with_norm(vectors, vec_col).select(id_col, "_v", "_norm")
     va = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
     vb = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))

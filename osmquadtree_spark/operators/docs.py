@@ -335,6 +335,12 @@ def ngram_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter_cnt"))
     )
+    if metrics_path is not None:
+        # recall proxy per run: pre-join pair volume from the cached capped
+        # gram table (see dedup.register_pair_volume — no extra pair join)
+        from .dedup import register_pair_volume
+
+        register_pair_volume(metrics_path, "ngram_jaccard", grams, ["gram"])
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
     out = (

@@ -1243,7 +1243,7 @@ def q_dedup_exact(spark, sf_dir):
 def q_ngram_jaccard_pairs(spark, sf_dir):
     return doc_ops.ngram_pairs(
         _load(spark, sf_dir, "documents"), n=3, min_jaccard=0.2,
-        metrics_path=_scratch(sf_dir, "metrics_ngram_jaccard"),
+        metrics_path=_scratch(sf_dir, "metrics"),
     )
 
 
@@ -1349,7 +1349,7 @@ def q_dedup_minhash(spark, sf_dir):
 
     return dd.minhash_lsh_pairs(
         _load(spark, sf_dir, "documents"), n=3, min_matches=8,
-        metrics_path=_scratch(sf_dir, "metrics_dedup_minhash"),
+        metrics_path=_scratch(sf_dir, "metrics"),
     )
 
 
@@ -1360,7 +1360,7 @@ def q_dedup_simhash(spark, sf_dir):
 
     return dd.simhash_pairs(
         _load(spark, sf_dir, "documents"), max_hamming=3,
-        metrics_path=_scratch(sf_dir, "metrics_dedup_simhash"),
+        metrics_path=_scratch(sf_dir, "metrics"),
     )
 
 
@@ -1383,7 +1383,7 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return dd.embedding_dup_pairs_lsh(
         _load(spark, sf_dir, "embeddings"), EMB_DUP_MIN_COS, dim=EMB_DIM,
         export_pairs_path=_scratch(sf_dir, "lsh_dedup_candidates"),
-        metrics_path=_scratch(sf_dir, "metrics_dedup_embedding_lsh"),
+        metrics_path=_scratch(sf_dir, "metrics"),
     )
 
 
@@ -1408,6 +1408,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_ops.lsh_topk(
         emb, queries, ANN_K, dim=EMB_DIM,
         export_pairs_path=_scratch(sf_dir, "lsh_ann_candidates"),
+        metrics_path=_scratch(sf_dir, "metrics"),
     )
 
 
@@ -1827,6 +1828,14 @@ def clear_session_caches(keep_input_stores: bool = False) -> None:
     if not keep_input_stores:
         for cache in stores:
             cache.clear()
+    # flush pending operator metrics (hot-bucket drops, candidate counts)
+    # BEFORE releasing caches: the registered frames read the operators'
+    # cached intermediates, so the run-end commit is a cache read. Any
+    # endpoint that clears session caches therefore also commits metrics —
+    # "no silent caps" holds per run, not per plan construction.
+    from . import metrics as _metrics
+
+    _metrics.commit_pending()
     from .cache import release_all
 
     release_all()

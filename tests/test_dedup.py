@@ -189,22 +189,42 @@ def test_hot_bucket_cap_bounds_candidates(spark):
 
 
 def test_cap_metrics_committed(spark, tmp_path):
-    """"No silent caps": passing metrics_path commits the dropped-bucket
-    stats to a parquet metrics table as part of the run — operator name,
-    cap, bucket key, and the row count each dropped bucket held."""
+    """"No silent caps": passing metrics_path REGISTERS the dropped-bucket
+    stats and candidate counts with the run-scoped metrics registry;
+    commit_pending (called by every run endpoint — clear_session_caches,
+    bench sweeps, driver_sweep) writes them ONCE per run under a run-id
+    directory. Plan construction alone writes nothing (r3 advice: an
+    abandoned plan must not clobber a previous run's table)."""
+    from osmquadtree_spark import metrics
     from osmquadtree_spark.operators.dedup import N_BANDS, minhash_lsh_pairs
 
     boiler = [(i, "the same boilerplate text repeated for every row here") for i in range(60)]
     uniq = [(100 + i, f"unique document number {i} with words w{i} x{i} y{i} z{i}") for i in range(5)]
     docs = spark.createDataFrame(boiler + uniq, "doc_id bigint, text string")
 
+    metrics.discard_pending()  # isolate from other tests' registrations
     mpath = str(tmp_path / "cap_metrics")
+    plan = minhash_lsh_pairs(docs, n=3, min_matches=8, bucket_cap=50, metrics_path=mpath)
+    # constructed-but-not-committed: nothing on disk yet
+    assert not (tmp_path / "cap_metrics").exists()
+    plan.collect()
+    res = metrics.commit_pending()
+    assert res["bases"] == 1 and res["run_id"]
+    m = metrics.read_metrics(spark, mpath).collect()
+    drops = [r for r in m if r.metric == "bucket_rows_dropped"]
+    assert len(drops) == N_BANDS  # the boilerplate cluster saturates every band
+    assert all(r.operator == "dedup_minhash" and r.value == 60 for r in drops)
+    assert all("," in r.bucket_key for r in drops)  # "band,bucket" composite key
+    caps = [r for r in m if r.metric == "bucket_cap"]
+    assert len(caps) == 1 and caps[0].value == 50
+    cand = [r for r in m if r.metric == "candidate_pair_volume"]
+    # recall proxy present (0 here: every shared bucket was capped away)
+    assert len(cand) == 1 and cand[0].value == 0
+    # a second run appends a new run_id directory — no clobber
     minhash_lsh_pairs(docs, n=3, min_matches=8, bucket_cap=50, metrics_path=mpath).collect()
-    m = spark.read.parquet(mpath).collect()
-    assert len(m) == N_BANDS  # the boilerplate cluster saturates every band
-    assert all(r.operator == "dedup_minhash" and r.cap == 50 for r in m)
-    assert all(r.n_rows_dropped == 60 for r in m)
-    assert all("," in r.bucket_key for r in m)  # "band,bucket" composite key
+    metrics.commit_pending()
+    runs = {r.run_id for r in metrics.read_metrics(spark, mpath).collect()}
+    assert len(runs) == 2
 
 
 def test_null_text_yields_null_signatures(spark):

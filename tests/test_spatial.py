@@ -62,7 +62,7 @@ def test_raster_vector_join_covers_all_elements(spark):
     assert a == b
 
 
-def test_lsh_recall_vs_exact(spark, sf_dir):
+def test_lsh_recall_vs_exact(spark, sf_dir, tmp_path):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -73,6 +73,19 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     approx = {(r.query_id, r.vec_id) for r in lsh_topk(emb, queries, 10, n_tables=8, n_planes=4).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall  # bucketed candidates; recall tunable via tables/planes
+    # commit the measured recall through the run-metrics surface — the
+    # test-scale leg of the recall story (production runs commit the
+    # candidate_pairs proxy; see osmquadtree_spark/metrics.py)
+    from osmquadtree_spark import metrics
+
+    metrics.discard_pending()
+    mpath = str(tmp_path / "metrics")
+    metrics.register_literal(
+        mpath, "ann_lsh_topk", "recall_x1000_vs_exact", int(recall * 1000), spark
+    )
+    assert metrics.commit_pending()["bases"] == 1
+    got = metrics.read_metrics(spark, mpath).collect()
+    assert got[0].metric == "recall_x1000_vs_exact" and got[0].value >= 500
 
 
 def test_sortblocks_resume(spark, tmp_path):

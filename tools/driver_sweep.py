@@ -113,6 +113,14 @@ def main() -> int:
             srows = []
         print(f"{name}: {status} rows={len(srows)} {time.time() - t0:.1f}s", flush=True)
 
+    # run endpoint: commit operator metrics registered during the sweep
+    # (hot-bucket drops, candidate counts) once, against warm caches
+    from osmquadtree_spark import metrics as M
+
+    mc = M.commit_pending()
+    if mc["bases"]:
+        print(f"metrics committed: run_id={mc['run_id']} in {mc['sec']}s")
+
     print(f"\n{len(names) - len(failures)}/{len(names)} green; failures: {failures or 'none'}")
     spark.stop()
     return 1 if failures else 0
