@@ -386,21 +386,19 @@ _WAY_COORDS_CACHE: dict = {}
 
 
 def _way_coords(spark, sf_dir):
-    """Memoized per (session, sf): raw ordered way coordinate arrays —
-    shared upstream of geom_way_stats, geom_minzoom, wkb_roundtrip and
-    geojson_tiles (each previously re-ran the explode+join+sort-collect)."""
+    """Raw ordered way coordinate arrays, READ from the persistent qts
+    store (sources/qts_store.read_way_coords) — the shared upstream of
+    geom_way_stats, geom_minzoom, wkb_roundtrip and geojson_tiles. The
+    assembly (explode refs ⨝ nodes + ordered collect) runs once at store
+    build time, the analog of the reference's geometry stage reading
+    -qts-sorted planet tiles with locations resolved; every query run pays
+    a prunable parquet scan."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _WAY_COORDS_CACHE:
         return _WAY_COORDS_CACHE[key]
-    from .operators import geometry as geo
+    from .sources.qts_store import read_way_coords
 
-    nodes, ways, _ = _osm_fixture(spark, sf_dir)
-    refs = ways.select("way_id", F.explode("refs").alias("node_id")).withColumn(
-        "pos", F.col("node_id")
-    )
-    _WAY_COORDS_CACHE[key] = geo.collect_way_coords(refs, nodes).localCheckpoint(
-        eager=False
-    )
+    _WAY_COORDS_CACHE[key] = read_way_coords(spark, sf_dir)
     return _WAY_COORDS_CACHE[key]
 
 

@@ -25,6 +25,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _SOURCE_TABLES = ("lineitem", "orders", "customer")
 _QT_TABLES = ("node_qts", "way_qts", "rel_qts")
@@ -60,6 +61,14 @@ def _code_fingerprint() -> str:
     ):
         with open(os.path.join(pkg, rel), "rb") as f:
             h.update(f.read())
+    # way_coords bakes in ONLY collect_way_coords' semantics — hash that
+    # function's source, not all of operators/geometry.py (whose unrelated
+    # operators change often and would thrash the store)
+    import inspect
+
+    from ..operators.geometry import collect_way_coords
+
+    h.update(inspect.getsource(collect_way_coords).encode())
     return h.hexdigest()[:16]
 
 
@@ -133,6 +142,20 @@ def build_qts_store(spark: SparkSession, sf_dir: str, base: str | None = None) -
         }
         for name, df in derive_change_set(nodes, ways, rels, old).items():
             df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+        # assembled way coordinate arrays — the shared upstream of every
+        # coordinate consumer (way stats, minzoom, WKB, GeoJSON). The
+        # planet tiles the reference's geometry stage reads are id-sorted
+        # with locations resolved per tile (pbfformat reads -qts-sorted
+        # tiles); materializing the assembly once per planet build and
+        # paying a parquet scan per query is the same cost profile.
+        from ..operators.geometry import collect_way_coords
+
+        refs = ways.select("way_id", F.explode("refs").alias("node_id")).withColumn(
+            "pos", F.col("node_id")
+        )
+        collect_way_coords(refs, nodes).write.mode("overwrite").parquet(
+            os.path.join(tmp, "way_coords")
+        )
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
             json.dump(_fingerprint(sf_dir), f)
         if os.path.isdir(final):
@@ -172,6 +195,13 @@ def read_change_store(
     Builds the store on first use."""
     d = ensure_qts_store(spark, sf_dir, base)
     return {t: spark.read.parquet(os.path.join(d, t)) for t in _CHANGE_TABLES}
+
+
+def read_way_coords(spark: SparkSession, sf_dir: str, base: str | None = None) -> DataFrame:
+    """→ (way_id, _lons, _lats) assembled coordinate arrays as a plain
+    parquet scan (see build note above). Builds the store on first use."""
+    d = ensure_qts_store(spark, sf_dir, base)
+    return spark.read.parquet(os.path.join(d, "way_coords"))
 
 
 def read_planet_store(
