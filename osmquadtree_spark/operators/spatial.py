@@ -142,13 +142,62 @@ def knn_bruteforce(
     )
 
 
-def neighbor_cells(unresolved: DataFrame, radius: int, n: int) -> DataFrame:
+def neighbor_square_offsets(radius: int, n: int, inner: int = 0) -> list:
+    """(dx, dy) offsets of the radius-``radius`` Chebyshev square on an
+    x-wrapping grid of ``n`` tiles per axis, excluding (when ``inner`` > 0)
+    every cell already covered by the radius-``inner`` square — the
+    expansion rounds' delta ring. Wrap is measured on the torus in x, so a
+    planet-wrapping square emits each wrapped x exactly once and the
+    inner exclusion matches what the inner square actually covered."""
+    if 2 * radius + 1 >= n:
+        dxs = list(range(-(n // 2), -(n // 2) + n))
+    else:
+        dxs = list(range(-radius, radius + 1))
+    inner_wraps_x = 2 * inner + 1 >= n
+    out = []
+    for dx in dxs:
+        torus_dx = min(dx % n, (-dx) % n)
+        covered_x = inner_wraps_x or torus_dx <= inner
+        for dy in range(-radius, radius + 1):
+            if inner and covered_x and abs(dy) <= inner:
+                continue
+            out.append((dx, dy))
+    return out
+
+
+def neighbor_cells(
+    unresolved: DataFrame, radius: int, n: int, inner: int = 0
+) -> DataFrame:
     """Explode each query row (qx, qy) into the CELL KEYS (px, py) of its
     radius-``radius`` square neighborhood at a zoom with ``n`` tiles per
-    axis. x wraps at the antimeridian; the dx range is computed in Python
-    so a planet-wrapping ring emits each wrapped x exactly once — a bare
-    pmod over -r..r would duplicate candidate cells and corrupt the
-    top-k. y rows off the planet are dropped."""
+    axis. x wraps at the antimeridian; the offset ranges are computed in
+    Python so a planet-wrapping ring emits each wrapped x exactly once — a
+    bare pmod over -r..r would duplicate candidate cells and corrupt the
+    top-k. y rows off the planet are dropped.
+
+    ``inner`` > 0 emits only the NEW ring cells outside the radius-
+    ``inner`` square (expansion rounds carry the inner square's scored
+    top-k instead of re-scoring the interior). The ring path enumerates
+    (dx, dy) pairs as literals — fine for the O(r·Δr) ring sizes of the
+    doubling schedule; the full square stays a 1-D dx-explode × dy-range
+    (a pair enumeration would be O(n·r) literals when the square wraps)."""
+    if inner > 0:
+        offsets = neighbor_square_offsets(radius, n, inner)
+        d = F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in offsets
+                ]
+            )
+        )
+        return (
+            unresolved.withColumn("_d", d)
+            .withColumn("px", F.pmod(F.col("qx") + F.col("_d.dx"), F.lit(n)))
+            .withColumn("py", F.col("qy") + F.col("_d.dy"))
+            .drop("_d")
+            .filter((F.col("py") >= 0) & (F.col("py") < n))
+        )
     if 2 * radius + 1 >= n:
         dxs = list(range(-(n // 2), -(n // 2) + n))
     else:
@@ -179,6 +228,7 @@ def knn_cell_expansion(
     id_col: str = "point_id",
     qid_col: str = "query_id",
     max_rounds: int = 4,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """Scale-path kNN: per query, probe a growing square neighborhood of
     level-``zoom`` cells around the query's cell (x wraps at the
@@ -285,18 +335,37 @@ def knn_cell_expansion(
         F.col("_t.tile_y").alias("qy"),
     ).localCheckpoint(eager=True)
     results = None
-    radius = 1
+    carried = None  # unresolved queries' scored top-k from prior rounds
+    radius, prev_radius = 1, 0
     for _ in range(max_rounds):
-        if unresolved.isEmpty():  # early exit: one tiny aggregate per round
+        n_unresolved = unresolved.count()  # tiny checkpointed frame
+        if n_unresolved == 0:
             break
-        cand = candidate_cell_join(p, neighbor_cells(unresolved, radius, n))
-        scored = cand.withColumn(
+        # ring-only expansion (round ≥ 2): score ONLY the cells outside the
+        # previously searched square and pool with the carried top-k — the
+        # full-square re-explode re-scored every interior candidate each
+        # round, quadrupling candidate volume per doubling (r3 verdict #4)
+        cells = neighbor_cells(unresolved, radius, n, inner=prev_radius)
+        if round_stats is not None:
+            round_stats.append(
+                {
+                    "radius": radius,
+                    "unresolved": n_unresolved,
+                    "cells_per_query": len(
+                        neighbor_square_offsets(radius, n, prev_radius)
+                    ),
+                }
+            )
+        scored = candidate_cell_join(p, cells).withColumn(
             "dist",
             _chord_dist_col(),
         )
+        pool = (
+            scored if carried is None else scored.unionByName(carried.select(*scored.columns))
+        )
         w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
         topk = (
-            scored.withColumn("rank", F.row_number().over(w))
+            pool.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .persist()
         )
@@ -315,8 +384,15 @@ def knn_cell_expansion(
         unresolved = unresolved.join(resolved_q, qid_col, "left_anti").localCheckpoint(
             eager=True
         )
+        # carry survivors' already-scored top-k into the next round (≤ k
+        # rows per unresolved query — the interior never re-scores)
+        carried = (
+            topk.join(resolved_q, qid_col, "left_anti")
+            .drop("rank")
+            .localCheckpoint(eager=True)
+        )
         topk.unpersist()
-        radius *= 2
+        prev_radius, radius = radius, radius * 2
     p.unpersist()  # round jobs were eager; nothing returned still reads p
     if not unresolved.isEmpty():
         fallback = knn_bruteforce(

@@ -188,3 +188,54 @@ def test_raster_join_matches_shallow_elements(spark):
     assert by[1] == 1                      # depth ≥ zoom: exactly its tile
     assert by[2] == 4 ** (zoom - 2)        # depth-2 cell contains 16 zoom-4 tiles
     assert per == {1, 2}
+
+
+def test_neighbor_ring_offsets_partition_the_square():
+    """Ring ∪ inner square == full square, disjointly — for plain and
+    x-wrapping geometries. The expansion rounds rely on this: interior
+    candidates are carried, never re-scored, and no cell is probed twice."""
+    from osmquadtree_spark.operators.spatial import neighbor_square_offsets
+
+    for n, inner, outer in [(256, 1, 2), (256, 2, 4), (256, 4, 8), (8, 2, 4), (8, 3, 6)]:
+        full = set(neighbor_square_offsets(outer, n))
+        inner_sq = set(neighbor_square_offsets(inner, n))
+        ring = set(neighbor_square_offsets(outer, n, inner))
+        # wrapped offsets label the same torus cell differently between the
+        # inner and outer enumerations — compare as torus cells per query
+        def cells(offs):
+            return {(dx % n, dy) for dx, dy in offs}
+
+        assert cells(ring) | cells(inner_sq) == cells(full)
+        assert not (cells(ring) & cells(inner_sq))
+        assert len(cells(ring)) == len(cells(full)) - len(cells(inner_sq))
+
+
+def test_knn_round_stats_show_ring_only_growth(spark, sf_dir):
+    """The per-round candidate log (r3 verdict #4): round ≥ 2 explodes only
+    the new ring — cells_per_query must be (2r+1)²−(2r'+1)², not (2r+1)²."""
+    from osmquadtree_spark.operators.spatial import knn_cell_expansion
+    from osmquadtree_spark import queries as Q
+    from osmquadtree_spark.functions.udfs import make_qt_calculate
+
+    qt_calc = make_qt_calculate()
+    pts = (
+        Q._elements(spark, sf_dir)
+        .filter(~F.col("is_box"))
+        .select(
+            F.col("elem_id").alias("point_id"),
+            F.col("minx").alias("lon"),
+            F.col("miny").alias("lat"),
+            qt_calc("minx", "miny", "minx", "miny").alias("qt"),
+        )
+    )
+    q = spark.createDataFrame(
+        [(1, 1200000000, 400000000), (2, -900000000, -200000000)],
+        "query_id bigint, lon bigint, lat bigint",
+    )
+    stats = []
+    out = knn_cell_expansion(pts, q, 5, round_stats=stats)
+    assert out.count() == 10
+    assert stats[0]["cells_per_query"] == 9  # 3×3 first probe
+    for s in stats[1:]:
+        r, r2 = s["radius"], s["radius"] // 2
+        assert s["cells_per_query"] == (2 * r + 1) ** 2 - (2 * r2 + 1) ** 2
