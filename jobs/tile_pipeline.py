@@ -15,6 +15,18 @@ production). Prints one JSON line of stage manifests.
 
 Smoke-tested end to end through real spark-submit --py-files in
 tests/test_submit.py.
+
+Checkpoint policy: engine-internal stage checkpoints (kNN expansion
+rounds, bench memos) default to ``localCheckpoint`` — executor-local
+blocks, so on a real cluster a lost executor FAILS the job instead of
+recomputing. For production cluster runs set
+``SPARK_GRAFT_CHECKPOINT_DIR`` to an HDFS/S3 path (or call
+``sparkContext.setCheckpointDir`` before the pipeline): every stage
+checkpoint then becomes a reliable checkpoint and executor loss recovers
+from the checkpoint files (osmquadtree_spark/cache.stage_checkpoint).
+The pipeline's own resumability is independent of this: stage manifests
+commit to --out-dir and a re-run resumes from the first uncommitted
+stage regardless of how the in-flight job died.
 """
 
 from __future__ import annotations

@@ -24,6 +24,32 @@ def cached(df: DataFrame) -> DataFrame:
     return df
 
 
+def stage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate lineage at a pipeline stage boundary.
+
+    Default: ``localCheckpoint`` — blocks live on executors, so on a real
+    cluster a LOST EXECUTOR FAILS THE JOB instead of recomputing. That is
+    acceptable for short bounded pipelines (the kNN expansion's ≤
+    max_rounds loop, the bench memos), not for long production runs.
+
+    Escape hatch (r3 verdict #8): set ``SPARK_GRAFT_CHECKPOINT_DIR`` (or
+    pre-configure ``sparkContext.setCheckpointDir``) and every stage
+    checkpoint in the engine becomes a RELIABLE checkpoint to that
+    directory (HDFS/S3 on a cluster) — executor loss then recomputes from
+    the checkpoint files. jobs/tile_pipeline.py documents the policy."""
+    import os
+
+    sc = df.sparkSession.sparkContext
+    ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckdir:
+        # setCheckpointDir is idempotent per dir; cheap to re-assert
+        sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=eager)
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def release_all() -> None:
     global _PERSISTED
     frames, _PERSISTED = _PERSISTED, []

@@ -323,12 +323,19 @@ def ivf_topk(
     qid_col: str = "query_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    export_pairs_path: str | None = None,
+    metrics_path: str | None = None,
 ) -> DataFrame:
     """IVF-Flat cosine top-k: probe the ``nprobe`` nearest centroid lists
     per query, re-score candidates exactly, window top-k — (query_id,
     vec_id, rank), exact within the probed lists; recall vs cosine_topk is
     the pytest gate (as for lsh_topk). Pass ``centroids`` to reuse a
-    trained codebook (the production shape: train once, serve many)."""
+    trained codebook (the production shape: train once, serve many).
+
+    ``export_pairs_path`` commits the candidate set (atomic swap) and
+    feeds the returned plan from it — the same soundness-oracle surface as
+    lsh_topk: DuckDB re-ranks the exported candidates from the raw
+    embeddings and the within-candidate-set top-k must match exactly."""
     if centroids is None:
         centroids = train_centroids(
             vectors, n_centroids, sample_mod, seed=seed,
@@ -337,4 +344,13 @@ def ivf_topk(
     v = ivf_assign(vectors, centroids, [id_col], vec_col, nprobe=1)
     q = ivf_assign(queries, centroids, [qid_col], vec_col, nprobe=nprobe)
     pairs = v.join(F.broadcast(q), "cid").select(id_col, qid_col)
+    if export_pairs_path is not None:
+        from .. import metrics
+
+        metrics.atomic_export(pairs, export_pairs_path)
+        pairs = vectors.sparkSession.read.parquet(export_pairs_path)
+        if metrics_path is not None:
+            metrics.register_count(
+                metrics_path, "ann_ivf_topk", "candidate_pairs", pairs
+            )
     return _rescore_topk(pairs, vectors, queries, k, id_col, qid_col, vec_col)

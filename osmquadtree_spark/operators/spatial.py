@@ -16,8 +16,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
 from pyspark.sql.functions import pandas_udf
 
+from ..cache import stage_checkpoint
 from ..functions.udfs import round_qt_col
 from ..kernels import quadtree as qtk
 
@@ -333,7 +335,8 @@ def knn_cell_expansion(
         (F.col("lat") * 1e-7).alias("qlat_deg"),
         F.col("_t.tile_x").alias("qx"),
         F.col("_t.tile_y").alias("qy"),
-    ).localCheckpoint(eager=True)
+    )
+    unresolved = stage_checkpoint(unresolved, eager=True)
     results = None
     carried = None  # unresolved queries' scored top-k from prior rounds
     radius, prev_radius = 1, 0
@@ -375,21 +378,20 @@ def knn_cell_expansion(
             .filter((F.col("_cnt") >= k) & (F.col("_kth") <= _ring_bound_chord(radius)))
             .select(qid_col)
         )
-        got = (
-            topk.join(resolved_q, qid_col, "left_semi")
-            .select(qid_col, id_col, "rank")
-            .localCheckpoint(eager=True)
+        got = stage_checkpoint(
+            topk.join(resolved_q, qid_col, "left_semi").select(
+                qid_col, id_col, "rank"
+            ),
+            eager=True,
         )
         results = got if results is None else results.unionByName(got)
-        unresolved = unresolved.join(resolved_q, qid_col, "left_anti").localCheckpoint(
-            eager=True
+        unresolved = stage_checkpoint(
+            unresolved.join(resolved_q, qid_col, "left_anti"), eager=True
         )
         # carry survivors' already-scored top-k into the next round (≤ k
         # rows per unresolved query — the interior never re-scores)
-        carried = (
-            topk.join(resolved_q, qid_col, "left_anti")
-            .drop("rank")
-            .localCheckpoint(eager=True)
+        carried = stage_checkpoint(
+            topk.join(resolved_q, qid_col, "left_anti").drop("rank"), eager=True
         )
         topk.unpersist()
         prev_radius, radius = radius, radius * 2

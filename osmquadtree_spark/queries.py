@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import calcqts_oracle as cqo
+from .cache import stage_checkpoint
 from .functions import dedup_oracle as do
 from .functions import group_oracle as grpo
 from .functions import geometry_oracle as go
@@ -91,7 +92,7 @@ def _elements_qt(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _elements(spark, sf_dir).withColumn(
         "qt", qt_calc("minx", "miny", "maxx", "maxy")
     )
-    _ELEMENTS_QT_CACHE[key] = df.localCheckpoint(eager=False)
+    _ELEMENTS_QT_CACHE[key] = stage_checkpoint(df, eager=False)
     return _ELEMENTS_QT_CACHE[key]
 
 
@@ -416,7 +417,7 @@ def _extract_ids(spark, sf_dir):
     nodes, ways, rels = _osm_fixture(spark, sf_dir)
     ids = extract_with_expansion(nodes, ways, rels, BOX)
     _EXTRACT_CACHE[key] = {
-        k: v.localCheckpoint(eager=False) for k, v in ids.items()
+        k: stage_checkpoint(v, eager=False) for k, v in ids.items()
     }
     return _EXTRACT_CACHE[key]
 
@@ -470,9 +471,9 @@ def _old_state(spark, sf_dir):
     nodes, ways, rels = _osm_fixture(spark, sf_dir)
     # small_* hints: the bench fixture is diff-scale, where the lookup side
     # fits an executor; the planet-scale derivation keeps shuffle joins
-    wq = way_quadtrees(ways, nodes, small_nodes=True).localCheckpoint(eager=False)
-    nq = node_quadtrees(nodes, ways, wq, small_way_qts=True).localCheckpoint(eager=False)
-    rq = relation_quadtrees(rels, nq, wq, small_member_qts=True).localCheckpoint(eager=False)
+    wq = stage_checkpoint(way_quadtrees(ways, nodes, small_nodes=True), eager=False)
+    nq = stage_checkpoint(node_quadtrees(nodes, ways, wq, small_way_qts=True), eager=False)
+    rq = stage_checkpoint(relation_quadtrees(rels, nq, wq, small_member_qts=True), eager=False)
     old = {"nodes": nq, "ways": wq, "relations": rq}
     _OLD_QTS_CACHE[key] = (nodes, ways, rels, old)
     return _OLD_QTS_CACHE[key]
@@ -1896,3 +1897,39 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return _oracle_sql()
+
+
+# ----------------------------------------------------------------------------
+# repo-local sweep extension — the external driver registry is capped at 50
+# queries, so operators beyond the cap get the SAME value gate through
+# tools/driver_sweep.py (which merges these) and pytest (test_entry_oracle).
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN (deterministic sampled-k-means codebook, nprobe
+    centroid-list probe, exact re-score) behind the same soundness oracle
+    as ann_lsh_topk: the candidate set is exported and DuckDB re-ranks it
+    from the raw embeddings — the within-candidate-set top-k must match
+    exactly. Recall vs brute force stays pytest-gated
+    (tests/test_spatial.test_ivf_recall_vs_exact_and_determinism)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ops.ivf_topk(
+        emb, queries, ANN_K, n_centroids=16, nprobe=4,
+        export_pairs_path=_scratch(sf_dir, "ivf_ann_candidates"),
+        metrics_path=_scratch(sf_dir, "metrics"),
+    )
+
+
+def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {"ann_ivf_topk": q_ann_ivf_topk}
+
+
+def sweep_oracle_sql() -> dict[str, str]:
+    return {
+        "ann_ivf_topk": do.ann_lsh_soundness_sql(
+            ANN_K, _scratch(_ORACLE_SF_DIR(), "ivf_ann_candidates")
+        ),
+    }

@@ -97,3 +97,41 @@ def test_h3_seam_resolves_or_raises():
         assert np.array_equal(got, want)
         with pytest.raises(NotImplementedError):
             s2.h3_cell([0], [0], allow_hexlite=False)
+
+
+def test_h3_adapter_matches_real_package_when_installed():
+    """Closes the hexlite seam's correctness story at zero container cost:
+    when the real `h3` package is importable (not in this sandbox), the
+    adapter must return ITS cell ids bit-for-bit — latlng_to_cell at the
+    same resolution, fixed-point degrees scaled by 1e-7. Skipped where h3
+    is absent; runnable anywhere the package exists (r3 verdict #7)."""
+    h3 = pytest.importorskip("h3")
+    from osmquadtree_spark.kernels.s2 import h3_cell
+
+    lons = np.asarray([0, 1800000000 - 1, -1800000000, 1234567890, -987654321])
+    lats = np.asarray([0, 900000000 - 1, -900000000, 456789012, -345678901])
+    for res in (0, 5, 9, 15):
+        got = h3_cell(lons, lats, res, allow_hexlite=False)
+        want = np.asarray(
+            [
+                int(h3.latlng_to_cell(la * 1e-7, lo * 1e-7, res), 16)
+                for lo, la in zip(lons, lats)
+            ],
+            dtype=np.uint64,
+        ).astype(np.int64)
+        assert (got == want).all()
+
+
+def test_h3_adapter_strict_raises_without_package():
+    """allow_hexlite=False must raise (never silently serve hexlite ids to
+    an interop sink) when the real package is absent."""
+    try:
+        import h3  # noqa: F401
+
+        pytest.skip("h3 installed here; the strict path resolves for real")
+    except ImportError:
+        pass
+    from osmquadtree_spark.kernels.s2 import h3_cell
+
+    with pytest.raises(NotImplementedError):
+        h3_cell(np.asarray([0]), np.asarray([0]), 9, allow_hexlite=False)

@@ -74,6 +74,12 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 
     queries, oracles = entry.queries(), entry.oracle_sql()
+    # repo-local extension beyond the external driver's 50-query cap:
+    # same value gate, same comparison
+    from osmquadtree_spark import queries as Qx
+
+    queries = {**queries, **Qx.sweep_queries()}
+    oracles = {**oracles, **Qx.sweep_oracle_sql()}
     names = args.queries or list(queries)
     unknown = [n for n in names if n not in queries]
     if unknown:
