@@ -39,19 +39,33 @@ def apply_changes(
     A key may repeat WITHIN one change table (a raw .osc can carry a
     <create> and a <modify> for the same element — sources/osc.py emits
     both). Ordering only by file index would pick a shuffle-dependent
-    winner, so the window breaks same-file ties by ``tiebreak_cols``
-    descending (pass ["version", "timestamp"] for OSM change rows),
-    falling back to ``changetype_col`` descending — any fixed rule makes
-    the merge a pure function of the row CONTENT."""
+    winner, so the window breaks same-file ties deterministically, by
+    priority (r3 advice — the reference applies rows in FILE ORDER with
+    last-wins, so a <modify> followed by a <delete> must delete, never
+    resurrect):
+
+    1. explicit ``tiebreak_cols`` (descending) when the caller passes them;
+    2. else ``file_pos`` descending when present (sources/osc.py captures
+       document order at parse time — the reference's exact rule);
+    3. else ``version`` descending when present (OSM rows without a
+       captured position: the higher version is the later edit);
+    4. else ``changetype_col`` descending (content-only last resort for
+       key-value change tables)."""
     parts = [main.withColumn("_file_idx", F.lit(0))]
     for i, ch in enumerate(changes):
         parts.append(ch.withColumn("_file_idx", F.lit(i + 1)))
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p)
-    order = [F.col("_file_idx").desc()] + [
-        F.col(c).desc() for c in (tiebreak_cols or [changetype_col])
-    ]
+    if tiebreak_cols is None:
+        cols = set(unioned.columns)
+        if "file_pos" in cols:
+            tiebreak_cols = ["file_pos"]
+        elif "version" in cols:
+            tiebreak_cols = ["version"]
+        else:
+            tiebreak_cols = [changetype_col]
+    order = [F.col("_file_idx").desc()] + [F.col(c).desc() for c in tiebreak_cols]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         unioned.withColumn("_rn", F.row_number().over(w))

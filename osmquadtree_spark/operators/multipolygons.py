@@ -279,7 +279,10 @@ def multipolygon_wkb(res: dict) -> bytes | None:
     valid part → a plain SRID Polygon (type 3); several parts → a
     MultiPolygon (type 6, SRID on the multi only, bare part headers); a
     part is (outer + its CONTAINED inners) and is skipped when the outer
-    has < 4 points (check_parts 248-257). No valid parts → None (the
+    OR ANY attached inner has < 4 points — check_parts (248-257) runs
+    is_ring over every inner and drops the WHOLE part on the first
+    failure (closedness is guaranteed here: the assembler only emits
+    closed rings, multipolygons.py:117-131). No valid parts → None (the
     reference emits no geometry; its type-7 empty form is only reachable
     from a zero-part object, which the build loop never constructs)."""
     from .wkb import multi_wkb, polygon_wkb
@@ -291,8 +294,11 @@ def multipolygon_wkb(res: dict) -> bytes | None:
     for outer, inns in zip(res["outers"], inner_groups):
         olons, olats = _ring_arrays(outer)
         if len(olons) < 4:
-            continue  # check_parts: invalid part skipped
-        parts.append([(olons, olats)] + list(inns))
+            continue  # check_parts: degenerate outer → part skipped
+        inns = [_ring_arrays(i) for i in inns]
+        if any(len(il) < 4 for il, _ in inns):
+            continue  # check_parts: ANY degenerate attached inner → part skipped
+        parts.append([(olons, olats)] + inns)
     if not parts:
         return None
     if len(parts) == 1:

@@ -22,17 +22,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 CHANGETYPE = {"create": 5, "modify": 4, "delete": 1}
 
+# file_pos: the element's 0-based position in DOCUMENT order — the
+# reference applies change rows in file order with last-wins
+# (combineblocks.cpp merges newest-last), so the merge tiebreak within one
+# file is this position, not the changetype (operators/changes.py)
 NODE_SCHEMA = (
     "node_id bigint, lon bigint, lat bigint, version int, timestamp bigint, "
-    "changetype int, tags array<struct<key:string,val:string>>"
+    "changetype int, tags array<struct<key:string,val:string>>, file_pos bigint"
 )
 WAY_SCHEMA = (
     "way_id bigint, refs array<bigint>, version int, timestamp bigint, "
-    "changetype int, tags array<struct<key:string,val:string>>"
+    "changetype int, tags array<struct<key:string,val:string>>, file_pos bigint"
 )
 REL_SCHEMA = (
     "rel_id bigint, members array<struct<m_type:int,m_ref:bigint,role:string>>, "
-    "version int, timestamp bigint, changetype int, tags array<struct<key:string,val:string>>"
+    "version int, timestamp bigint, changetype int, tags array<struct<key:string,val:string>>, file_pos bigint"
 )
 
 _MEMBER_TYPE = {"node": 0, "way": 1, "relation": 2}
@@ -67,6 +71,7 @@ def parse_osc(text: str):
     if root.tag != "osmChange":
         raise ValueError("not an osmChange document")
     nodes, ways, rels = [], [], []
+    pos = 0
     for block in root:
         ct = CHANGETYPE.get(block.tag)
         if ct is None:
@@ -77,16 +82,17 @@ def parse_osc(text: str):
             ts = _ts(el.get("timestamp"))
             tags = _tags(el)
             if el.tag == "node":
-                nodes.append((eid, _coord(el.get("lon")), _coord(el.get("lat")), version, ts, ct, tags))
+                nodes.append((eid, _coord(el.get("lon")), _coord(el.get("lat")), version, ts, ct, tags, pos))
             elif el.tag == "way":
                 refs = [int(nd.get("ref")) for nd in el.findall("nd")]
-                ways.append((eid, refs, version, ts, ct, tags))
+                ways.append((eid, refs, version, ts, ct, tags, pos))
             elif el.tag == "relation":
                 members = [
                     (_MEMBER_TYPE[m.get("type")], int(m.get("ref")), m.get("role", ""))
                     for m in el.findall("member")
                 ]
-                rels.append((eid, members, version, ts, ct, tags))
+                rels.append((eid, members, version, ts, ct, tags, pos))
+            pos += 1
     return nodes, ways, rels
 
 

@@ -88,3 +88,38 @@ def test_zero_area_ring_centroid_is_null():
     # healthy ring still returns real coordinates
     cx, cy = ring_centroid(C + [C[0]])
     assert cx is not None and cy is not None
+
+
+def test_degenerate_inner_drops_whole_part():
+    """check_parts (multipolygons.cpp:248-257): a part with a valid outer
+    but ANY attached inner failing is_ring (< 4 points) is dropped
+    ENTIRELY — not emitted with the bad inner stripped (r3 advice)."""
+    import numpy as np
+
+    from osmquadtree_spark.operators.multipolygons import multipolygon_wkb
+
+    sq = lambda s: (  # closed square ring of size s at origin offset 1e5
+        np.asarray([100000, 100000 + s, 100000 + s, 100000, 100000], np.int64),
+        np.asarray([100000, 100000, 100000 + s, 100000 + s, 100000], np.int64),
+    )
+    outer = (
+        np.asarray([0, 1000000, 1000000, 0, 0], np.int64),
+        np.asarray([0, 0, 1000000, 1000000, 0], np.int64),
+    )
+    # A→B→A sliver: closed but only 3 points — is_ring fails
+    sliver = (
+        np.asarray([200000, 300000, 200000], np.int64),
+        np.asarray([200000, 200000, 200000], np.int64),
+    )
+    ok = multipolygon_wkb({"outers": [outer], "inners": [sq(500000)]})
+    assert ok is not None
+    # same outer, degenerate inner attached → whole part dropped → None
+    assert multipolygon_wkb({"outers": [outer], "inners": [sliver]}) is None
+    # two parts: the degenerate-inner part drops, the clean one survives as
+    # a plain SRID Polygon (single remaining part)
+    outer2 = (
+        np.asarray([5000000, 6000000, 6000000, 5000000, 5000000], np.int64),
+        np.asarray([5000000, 5000000, 6000000, 6000000, 5000000], np.int64),
+    )
+    two = multipolygon_wkb({"outers": [outer, outer2], "inners": [sliver]})
+    assert two == multipolygon_wkb({"outers": [outer2], "inners": []})

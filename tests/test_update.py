@@ -136,3 +136,30 @@ def test_element_diff_reasons(spark):
     }
     full = {r.id: r.reason for r in element_diff(left, right, include_same=True).collect()}
     assert full[1] == "Same"
+
+
+def test_same_file_modify_then_delete_deletes(spark):
+    """r3 advice: the reference applies change rows in FILE ORDER with
+    last-wins, so a <modify> followed by a <delete> for the same key in
+    ONE change file must delete — the old changetype-desc fallback
+    preferred Modify(4) over Delete(1) and resurrected the element.
+    file_pos (captured by sources/osc.py) is the default tiebreak."""
+    from osmquadtree_spark.operators.changes import apply_changes
+    from osmquadtree_spark.sources.osc import osc_dataframes
+
+    osc = """<osmChange>
+      <modify><node id="7" lon="1.0" lat="2.0" version="3"/></modify>
+      <delete><node id="7" lon="1.0" lat="2.0" version="4"/></delete>
+      <modify><node id="8" lon="5.0" lat="6.0" version="2"/></modify>
+    </osmChange>"""
+    ch = osc_dataframes(spark, osc)["nodes"]
+    main = spark.createDataFrame(
+        [(7, 0, 0, 1, 0, 0, [], -1), (8, 0, 0, 1, 0, 0, [], -1), (9, 0, 0, 1, 0, 0, [], -1)],
+        ch.schema,
+    )
+    out = apply_changes(main, [ch], ["node_id"])
+    got = {r.node_id for r in out.collect()}
+    assert got == {8, 9}  # 7 deleted (delete is later in file order)
+    # and the surviving 8 carries the modified coordinates
+    row8 = out.filter(F.col("node_id") == 8).first()
+    assert row8.lon == 50000000 and row8.version == 2
