@@ -1923,8 +1923,203 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_minzoom_counters(spark, sf_dir):
+    """findminzoom usage counters (findminzoom.cpp:58-64, 121): how many
+    elements each spec row decided — nodes as class 0, ways as class 1 or
+    (polygon-typed rings, way_id % 6 == 0) class 2. Winner per element =
+    matching row with the smallest zoom; equal-zoom ties break (exact,
+    key, val) — operators/geometry.minzoom_usage."""
+    from .operators import geometry as geo
+    from .sources import osm_fixture as fx
+
+    _load(spark, sf_dir, "orders")
+    _load(spark, sf_dir, "lineitem")
+    nt = fx.fixture_node_tags(spark, sf_dir)
+    nodes = geo.minzoom_usage(nt, "tags", F.lit(0), ["node_id"])
+    wt = fx.fixture_way_tags(spark, sf_dir)
+    gclass = F.when(
+        (F.col("way_id") % 6 == 0) & geo.is_polygon_col("tags"), F.lit(2)
+    ).otherwise(F.lit(1))
+    ways = geo.minzoom_usage(wt, "tags", gclass, ["way_id"])
+    return nodes.unionByName(ways)
+
+
+def _minzoom_counters_sql() -> str:
+    """DuckDB twin of q_minzoom_counters: unpivot the node/way kv CTEs to
+    tag rows, join MINZOOM_SPEC (exact shadows wildcard), window winner
+    per element with the engine's exact tie order, aggregate."""
+    from .functions import geometry_oracle as go
+    from .functions.geostyle import MINZOOM_SPEC
+    from .sources.osm_fixture import NODE_TAG_RULES, WAY_TAG_RULES, nodes_sql
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    def unpivot(cte: str, id_col: str, rules, cls_expr: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {id_col} AS eid, {cls_expr} AS cls, '{q(k)}' AS key, "
+            f"v_{k.replace(':', '__')} AS val "
+            f"FROM {cte} WHERE v_{k.replace(':', '__')} IS NOT NULL"
+            for k, _, _ in rules
+        )
+
+    spec_rows = ", ".join(
+        f"({c}, '{q(k)}', '{q(v)}', {z})" for c, k, v, z in MINZOOM_SPEC
+    )
+    way_keys = go._present(WAY_TAG_RULES)
+    way_cls = (
+        f"CASE WHEN way_id % 6 = 0 AND {go._is_polygon_sql(way_keys)} "
+        "THEN 2 ELSE 1 END"
+    )
+    return f"""
+WITH nkv AS ({go._kv_cte(NODE_TAG_RULES, nodes_sql(), "node_id")}),
+wkv AS ({go._kv_cte(WAY_TAG_RULES, go._ways_src(), "way_id")}),
+trows AS (
+  {unpivot("nkv", "node_id", NODE_TAG_RULES, "0")}
+  UNION ALL
+  {unpivot("wkv", "1000000000000 + way_id", WAY_TAG_RULES, way_cls)}
+),
+spec(cls, key, val, z) AS (VALUES {spec_rows}),
+j AS (
+  SELECT t.eid, t.cls, t.key, t.val,
+         COALESCE(se.z, sw.z) AS zz,
+         (se.z IS NULL AND sw.z IS NOT NULL) AS wildcard
+  FROM trows t
+  LEFT JOIN spec se ON se.cls = t.cls AND se.key = t.key AND se.val = t.val AND se.val <> '*'
+  LEFT JOIN spec sw ON sw.cls = t.cls AND sw.key = t.key AND sw.val = '*'
+),
+winners AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY eid
+      ORDER BY zz ASC, wildcard ASC, key ASC, val ASC) AS rn
+  FROM j WHERE zz IS NOT NULL
+)
+SELECT cls, key, CASE WHEN wildcard THEN '*' ELSE val END AS val,
+       zz AS z, COUNT(*) AS n_used
+FROM winners WHERE rn = 1
+GROUP BY 1, 2, 3, 4
+""".strip()
+
+
+def q_filelist_merge(spark, sf_dir):
+    """filelist.json catalog source driving the latest-wins merge
+    (readblockscaller.cpp:38-82): snapshot + 2 diffs resolved through the
+    JSON catalog, plus a THIRD diff whose EndDate is beyond the requested
+    enddate — the skip-newer rule must drop it, so the result equals the
+    2-diff changes_merge oracle (a wrongly-included diff would corrupt
+    every %5==0 payload)."""
+    import os as _os
+
+    from .sources.filelist import catalog_tables, read_date, write_filelist
+
+    orders = _load(spark, sf_dir, "orders")
+    main = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("payload"),
+        F.lit(0).alias("changetype"),
+    )
+    ch1 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_totalprice") * 2).alias("payload"),
+        (F.col("o_orderkey") % 5 + 1).cast("int").alias("changetype"),
+    )
+    ch2 = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_totalprice") * 3).alias("payload"),
+        (F.col("o_orderkey") % 2 + 4).cast("int").alias("changetype"),
+    )
+    poison = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_totalprice") * 999).alias("payload"),
+        F.lit(5).cast("int").alias("changetype"),
+    )
+    prfx = _scratch(sf_dir, "filelist_cat")
+    _os.makedirs(prfx, exist_ok=True)
+    for name, df in (("main", main), ("ch1", ch1), ("ch2", ch2), ("ch3", poison)):
+        df.write.mode("overwrite").parquet(_os.path.join(prfx, name))
+    write_filelist(
+        prfx,
+        [
+            {"Filename": "main", "EndDate": "2020-01-01T00:00:00", "NumTiles": 1, "State": 1},
+            {"Filename": "ch1", "EndDate": "2020-01-02T00:00:00", "NumTiles": 1, "State": 2},
+            {"Filename": "ch2", "EndDate": "2020-01-03T00:00:00", "NumTiles": 1, "State": 3},
+            {"Filename": "ch3", "EndDate": "2020-01-04T00:00:00", "NumTiles": 1, "State": 4},
+        ],
+    )
+    m, chs, _last = catalog_tables(spark, prfx, enddate=read_date("2020-01-03T00:00:00"))
+    return apply_changes(m, chs, ["key"])
+
+
+def q_seg_intersections(spark, sf_dir):
+    """Segment/box intersection kernels (geometry.cpp:83-101,
+    bbox.hpp:41-44) over element diagonals at 1/1000 coordinate scale
+    (products stay < 2^63 in BOTH engines — DuckDB raises on BIGINT
+    overflow instead of wrapping): each element's (minx,miny)→(maxx,maxy)
+    diagonal vs a fixed probe segment, and its bbox vs a fixed probe box."""
+    import pandas as pd
+
+    from .kernels.geom import box_overlaps, segment_intersects
+
+    P1, P2 = (-900000, -600000), (1100000, 800000)
+    B = (-500000, -400000, 700000, 600000)
+
+    def gen(batches):
+        for pdf in batches:
+            x1 = pdf["minx"].to_numpy("int64") // 1000
+            y1 = pdf["miny"].to_numpy("int64") // 1000
+            x2 = pdf["maxx"].to_numpy("int64") // 1000
+            y2 = pdf["maxy"].to_numpy("int64") // 1000
+            seg = segment_intersects((x1, y1), (x2, y2), P1, P2)
+            box = box_overlaps(x1, y1, x2, y2, *B)
+            yield pd.DataFrame(
+                {"elem_id": pdf["elem_id"], "seg_x": seg, "box_x": box}
+            )
+
+    df = _elements(spark, sf_dir).select("elem_id", "minx", "miny", "maxx", "maxy")
+    return df.mapInPandas(gen, "elem_id bigint, seg_x boolean, box_x boolean")
+
+
+def _seg_intersections_sql() -> str:
+    from .sources.geo import elements_sql
+
+    p1x, p1y, p2x, p2y = -900000, -600000, 1100000, 800000
+    bx0, by0, bx1, by1 = -500000, -400000, 700000, 600000
+
+    def side(ax, ay, bx, by, qx, qy):
+        return (
+            f"sign(({qx} - ({ax})) * (({by}) - ({ay})) - (({bx}) - ({ax})) * ({qy} - ({ay})))"
+        )
+
+    # integer // in numpy floors; DuckDB's // on BIGINT truncates — use
+    # explicit floor division via CASE-free arithmetic: floor(x/1000.0)
+    cte = (
+        "SELECT elem_id, "
+        "CAST(floor(minx / 1000.0) AS BIGINT) AS x1, "
+        "CAST(floor(miny / 1000.0) AS BIGINT) AS y1, "
+        "CAST(floor(maxx / 1000.0) AS BIGINT) AS x2, "
+        "CAST(floor(maxy / 1000.0) AS BIGINT) AS y2 "
+        f"FROM ({elements_sql()})"
+    )
+    pq1 = side("x1", "y1", "x2", "y2", p1x, p1y)
+    pq2 = side("x1", "y1", "x2", "y2", p2x, p2y)
+    qp1 = side(p1x, p1y, p2x, p2y, "x1", "y1")
+    qp2 = side(p1x, p1y, p2x, p2y, "x2", "y2")
+    return f"""
+WITH e AS ({cte})
+SELECT elem_id,
+       ({pq1} <> {pq2} AND {qp1} <> {qp2}) AS seg_x,
+       (x1 <= {bx1} AND x2 >= {bx0} AND y1 <= {by1} AND y2 >= {by0}) AS box_x
+FROM e
+""".strip()
+
+
 def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {"ann_ivf_topk": q_ann_ivf_topk}
+    return {
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "minzoom_counters": q_minzoom_counters,
+        "filelist_merge": q_filelist_merge,
+        "seg_intersections": q_seg_intersections,
+    }
 
 
 def sweep_oracle_sql() -> dict[str, str]:
@@ -1932,4 +2127,7 @@ def sweep_oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": do.ann_lsh_soundness_sql(
             ANN_K, _scratch(_ORACLE_SF_DIR(), "ivf_ann_candidates")
         ),
+        "minzoom_counters": _minzoom_counters_sql(),
+        "filelist_merge": _oracle_sql()["changes_merge"],
+        "seg_intersections": _seg_intersections_sql(),
     }
