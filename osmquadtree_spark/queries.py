@@ -2113,12 +2113,128 @@ FROM e
 """.strip()
 
 
+def _diff_sides(spark, sf_dir):
+    """Deterministic left/right element tables for the element_diff gate:
+    every reason-class is planted by a modulus rule (shared with the SQL
+    twin below)."""
+    o = _load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    base = o.select(
+        (F.col("k") % 3).cast("int").alias("element_type"),
+        F.col("k").alias("id"),
+        (F.col("k") % 7).cast("int").alias("version"),
+        (F.col("k") * 11 % 1000).alias("lon"),
+        (F.col("k") * 13 % 1000).alias("lat"),
+        (F.col("k") * 17 % 100000).alias("qt"),
+        (F.col("k") % 5).cast("int").alias("changetype"),
+        F.array(
+            F.concat(F.lit("a="), (F.col("k") % 4).cast("string")),
+            F.concat(F.lit("b="), (F.col("k") % 6).cast("string")),
+        ).alias("tags"),
+    )
+    left = base.filter(F.col("id") % 13 != 0)  # %13==0 → NoLeft
+    k = F.col("id")
+    right = (
+        base.filter(k % 11 != 0)  # %11==0 → NoRight
+        .withColumn(
+            "version",
+            F.when(k % 5 == 0, F.col("version") + 1).otherwise(F.col("version")),
+        )
+        .withColumn(
+            "tags",
+            F.when(
+                k % 19 == 0,
+                F.array(F.lit("a=X"), F.element_at("tags", 2)),
+            )
+            .when(k % 17 == 0, F.reverse("tags"))  # order-only → Same
+            .otherwise(F.col("tags")),
+        )
+        .withColumn("lon", F.when(k % 7 == 0, F.col("lon") + 1).otherwise(F.col("lon")))
+        .withColumn("qt", F.when(k % 3 == 0, F.col("qt") + 1).otherwise(F.col("qt")))
+        .withColumn(
+            "changetype",
+            F.when(k % 2 == 0, (F.col("changetype") + 1) % 6).otherwise(
+                F.col("changetype")
+            ).cast("int"),
+        )
+    )
+    return left, right
+
+
+def q_element_diff(spark, sf_dir):
+    """compare_element / diffreason (count_python.cpp:82-186): full-outer
+    join + CASE chain in the reference's check precedence (NoLeft/NoRight
+    → Info → Tags → LonLat → Refs → Members → Quadtree → ChangeType →
+    Same), tags compared SORTED — an order-only tag permutation is Same."""
+    from .operators.stats import element_diff
+
+    left, right = _diff_sides(spark, sf_dir)
+    return element_diff(left, right)
+
+
+def _element_diff_sql() -> str:
+    """DuckDB twin of q_element_diff: same modulus fixture, same
+    precedence chain, list_sort for the tag compare."""
+    base = """
+      SELECT CAST(o_orderkey % 3 AS INT) AS element_type,
+             o_orderkey AS id,
+             CAST(o_orderkey % 7 AS INT) AS version,
+             o_orderkey * 11 % 1000 AS lon,
+             o_orderkey * 13 % 1000 AS lat,
+             o_orderkey * 17 % 100000 AS qt,
+             CAST(o_orderkey % 5 AS INT) AS changetype,
+             ['a=' || CAST(o_orderkey % 4 AS VARCHAR),
+              'b=' || CAST(o_orderkey % 6 AS VARCHAR)] AS tags
+      FROM orders"""
+    return f"""
+WITH base AS ({base}),
+l AS (SELECT * FROM base WHERE id % 13 <> 0),
+r AS (
+  SELECT element_type, id,
+         CASE WHEN id % 5 = 0 THEN version + 1 ELSE version END AS version,
+         CASE WHEN id % 7 = 0 THEN lon + 1 ELSE lon END AS lon,
+         lat,
+         CASE WHEN id % 3 = 0 THEN qt + 1 ELSE qt END AS qt,
+         CAST(CASE WHEN id % 2 = 0 THEN (changetype + 1) % 6 ELSE changetype END AS INT) AS changetype,
+         CASE WHEN id % 19 = 0 THEN ['a=X', tags[2]]
+              WHEN id % 17 = 0 THEN list_reverse(tags)
+              ELSE tags END AS tags
+  FROM base WHERE id % 11 <> 0
+),
+j AS (
+  SELECT COALESCE(l.element_type, r.element_type) AS element_type,
+         COALESCE(l.id, r.id) AS id,
+         l.id IS NOT NULL AS lp, r.id IS NOT NULL AS rp,
+         l.version AS lv, r.version AS rv,
+         l.lon AS llon, r.lon AS rlon, l.lat AS llat, r.lat AS rlat,
+         l.qt AS lqt, r.qt AS rqt,
+         l.changetype AS lct, r.changetype AS rct,
+         l.tags AS ltags, r.tags AS rtags
+  FROM l FULL OUTER JOIN r ON l.element_type = r.element_type AND l.id = r.id
+)
+SELECT element_type, id,
+  CASE WHEN NOT lp THEN 'NoLeft'
+       WHEN NOT rp THEN 'NoRight'
+       WHEN lv IS DISTINCT FROM rv THEN 'Info'
+       WHEN list_sort(ltags) IS DISTINCT FROM list_sort(rtags) THEN 'Tags'
+       WHEN llon IS DISTINCT FROM rlon OR llat IS DISTINCT FROM rlat THEN 'LonLat'
+       WHEN lqt IS DISTINCT FROM rqt THEN 'Quadtree'
+       WHEN lct IS DISTINCT FROM rct THEN 'ChangeType'
+       ELSE 'Same' END AS reason
+FROM j
+WHERE NOT (lp AND rp AND lv IS NOT DISTINCT FROM rv
+           AND list_sort(ltags) IS NOT DISTINCT FROM list_sort(rtags)
+           AND llon IS NOT DISTINCT FROM rlon AND llat IS NOT DISTINCT FROM rlat
+           AND lqt IS NOT DISTINCT FROM rqt AND lct IS NOT DISTINCT FROM rct)
+""".strip()
+
+
 def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_ivf_topk": q_ann_ivf_topk,
         "minzoom_counters": q_minzoom_counters,
         "filelist_merge": q_filelist_merge,
         "seg_intersections": q_seg_intersections,
+        "element_diff": q_element_diff,
     }
 
 
@@ -2130,4 +2246,5 @@ def sweep_oracle_sql() -> dict[str, str]:
         "minzoom_counters": _minzoom_counters_sql(),
         "filelist_merge": _oracle_sql()["changes_merge"],
         "seg_intersections": _seg_intersections_sql(),
+        "element_diff": _element_diff_sql(),
     }
