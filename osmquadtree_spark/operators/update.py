@@ -127,6 +127,177 @@ def calc_change_qts(
     }
 
 
+def calc_change_qts_inmem(
+    spark,
+    nodes_pdf,
+    ways_pdf,
+    rels_pdf,
+    buffer: float = qtk.BUFFER_DEFAULT,
+    max_depth: int = UPDATE_DEPTH,
+) -> dict[str, DataFrame]:
+    """Driver-side twin of :func:`calc_change_qts` for diff-scale change
+    sets — the reference's own execution shape: ``oqt update`` resolves
+    the day's .osc entirely in one process (update.cpp:539-654); only the
+    planet-side work (store scan, tile routing) needs a cluster. The
+    distributed version distributes a ~30k-row daily diff across ~10
+    scheduler round-trips; this path is one collect + numpy + one
+    createDataFrame per type, with BIT-IDENTICAL results (same kernels:
+    qtk.calculate / common; same resolution CASEs; the same 5-pass
+    Gauss-Seidel closure in the reference's sequential order). Callers
+    gate on the change-set row count (queries._resolved_elements); the
+    DuckDB oracles gate the outputs either way.
+
+    Inputs are pandas frames of the change tables (node_id, lon, lat,
+    changetype, old_qt / way_id, refs, changetype, old_qt / rel_id,
+    members, changetype, old_qt)."""
+    import pandas as pd
+
+    def _i64(s):
+        return s.to_numpy(np.int64)
+
+    # ---- way cells: bbox over resolved member locations ------------------
+    act_w = ways_pdf[ways_pdf["changetype"] > CT_DELETE]
+    if len(act_w):
+        counts = act_w["refs"].map(len).to_numpy(np.int64)
+        wid = np.repeat(_i64(act_w["way_id"]), counts)
+        ref = (
+            np.concatenate([np.asarray(r, np.int64) for r in act_w["refs"]])
+            if counts.sum()
+            else np.zeros(0, np.int64)
+        )
+    else:
+        wid = ref = np.zeros(0, np.int64)
+    nidx = pd.Index(_i64(nodes_pdf["node_id"]))
+    nlon, nlat = _i64(nodes_pdf["lon"]), _i64(nodes_pdf["lat"])
+    li = nidx.get_indexer(ref)
+    ok = li >= 0  # missing refs skipped (calcqtsinmem.cpp:262-271 logs+continues)
+    located = pd.DataFrame(
+        {"w": wid[ok], "lon": nlon[li[ok]], "lat": nlat[li[ok]]}
+    )
+    bbox = located.groupby("w").agg(
+        minx=("lon", "min"), miny=("lat", "min"), maxx=("lon", "max"), maxy=("lat", "max")
+    )
+    wq_ids = bbox.index.to_numpy(np.int64)
+    wq_qt = qtk.calculate(
+        _i64(bbox["minx"]), _i64(bbox["miny"]), _i64(bbox["maxx"]), _i64(bbox["maxy"]),
+        buffer, max_depth,
+    )
+    widx = pd.Index(wq_ids)
+
+    # ---- node cells: common() fold over containing ways, point fallback --
+    wl = widx.get_indexer(wid)  # every ref of every active way w/ a cell
+    wok = (wl >= 0) & (wq_qt[np.clip(wl, 0, None)] >= 0)
+    folds = pd.DataFrame({"n": ref[wok], "qt": wq_qt[wl[wok]]})
+    agg = folds.groupby("n").agg(lo=("qt", "min"), hi=("qt", "max"))
+    from_ways_ids = agg.index.to_numpy(np.int64)
+    from_ways_qt = qtk.common(_i64(agg["lo"]), _i64(agg["hi"]))
+    fmap = pd.Index(from_ways_ids)
+    fpos = fmap.get_indexer(nidx.to_numpy())
+    n_ct = nodes_pdf["changetype"].to_numpy()
+    point_qt = qtk.calculate(nlon, nlat, nlon, nlat, buffer, max_depth)
+    node_new = np.where(fpos >= 0, from_ways_qt[np.clip(fpos, 0, None)], point_qt)
+    node_has = (fpos >= 0) | (n_ct > CT_DELETE)
+
+    # ---- relation cells: member LCA + exact 5-pass closure ---------------
+    act_r = rels_pdf[rels_pdf["changetype"] > CT_DELETE]
+    rel_ids = _i64(act_r["rel_id"]).tolist()
+    rel_set = set(rel_ids)
+    node_qt_map = {
+        int(i): int(q)
+        for i, q, h in zip(nidx.to_numpy(), node_new, node_has)
+        if h
+    }
+    way_qt_map = {int(i): int(q) for i, q in zip(wq_ids, wq_qt)}
+    has_relrel: dict[int, bool] = {}
+    edges: list[tuple[int, int, int]] = []
+    # member fold = common(min, max) over located member cells, exactly the
+    # column form's min/max + common
+    lo: dict[int, int] = {}
+    hi: dict[int, int] = {}
+    for rid, members in zip(act_r["rel_id"], act_r["members"]):
+        rid = int(rid)
+        rr = False
+        for pos, m in enumerate(members):
+            mt, mr = int(m["m_type"]), int(m["m_ref"])
+            if mt == 2:
+                if mr in rel_set:  # only existing rel members (cpp:171-178)
+                    rr = True
+                    edges.append((rid, pos, mr))
+                continue
+            q = node_qt_map.get(mr) if mt == 0 else way_qt_map.get(mr)
+            if q is None or q < 0:
+                continue
+            lo[rid] = q if rid not in lo else min(lo[rid], q)
+            hi[rid] = q if rid not in hi else max(hi[rid], q)
+        has_relrel[rid] = rr
+    cur: dict[int, int] = {}
+    for rid in rel_ids:
+        if rid in lo:
+            cur[rid] = int(qtk.common_scalar(lo[rid], hi[rid]))
+        elif not has_relrel.get(rid, False):
+            cur[rid] = 0  # no member cell, no rel member (calcqtsinmem.cpp:182-184)
+        else:
+            cur[rid] = -1
+    edges.sort(key=lambda t: (t[0], t[1]))
+    for _ in range(5):  # exactly 5 passes (calcqtsinmem.cpp:189-198)
+        for parent, _pos, child in edges:
+            a = cur[parent]
+            b = qtk.common_scalar(a, cur[child])
+            if a != b:
+                cur[parent] = b
+    rel_new = {rid: (q if q >= 0 else 0) for rid, q in cur.items()}
+
+    # ---- resolution CASEs (shared with the distributed path) -------------
+    def resolve_pdf(ids, ct, old, new, has_new):
+        ids = np.asarray(ids, np.int64)
+        ct = np.asarray(ct, np.int64)
+        old_list = [None if pd.isna(o) else int(o) for o in old]
+        new_list = [int(n) if h else None for n, h in zip(new, has_new)]
+        is_new_null = np.asarray([n is None for n in new_list])
+        eq_old = np.asarray(
+            [n is not None and o is not None and n == o
+             for n, o in zip(new_list, old_list)]
+        )
+        drop = ((ct == 0) & (is_new_null | eq_old)) | (
+            (ct > CT_REMOVE) & is_new_null
+        )
+        keep = ~drop
+        take_old = np.isin(ct, (CT_DELETE, CT_REMOVE))
+        qt = [o if t else n for o, n, t in zip(old_list, new_list, take_old)]
+        ctype = np.where(ct == 0, CT_UNCHANGED, ct).astype(np.int64)
+        out = pd.DataFrame({"eid": ids, "changetype": ctype})
+        out["qt"] = pd.Series(qt, dtype=object)
+        return out[["eid", "qt", "changetype"]][keep]
+
+    nodes_out = resolve_pdf(
+        nodes_pdf["node_id"], nodes_pdf["changetype"], nodes_pdf["old_qt"],
+        node_new, node_has,
+    )
+    wmap = pd.Index(wq_ids)
+    wpos = wmap.get_indexer(_i64(ways_pdf["way_id"]))
+    ways_out = resolve_pdf(
+        ways_pdf["way_id"], ways_pdf["changetype"], ways_pdf["old_qt"],
+        np.where(wpos >= 0, wq_qt[np.clip(wpos, 0, None)], 0), wpos >= 0,
+    )
+    rels_out = resolve_pdf(
+        rels_pdf["rel_id"], rels_pdf["changetype"], rels_pdf["old_qt"],
+        [rel_new.get(int(r), 0) for r in rels_pdf["rel_id"]],
+        [int(r) in rel_new for r in rels_pdf["rel_id"]],
+    )
+
+    def mk(pdf, id_name):
+        return spark.createDataFrame(
+            pdf.rename(columns={"eid": id_name}),
+            f"{id_name} bigint, qt bigint, changetype bigint",
+        )
+
+    return {
+        "nodes": mk(nodes_out, "node_id"),
+        "ways": mk(ways_out, "way_id"),
+        "relations": mk(rels_out, "rel_id"),
+    }
+
+
 def missing_ref_count(nodes: DataFrame, ways: DataFrame) -> int:
     """Ways' refs missing from the change map — the reference aborts above
     10 (update.cpp:538, 548-556); callers enforce the policy."""

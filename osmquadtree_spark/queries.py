@@ -507,6 +507,28 @@ def _change_set(spark, sf_dir):
 
 _RESOLVED_CACHE: dict = {}
 
+# diff resolutions at or below this row count run driver-side (the
+# reference's in-process update shape); override for experiments
+_UPDATE_INMEM_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_UPDATE_INMEM_ROWS", "2000000"))
+
+
+def _change_store_rows(sf_dir: str) -> int:
+    """Total change-set rows from parquet footers — no Spark job."""
+    import pyarrow.parquet as pq
+
+    from .sources.qts_store import store_dir
+
+    d = store_dir(sf_dir)
+    n = 0
+    for t in ("ch_nodes", "ch_ways", "ch_rels"):
+        td = os.path.join(d, t)
+        if not os.path.isdir(td):
+            return 1 << 62  # store not built yet: assume big (distributed)
+        for f in os.listdir(td):
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(td, f)).metadata.num_rows
+    return n
+
 
 def _resolved_elements(spark, sf_dir):
     """Memoized per (session, sf_dir): update_change_qts and
@@ -517,15 +539,26 @@ def _resolved_elements(spark, sf_dir):
     if key in _RESOLVED_CACHE:
         return _RESOLVED_CACHE[key]
     from .cache import cached
-    from .operators.update import calc_change_qts
+    from .operators.update import calc_change_qts, calc_change_qts_inmem
 
     ch_nodes, ch_ways, ch_rels, old = _change_set(spark, sf_dir)
-    # read by way-bbox, fallback, and rel passes; registered with the cache
-    # registry so bench sweeps release it — a raw persist() would survive
-    # release_all and let the NEXT sweep's identical plan hit Spark's
-    # CacheManager, reporting a cache read as the query's cost
-    ch_nodes = cached(ch_nodes)
-    res = calc_change_qts(ch_nodes, ch_ways, ch_rels)
+    if _change_store_rows(sf_dir) <= _UPDATE_INMEM_MAX_ROWS:
+        # the reference's own shape: `oqt update` resolves the day's diff
+        # IN ONE PROCESS (update.cpp:539-654); distributing a ~30k-row
+        # change set costs ~10 scheduler round-trips. Bit-identical kernels
+        # + resolution (operators/update.calc_change_qts_inmem); the row
+        # gate (parquet footer counts, no Spark job) keeps planet-scale
+        # change sets on the distributed path.
+        res = calc_change_qts_inmem(
+            spark, ch_nodes.toPandas(), ch_ways.toPandas(), ch_rels.toPandas()
+        )
+    else:
+        # read by way-bbox, fallback, and rel passes; registered with the
+        # cache registry so bench sweeps release it — a raw persist() would
+        # survive release_all and let the NEXT sweep's identical plan hit
+        # Spark's CacheManager, reporting a cache read as the query's cost
+        ch_nodes = cached(ch_nodes)
+        res = calc_change_qts(ch_nodes, ch_ways, ch_rels)
     parts = [
         res["nodes"].select(
             F.lit(0).alias("element_type"), F.col("node_id").alias("id"), "qt", "changetype"

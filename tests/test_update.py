@@ -163,3 +163,25 @@ def test_same_file_modify_then_delete_deletes(spark):
     # and the surviving 8 carries the modified coordinates
     row8 = out.filter(F.col("node_id") == 8).first()
     assert row8.lon == 50000000 and row8.version == 2
+
+
+def test_inmem_resolution_matches_distributed(spark, sf_dir):
+    """The driver-side diff resolution (calc_change_qts_inmem — the
+    reference's in-process update shape) must be BIT-IDENTICAL to the
+    distributed operator on the same change set: same kernels, same
+    resolution CASEs, same 5-pass closure order."""
+    from osmquadtree_spark.operators.update import calc_change_qts_inmem
+    from osmquadtree_spark.sources.qts_store import read_change_store
+
+    ch = read_change_store(spark, sf_dir)
+    dist = calc_change_qts(ch["ch_nodes"], ch["ch_ways"], ch["ch_rels"])
+    inmem = calc_change_qts_inmem(
+        spark,
+        ch["ch_nodes"].toPandas(),
+        ch["ch_ways"].toPandas(),
+        ch["ch_rels"].toPandas(),
+    )
+    for kind, idc in (("nodes", "node_id"), ("ways", "way_id"), ("relations", "rel_id")):
+        a = {(r[idc], r.qt, r.changetype) for r in dist[kind].collect()}
+        b = {(r[idc], r.qt, r.changetype) for r in inmem[kind].collect()}
+        assert a == b, (kind, len(a), len(b), list(a ^ b)[:5])
