@@ -2261,6 +2261,82 @@ WHERE NOT (lp AND rp AND lv IS NOT DISTINCT FROM rv
 """.strip()
 
 
+def q_geojson_diff(spark, sf_dir):
+    """geojson_diff operator gate (process.py:293-307 semantics) over
+    deterministic synthetic FeatureCollections: collections on both sides
+    zip POSITIONALLY with zip-truncation (trailing extras unreported),
+    one-sided keys emit every feature paired with NULL, features compare
+    as strings. The sink's JSON itself is separately gated by
+    geojson_tiles; this gates the reconciliation operator."""
+    from .operators.sinks import geojson_diff
+
+    k = F.col("k")
+    o = _load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+
+    def feats(perturb: bool):
+        def f(i):
+            v = (k * 31 + i) % 10
+            if perturb:
+                v = F.when((k + i) % 6 == 0, v + 100).otherwise(v)
+            return F.concat(
+                k.cast("string"), F.lit(":"), F.lit(str(i)), F.lit(":"), v.cast("string")
+            )
+
+        return F.array(*[f(i) for i in range(5)])
+
+    left = o.filter(k % 13 != 0).select(
+        k.alias("tile"),
+        (k % 3).alias("kind"),
+        F.to_json(F.struct(F.slice(feats(False), 1, (k % 4 + 1).cast("int")).alias("features"))).alias(
+            "geojson"
+        ),
+    )
+    right = o.filter(k % 11 != 0).select(
+        k.alias("tile"),
+        (k % 3).alias("kind"),
+        F.to_json(F.struct(F.slice(feats(True), 1, (k % 5 + 1).cast("int")).alias("features"))).alias(
+            "geojson"
+        ),
+    )
+    return geojson_diff(left, right)
+
+
+def _geojson_diff_sql() -> str:
+    def feats(perturb: bool) -> str:
+        vals = []
+        for i in range(5):
+            v = f"(k * 31 + {i}) % 10"
+            if perturb:
+                v = f"(CASE WHEN (k + {i}) % 6 = 0 THEN {v} + 100 ELSE {v} END)"
+            vals.append(f"CAST(k AS VARCHAR) || ':{i}:' || CAST({v} AS VARCHAR)")
+        return "[" + ", ".join(vals) + "]"
+
+    return f"""
+WITH o AS (SELECT o_orderkey AS k FROM orders),
+l AS (SELECT k AS tile, k % 3 AS kind,
+             list_slice({feats(False)}, 1, CAST(k % 4 + 1 AS INT)) AS f
+      FROM o WHERE k % 13 <> 0),
+r AS (SELECT k AS tile, k % 3 AS kind,
+             list_slice({feats(True)}, 1, CAST(k % 5 + 1 AS INT)) AS f
+      FROM o WHERE k % 11 <> 0),
+j AS (
+  SELECT COALESCE(l.tile, r.tile) AS tile, COALESCE(l.kind, r.kind) AS kind,
+         l.f AS lf, r.f AS rf
+  FROM l FULL OUTER JOIN r ON l.tile = r.tile AND l.kind = r.kind
+),
+ex AS (
+  SELECT tile, kind, lf, rf,
+         unnest(range(1, GREATEST(COALESCE(len(lf), 0), COALESCE(len(rf), 0)) + 1)) AS p
+  FROM j
+)
+SELECT tile, kind, CAST(p - 1 AS INT) AS pos,
+       lf[p] AS left_feature, rf[p] AS right_feature
+FROM ex
+WHERE (lf IS NULL OR rf IS NULL)
+   OR (p <= LEAST(len(lf), len(rf)) AND lf[p] <> rf[p])
+""".strip()
+
+
 def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2268,6 +2344,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filelist_merge": q_filelist_merge,
         "seg_intersections": q_seg_intersections,
         "element_diff": q_element_diff,
+        "geojson_diff": q_geojson_diff,
     }
 
 
@@ -2280,4 +2357,5 @@ def sweep_oracle_sql() -> dict[str, str]:
         "filelist_merge": _oracle_sql()["changes_merge"],
         "seg_intersections": _seg_intersections_sql(),
         "element_diff": _element_diff_sql(),
+        "geojson_diff": _geojson_diff_sql(),
     }
