@@ -2337,6 +2337,65 @@ WHERE (lf IS NULL OR rf IS NULL)
 """.strip()
 
 
+def q_ingest_stream(spark, sf_dir):
+    """Structured-Streaming ingest (streaming/ingest.py): the element table
+    replayed as 3 micro-batches through the stateless qt kernel + group
+    assignment against the complete depth-3 table, with the live per-tile
+    count aggregate in complete mode — the converged state must equal the
+    batch aggregation (oracle: SQL find_tile over the restated cells)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.ingest import tile_counts_stream, with_cells_stream
+
+    base = _elements(spark, sf_dir).select("elem_id", "minx", "miny", "maxx", "maxy")
+    root = tempfile.mkdtemp(prefix="oqt_ingest_")
+    try:
+        for i in range(3):
+            base.filter(F.col("elem_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{root}/src/b{i}")
+        stream = (
+            spark.readStream.schema(
+                "elem_id bigint, minx bigint, miny bigint, maxx bigint, maxy bigint"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(root + "/src/*")
+        )
+        enriched = with_cells_stream(stream, _level3_groups())
+        sink = f"oqt_ingest_{uuid.uuid4().hex[:8]}"
+        q = (
+            tile_counts_stream(enriched)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", root + "/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("ingest stream did not finish within 300 s")
+        # materialize before the checkpoint dir disappears
+        return spark.createDataFrame(
+            spark.table(sink).toPandas(), "group_qt bigint, row_count bigint"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _ingest_stream_sql() -> str:
+    from .functions.sql_oracle import round_sql
+
+    tile = f"CASE WHEN (qt & 31) >= 3 THEN {round_sql('qt', 3)} ELSE 0 END"
+    return f"""
+SELECT {tile} AS group_qt, COUNT(*) AS row_count
+FROM ({_qt_cte()})
+GROUP BY 1
+""".strip()
+
+
 def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2345,6 +2404,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_intersections": q_seg_intersections,
         "element_diff": q_element_diff,
         "geojson_diff": q_geojson_diff,
+        "ingest_stream": q_ingest_stream,
     }
 
 
@@ -2358,4 +2418,5 @@ def sweep_oracle_sql() -> dict[str, str]:
         "seg_intersections": _seg_intersections_sql(),
         "element_diff": _element_diff_sql(),
         "geojson_diff": _geojson_diff_sql(),
+        "ingest_stream": _ingest_stream_sql(),
     }
