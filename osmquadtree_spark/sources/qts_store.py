@@ -54,6 +54,7 @@ def _code_fingerprint() -> str:
         "sources/osm_fixture.py",
         "sources/qts_store.py",
         "sources/change_fixture.py",  # the stored .osc-analog change set
+        "sources/mp_fixture.py",  # the stored multipolygon member fixture
         "functions/update_oracle.py",  # its modulus constants
         "operators/calcqts.py",
         "kernels/quadtree.py",
@@ -156,6 +157,14 @@ def build_qts_store(spark: SparkSession, sf_dir: str, base: str | None = None) -
         collect_way_coords(refs, nodes).write.mode("overwrite").parquet(
             os.path.join(tmp, "way_coords")
         )
+        # multipolygon member fixture (sources/mp_fixture.py) — the ring
+        # assembler's INPUT table; see that module's rationale
+        from .mp_fixture import member_rows
+
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        member_rows(orders, spark.sparkContext.defaultParallelism).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "mp_members"))
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
             json.dump(_fingerprint(sf_dir), f)
         if os.path.isdir(final):
@@ -202,6 +211,13 @@ def read_way_coords(spark: SparkSession, sf_dir: str, base: str | None = None) -
     parquet scan (see build note above). Builds the store on first use."""
     d = ensure_qts_store(spark, sf_dir, base)
     return spark.read.parquet(os.path.join(d, "way_coords"))
+
+
+def read_mp_members(spark: SparkSession, sf_dir: str, base: str | None = None) -> DataFrame:
+    """→ (rel_id, pos, role, refs, lons, lats) multipolygon member rows as
+    a plain parquet scan (see sources/mp_fixture.py). Builds on first use."""
+    d = ensure_qts_store(spark, sf_dir, base)
+    return spark.read.parquet(os.path.join(d, "mp_members"))
 
 
 def read_planet_store(
