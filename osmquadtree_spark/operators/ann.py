@@ -70,9 +70,16 @@ def bucket_signatures(
     row (~10× the whole query's cost). Here the whole batch does a single
     (rows × d) @ (d × n_tables·n_planes) numpy matmul against the
     broadcast plane matrix, then packs sign bits per table; one JVM↔Python
-    crossing, vectorized end to end. Emits n_tables rows per input row:
-    (*id_cols, _v array<double>, _norm double, tbl int, bucket bigint).
-    """
+    crossing, vectorized end to end.
+
+    Emits SLIM rows — (*id_cols, tbl int, bucket bigint), n_tables per
+    input row — with the replication done by a JVM-side posexplode of the
+    per-row bucket array, so the Arrow transfer carries one array of
+    n_tables ints per vector. The earlier shape shipped the full
+    ``_v array<double>`` + norm on every replicated row (n_tables × dim
+    doubles per vector, ~250 MB at 60k×64×8) that every consumer then
+    immediately pruned; vectors are re-attached from the source table at
+    re-score time instead."""
     import pandas as pd
 
     n_tables, n_planes, d = planes.shape
@@ -83,7 +90,6 @@ def bucket_signatures(
     id_schema = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols
     )
-    out_schema = f"{id_schema}, _v array<double>, _norm double, tbl int, bucket bigint"
 
     def gen(batches):
         M = bc.value
@@ -93,18 +99,19 @@ def bucket_signatures(
             if n == 0:
                 continue
             V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            norms = np.sqrt(np.einsum("ij,ij->i", V, V))
             bits = (V @ M) >= 0  # (n, n_tables*n_planes)
             bits = bits.reshape(n, n_tables, n_planes)
             buckets = (bits * weights).sum(axis=2).astype(np.int64)  # (n, n_tables)
-            cols = {c: np.repeat(pdf[c].to_numpy(), n_tables) for c in id_cols}
-            cols["_v"] = [v for v in V for _ in range(n_tables)]
-            cols["_norm"] = np.repeat(norms, n_tables)
-            cols["tbl"] = np.tile(np.arange(n_tables, dtype=np.int32), n)
-            cols["bucket"] = buckets.reshape(-1)
+            cols = {c: pdf[c].to_numpy() for c in id_cols}
+            cols["buckets"] = list(buckets)
             yield pd.DataFrame(cols)
 
-    return df.select(*id_cols, vec_col).mapInPandas(gen, out_schema)
+    inner = df.select(*id_cols, vec_col).mapInPandas(
+        gen, f"{id_schema}, buckets array<bigint>"
+    )
+    return inner.select(
+        *id_cols, F.posexplode("buckets").alias("tbl", "bucket")
+    ).withColumn("tbl", F.col("tbl").cast("int"))
 
 
 def lsh_topk(
