@@ -253,10 +253,11 @@ def calc_change_qts_inmem(
         ct = np.asarray(ct, np.int64)
         old_list = [None if pd.isna(o) else int(o) for o in old]
         new_list = [int(n) if h else None for n, h in zip(new, has_new)]
-        is_new_null = np.asarray([n is None for n in new_list])
+        is_new_null = np.asarray([n is None for n in new_list], dtype=bool)
         eq_old = np.asarray(
             [n is not None and o is not None and n == o
-             for n, o in zip(new_list, old_list)]
+             for n, o in zip(new_list, old_list)],
+            dtype=bool,
         )
         drop = ((ct == 0) & (is_new_null | eq_old)) | (
             (ct > CT_REMOVE) & is_new_null

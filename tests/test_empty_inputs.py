@@ -94,3 +94,29 @@ def test_ngram_pairs_short_docs(spark):
     )
     pairs = ngram_pairs(docs, n=3, min_jaccard=0.5).collect()
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(3, 4)}
+
+
+def test_calc_change_qts_inmem_empty(spark):
+    """An empty change set (quiet day) through the driver-side resolution:
+    schema-stable empty outputs, no numpy edge-case crashes."""
+    import pandas as pd
+
+    from osmquadtree_spark.operators.update import calc_change_qts_inmem
+
+    empty_n = pd.DataFrame(
+        {"node_id": [], "lon": [], "lat": [], "changetype": [], "old_qt": []}
+    )
+    empty_w = pd.DataFrame(
+        {"way_id": [], "refs": [], "changetype": [], "old_qt": []}
+    )
+    empty_r = pd.DataFrame(
+        {"rel_id": [], "members": [], "changetype": [], "old_qt": []}
+    )
+    res = calc_change_qts_inmem(spark, empty_n, empty_w, empty_r)
+    for kind in ("nodes", "ways", "relations"):
+        assert res[kind].count() == 0
+        assert set(res[kind].columns) == {
+            "node_id" if kind == "nodes" else ("way_id" if kind == "ways" else "rel_id"),
+            "qt",
+            "changetype",
+        }
