@@ -31,6 +31,7 @@ from .functions import sql_oracle as so
 from .functions import update_oracle as uo
 from .functions.udfs import make_qt_calculate, make_qt_common, round_qt_col
 from .kernels import geom as gk
+from .kernels import quadtree as qtk
 from .operators import ann as ann_ops
 from .operators import docs as doc_ops
 from .operators import images as img_ops
@@ -2339,6 +2340,78 @@ GROUP BY 1
 """.strip()
 
 
+OVERLAP_BOX = (-1234567890, -456789012, 345678901, 567890123)
+
+
+def q_qt_box_overlaps(spark, sf_dir):
+    """overlaps_quadtree (quadtree.cpp:259-262): per distinct depth-≥8
+    element cell rounded to level 8, does the 0.05-buffered cell bbox
+    (mercator walk + un-mercator + fixed-point rounding,
+    quadtree.cpp:121-159) overlap the fixed filter box — the tile-prune
+    predicate, value-gated cell by cell."""
+    import pandas as pd
+
+    cells = (
+        _elements_qt(spark, sf_dir)
+        .filter((F.col("qt") >= 0) & (F.expr("(qt & 31)") >= 8))
+        .select(round_qt_col(F.col("qt"), 8).alias("cell"))
+        .distinct()
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            c = pdf["cell"].to_numpy("int64")
+            minx, miny, maxx, maxy = qtk.bbox_arr(c, qtk.BUFFER_DEFAULT)
+            a, b, x, y = OVERLAP_BOX
+            ov = ~((minx > x) | (maxx < a) | (miny > y) | (maxy < b))
+            yield pd.DataFrame({"cell": c, "overlaps": ov})
+
+    return cells.mapInPandas(gen, "cell bigint, overlaps boolean")
+
+
+def _qt_box_overlaps_sql() -> str:
+    """DuckDB twin: decode level-8 cells to (x, y) (sql_oracle.xyz_sql),
+    rebuild the mercator-space bbox (exact binary arithmetic at a fixed
+    level), un-mercator the latitudes, apply the 0.05 buffer and the
+    reference's fixed-point rounding, then the closed-interval overlap."""
+    from .functions import sql_oracle as so
+
+    x_expr, y_expr = so.xyz_sql("cell", 8)
+    w = 360.0 / 256.0  # exact in binary
+    h = 180.0 / 256.0
+    unmerc = lambda m: f"(atan(exp(({m}) * pi() / 90e0)) * 4e0 / pi() - 1e0) * 90e0"
+    to_int = lambda v: (
+        f"CAST(trunc(CASE WHEN ({v}) > 0 THEN ({v}) * 10000000e0 + 0.5e0 "
+        f"ELSE ({v}) * 10000000e0 - 0.5e0 END) AS BIGINT)"
+    )
+    a, b, x1, y1 = OVERLAP_BOX
+    return f"""
+WITH cells AS (
+  SELECT DISTINCT {so.round_sql('qt', 8)} AS cell
+  FROM ({_qt_cte()}) WHERE qt >= 0 AND (qt & 31) >= 8
+),
+xy AS (SELECT cell, {x_expr} AS tx, {y_expr} AS ty FROM cells),
+deg AS (
+  SELECT cell,
+         -180e0 + tx * {w!r}::DOUBLE AS mx0,
+         -180e0 + (tx + 1) * {w!r}::DOUBLE AS mx1,
+         {unmerc(f"90e0 - (ty + 1) * {h!r}::DOUBLE")} AS my0,
+         {unmerc(f"90e0 - ty * {h!r}::DOUBLE")} AS my1
+  FROM xy
+),
+buf AS (
+  SELECT cell,
+         mx0 - (mx1 - mx0) * 0.05e0 AS bx0, mx1 + (mx1 - mx0) * 0.05e0 AS bx1,
+         my0 - (my1 - my0) * 0.05e0 AS by0, my1 + (my1 - my0) * 0.05e0 AS by1
+  FROM deg
+)
+SELECT cell,
+       NOT ({to_int('bx0')} > {x1} OR {to_int('bx1')} < {a}
+            OR {to_int('by0')} > {y1} OR {to_int('by1')} < {b}) AS overlaps
+FROM buf
+""".strip()
+
+
 def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2348,6 +2421,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "element_diff": q_element_diff,
         "geojson_diff": q_geojson_diff,
         "ingest_stream": q_ingest_stream,
+        "qt_box_overlaps": q_qt_box_overlaps,
     }
 
 
@@ -2362,4 +2436,5 @@ def sweep_oracle_sql() -> dict[str, str]:
         "element_diff": _element_diff_sql(),
         "geojson_diff": _geojson_diff_sql(),
         "ingest_stream": _ingest_stream_sql(),
+        "qt_box_overlaps": _qt_box_overlaps_sql(),
     }
