@@ -70,6 +70,11 @@ def main() -> None:
         num_partitions=args.partitions,
         stop_after=args.stop_after,
     )
+    # run endpoint: flush any operator metrics registered during the run
+    # (hot-bucket drops, candidate counts — osmquadtree_spark/metrics.py)
+    from osmquadtree_spark import metrics
+
+    metrics.commit_pending()
     print(json.dumps(manifests))
     spark.stop()
 

@@ -41,11 +41,15 @@ def stage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
 
     sc = df.sparkSession.sparkContext
     ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
-    if ckdir:
-        # setCheckpointDir is idempotent per dir; cheap to re-assert
+    already = sc._jsc.sc().getCheckpointDir().isDefined()
+    if ckdir and not already:
+        # set ONCE per session: setCheckpointDir is NOT idempotent — every
+        # call mints a fresh <dir>/<uuid> subdirectory (an FS round-trip,
+        # and a leak of never-cleaned checkpoint dirs on HDFS/S3). First
+        # configuration wins for the session's lifetime.
         sc.setCheckpointDir(ckdir)
-        return df.checkpoint(eager=eager)
-    if sc._jsc.sc().getCheckpointDir().isDefined():
+        already = True
+    if already:
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
 

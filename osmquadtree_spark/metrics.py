@@ -15,10 +15,13 @@ signature pass per query before the query even ran (the 2.3× dedup-family
 bench regression), (b) clobbered the previous run's table even for
 constructed-but-abandoned plans, and (c) could overwrite mid-lifetime
 under concurrent runs. Deferring to one run-scoped append keeps the
-committed-metrics guarantee (any endpoint that ends a run —
-queries.clear_session_caches, bench sweeps, tools/driver_sweep, the jobs
-pipeline — flushes) while the registered frames read the operator's OWN
-cached intermediates, so the commit costs one small job, not a recompute.
+committed-metrics guarantee at every run endpoint in this repo —
+queries.clear_session_caches, bench sweeps, tools/driver_sweep and
+jobs/tile_pipeline all call ``commit_pending`` — while the registered
+frames read the operator's OWN cached intermediates, so the commit costs
+one small job, not a recompute. The contract for OTHER embedders: a
+process that registers metrics and exits without calling
+``commit_pending`` drops them — if you end a run, flush it.
 
 Standard metric names:
 - ``bucket_rows_dropped``  rows in each dropped hot bucket (key = bucket)
@@ -126,10 +129,14 @@ def atomic_export(df: DataFrame, path: str) -> None:
     """Write ``df`` to ``path`` via tmp-dir + rename — the soundness-oracle
     export surface (LSH/IVF candidate sets). The candidate sets are
     deterministic functions of the inputs, so repeated builds write
-    identical content; the atomic swap removes the only hazard (a reader
-    hitting a half-overwritten directory mid-swap). A DataFrame already
-    reading ``path`` across a swap sees the same rows by determinism —
-    treat the export as immutable-by-content (ADVICE r3)."""
+    identical CONTENT, and the tmp+rename keeps a reader from ever seeing
+    a half-written directory. Two windows remain and are accepted under
+    the single-writer-per-sf assumption the scratch layout implies: the
+    instant between rmtree(old) and rename(new) the path is briefly
+    absent, and a Spark DataFrame that LISTED the old files before a swap
+    can hit FileNotFound at execution (part-file names differ even when
+    rows do not). Concurrent runs against the same sf scratch should set
+    distinct scratch roots."""
     import shutil
 
     tmp = path + ".tmp-" + uuid.uuid4().hex[:8]

@@ -155,6 +155,27 @@ def calc_change_qts_inmem(
     def _i64(s):
         return s.to_numpy(np.int64)
 
+    def _take(arr, idx, fill=np.int64(-1)):
+        """arr[idx] with -1 indices (and an empty arr) yielding ``fill`` —
+        fancy-indexing an empty array with clipped indices raises."""
+        out = np.full(len(idx), fill, dtype=np.int64)
+        m = idx >= 0
+        if len(arr) and m.any():
+            out[m] = arr[idx[m]]
+        return out
+
+    for col, frame in (
+        ("node_id", nodes_pdf), ("way_id", ways_pdf), ("rel_id", rels_pdf)
+    ):
+        if not frame[col].is_unique:
+            # a raw .osc may repeat an id (create + modify in one file);
+            # the distributed operator tolerates that shape — route such
+            # inputs there instead of silently picking one row here
+            raise ValueError(
+                f"duplicate {col} in change set: use calc_change_qts "
+                "(the distributed path) for non-deduplicated change tables"
+            )
+
     # ---- way cells: bbox over resolved member locations ------------------
     act_w = ways_pdf[ways_pdf["changetype"] > CT_DELETE]
     if len(act_w):
@@ -186,8 +207,9 @@ def calc_change_qts_inmem(
 
     # ---- node cells: common() fold over containing ways, point fallback --
     wl = widx.get_indexer(wid)  # every ref of every active way w/ a cell
-    wok = (wl >= 0) & (wq_qt[np.clip(wl, 0, None)] >= 0)
-    folds = pd.DataFrame({"n": ref[wok], "qt": wq_qt[wl[wok]]})
+    wl_qt = _take(wq_qt, wl)
+    wok = wl_qt >= 0
+    folds = pd.DataFrame({"n": ref[wok], "qt": wl_qt[wok]})
     agg = folds.groupby("n").agg(lo=("qt", "min"), hi=("qt", "max"))
     from_ways_ids = agg.index.to_numpy(np.int64)
     from_ways_qt = qtk.common(_i64(agg["lo"]), _i64(agg["hi"]))
@@ -195,7 +217,7 @@ def calc_change_qts_inmem(
     fpos = fmap.get_indexer(nidx.to_numpy())
     n_ct = nodes_pdf["changetype"].to_numpy()
     point_qt = qtk.calculate(nlon, nlat, nlon, nlat, buffer, max_depth)
-    node_new = np.where(fpos >= 0, from_ways_qt[np.clip(fpos, 0, None)], point_qt)
+    node_new = np.where(fpos >= 0, _take(from_ways_qt, fpos), point_qt)
     node_has = (fpos >= 0) | (n_ct > CT_DELETE)
 
     # ---- relation cells: member LCA + exact 5-pass closure ---------------
@@ -278,7 +300,7 @@ def calc_change_qts_inmem(
     wpos = wmap.get_indexer(_i64(ways_pdf["way_id"]))
     ways_out = resolve_pdf(
         ways_pdf["way_id"], ways_pdf["changetype"], ways_pdf["old_qt"],
-        np.where(wpos >= 0, wq_qt[np.clip(wpos, 0, None)], 0), wpos >= 0,
+        _take(wq_qt, wpos, fill=np.int64(0)), wpos >= 0,
     )
     rels_out = resolve_pdf(
         rels_pdf["rel_id"], rels_pdf["changetype"], rels_pdf["old_qt"],

@@ -339,10 +339,10 @@ def q_group_assign_fine(spark, sf_dir):
     return with_group_column(df, gqt, "qt").select("elem_id", "group_qt")
 
 
-def q_changes_merge(spark, sf_dir):
-    """Latest-wins change application (combineblocks semantics) over a
-    deterministic change set derived from orders."""
-    orders = _load(spark, sf_dir, "orders")
+def _changes_merge_inputs(orders):
+    """(main, ch1, ch2) fixture shared by q_changes_merge, the streaming
+    twin and q_filelist_merge — ALL gated by the single changes_merge
+    oracle, so the derivation must not fork."""
     main = orders.select(
         F.col("o_orderkey").alias("key"),
         F.col("o_totalprice").alias("payload"),
@@ -358,6 +358,13 @@ def q_changes_merge(spark, sf_dir):
         (F.col("o_totalprice") * 3).alias("payload"),
         (F.col("o_orderkey") % 2 + 4).cast("int").alias("changetype"),
     )
+    return main, ch1, ch2
+
+
+def q_changes_merge(spark, sf_dir):
+    """Latest-wins change application (combineblocks semantics) over a
+    deterministic change set derived from orders."""
+    main, ch1, ch2 = _changes_merge_inputs(_load(spark, sf_dir, "orders"))
     return apply_changes(main, [ch1, ch2], ["key"])
 
 
@@ -543,6 +550,7 @@ def _resolved_elements(spark, sf_dir):
     from .operators.update import calc_change_qts, calc_change_qts_inmem
 
     ch_nodes, ch_ways, ch_rels, old = _change_set(spark, sf_dir)
+    res = None
     if _change_store_rows(sf_dir) <= _UPDATE_INMEM_MAX_ROWS:
         # the reference's own shape: `oqt update` resolves the day's diff
         # IN ONE PROCESS (update.cpp:539-654); distributing a ~30k-row
@@ -550,10 +558,15 @@ def _resolved_elements(spark, sf_dir):
         # + resolution (operators/update.calc_change_qts_inmem); the row
         # gate (parquet footer counts, no Spark job) keeps planet-scale
         # change sets on the distributed path.
-        res = calc_change_qts_inmem(
-            spark, ch_nodes.toPandas(), ch_ways.toPandas(), ch_rels.toPandas()
-        )
-    else:
+        try:
+            res = calc_change_qts_inmem(
+                spark, ch_nodes.toPandas(), ch_ways.toPandas(), ch_rels.toPandas()
+            )
+        except ValueError:
+            # duplicate ids (a raw non-deduplicated .osc): the distributed
+            # operator tolerates that shape — fall through to it
+            res = None
+    if res is None:
         # read by way-bbox, fallback, and rel passes; registered with the
         # cache registry so bench sweeps release it — a raw persist() would
         # survive release_all and let the NEXT sweep's identical plan hit
@@ -1811,7 +1824,12 @@ def clear_session_caches(keep_input_stores: bool = False) -> None:
     # "no silent caps" holds per run, not per plan construction.
     from . import metrics as _metrics
 
-    _metrics.commit_pending()
+    try:
+        _metrics.commit_pending()
+    except Exception:
+        # teardown path with a stopped session: drop rather than mask the
+        # caller's own error; live run endpoints commit before stopping
+        _metrics.discard_pending()
     from .cache import release_all
 
     release_all()
@@ -1990,21 +2008,7 @@ def q_filelist_merge(spark, sf_dir):
     from .sources.filelist import catalog_tables, read_date, write_filelist
 
     orders = _load(spark, sf_dir, "orders")
-    main = orders.select(
-        F.col("o_orderkey").alias("key"),
-        F.col("o_totalprice").alias("payload"),
-        F.lit(0).alias("changetype"),
-    )
-    ch1 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
-        F.col("o_orderkey").alias("key"),
-        (F.col("o_totalprice") * 2).alias("payload"),
-        (F.col("o_orderkey") % 5 + 1).cast("int").alias("changetype"),
-    )
-    ch2 = orders.filter(F.col("o_orderkey") % 4 == 0).select(
-        F.col("o_orderkey").alias("key"),
-        (F.col("o_totalprice") * 3).alias("payload"),
-        (F.col("o_orderkey") % 2 + 4).cast("int").alias("changetype"),
-    )
+    main, ch1, ch2 = _changes_merge_inputs(orders)
     poison = orders.filter(F.col("o_orderkey") % 5 == 0).select(
         F.col("o_orderkey").alias("key"),
         (F.col("o_totalprice") * 999).alias("payload"),

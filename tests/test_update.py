@@ -185,3 +185,49 @@ def test_inmem_resolution_matches_distributed(spark, sf_dir):
         a = {(r[idc], r.qt, r.changetype) for r in dist[kind].collect()}
         b = {(r[idc], r.qt, r.changetype) for r in inmem[kind].collect()}
         assert a == b, (kind, len(a), len(b), list(a ^ b)[:5])
+
+
+def test_inmem_partial_change_sets(spark):
+    """Review regression (r4): a change set whose intermediate id→qt
+    tables are EMPTY while the inputs are not — nodes-only diffs, diffs
+    whose ways are all deletes, ways with no resolvable refs — must
+    resolve, not crash on empty-array indexing; and a duplicate-id table
+    (raw non-deduplicated .osc shape) must raise the documented ValueError
+    so callers route it to the distributed operator."""
+    import pandas as pd
+
+    from osmquadtree_spark.operators.update import calc_change_qts_inmem
+
+    # nodes-only diff: no ways at all
+    n = pd.DataFrame(
+        {"node_id": [1, 2], "lon": [100, 200], "lat": [100, 200],
+         "changetype": [4, 1], "old_qt": [7, 42]}
+    )
+    empty_w = pd.DataFrame({"way_id": [], "refs": [], "changetype": [], "old_qt": []})
+    empty_r = pd.DataFrame({"rel_id": [], "members": [], "changetype": [], "old_qt": []})
+    res = calc_change_qts_inmem(spark, n, empty_w, empty_r)
+    got = {r.node_id: (r.qt, r.changetype) for r in res["nodes"].collect()}
+    assert got[2] == (42, 1) and got[1][0] >= 0 and got[1][1] == 4
+
+    # active way with no resolvable refs: way skipped, nodes still resolve
+    w = pd.DataFrame(
+        {"way_id": [10], "refs": [[777, 778]], "changetype": [4], "old_qt": [5]}
+    )
+    res = calc_change_qts_inmem(spark, n, w, empty_r)
+    assert res["ways"].count() == 0
+    assert res["nodes"].count() == 2
+
+    # ways all deletes: wq empty but ways table non-empty
+    wdel = pd.DataFrame(
+        {"way_id": [10], "refs": [[1, 2]], "changetype": [1], "old_qt": [5]}
+    )
+    res = calc_change_qts_inmem(spark, n, wdel, empty_r)
+    assert {r.way_id: (r.qt, r.changetype) for r in res["ways"].collect()} == {10: (5, 1)}
+
+    # duplicate ids → documented ValueError (distributed path handles them)
+    dup = pd.DataFrame(
+        {"node_id": [1, 1], "lon": [0, 0], "lat": [0, 0],
+         "changetype": [5, 4], "old_qt": [None, None]}
+    )
+    with pytest.raises(ValueError, match="duplicate node_id"):
+        calc_change_qts_inmem(spark, dup, empty_w, empty_r)
