@@ -146,7 +146,10 @@ def main() -> None:
         # per sweep, against the operators' still-warm caches; timed and
         # reported separately so the per-query numbers are the production
         # query cost and the commit cost is visible, not hidden
-        metrics_commit.append(M.commit_pending())
+        try:
+            metrics_commit.append(M.commit_pending())
+        except Exception as ex:  # a frame sharing a failed query's lineage
+            metrics_commit.append({"error": f"{type(ex).__name__}: {ex}"})
     timings = {name: min(ts) for name, ts in attempts.items()}
 
     pipeline_sec = timings.get("qt_assign", 0) + timings.get("group_assign_fine", 0)

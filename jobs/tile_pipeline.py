@@ -50,7 +50,15 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("oqt-tile-pipeline").getOrCreate()
+    spark = (
+        SparkSession.builder.appName("oqt-tile-pipeline")
+        # with the SPARK_GRAFT_CHECKPOINT_DIR reliable-checkpoint escape
+        # hatch engaged (osmquadtree_spark/cache.py), Spark only deletes
+        # out-of-scope checkpoint files when this is set — without it the
+        # HDFS/S3 checkpoint dir grows without bound across runs
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     from osmquadtree_spark.pipeline import run_image_tiling
@@ -74,7 +82,14 @@ def main() -> None:
     # (hot-bucket drops, candidate counts — osmquadtree_spark/metrics.py)
     from osmquadtree_spark import metrics
 
-    metrics.commit_pending()
+    try:
+        metrics.commit_pending()
+    except Exception as ex:
+        # never let a broken metrics frame eat the committed manifests —
+        # the tiles ARE written; surface the metrics failure separately
+        import sys
+
+        print(f"metrics commit failed: {type(ex).__name__}: {ex}", file=sys.stderr)
     print(json.dumps(manifests))
     spark.stop()
 

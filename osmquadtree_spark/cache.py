@@ -36,7 +36,13 @@ def stage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     pre-configure ``sparkContext.setCheckpointDir``) and every stage
     checkpoint in the engine becomes a RELIABLE checkpoint to that
     directory (HDFS/S3 on a cluster) — executor loss then recomputes from
-    the checkpoint files. jobs/tile_pipeline.py documents the policy."""
+    the checkpoint files. jobs/tile_pipeline.py documents the policy.
+
+    Cleanup caveat: Spark deletes reliable-checkpoint FILES only when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` was set at
+    session build (jobs/tile_pipeline.py sets it); otherwise every
+    checkpointed stage leaves its files behind and the checkpoint dir
+    grows across runs — budget for that or set the conf."""
     import os
 
     sc = df.sparkSession.sparkContext

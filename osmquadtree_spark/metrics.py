@@ -45,7 +45,15 @@ from pyspark.sql import functions as F
 
 METRIC_COLS = ("operator", "metric", "bucket_key", "value")
 
-_PENDING: list[tuple[str, DataFrame]] = []  # (base_path, canonical frame)
+# (base_path, dedupe key or None, canonical frame); a keyed registration
+# REPLACES any pending entry with the same (base_path, key), so building
+# the same query twice in one run commits one copy of its metrics (the
+# last-constructed plan's), not two — rebuilt-plan double-counting was a
+# round-4 review finding. Constructed-but-never-executed plans still
+# commit (their metrics are deterministic functions of the inputs, so the
+# VALUES are right); the only cost is that the commit computes the frame
+# cold instead of reading the abandoned plan's never-populated cache.
+_PENDING: list[tuple[str, tuple | None, DataFrame]] = []
 
 
 def metric_frame(
@@ -60,10 +68,15 @@ def metric_frame(
     ]
 
 
-def register(base_path: str, frame: DataFrame) -> None:
+def register(base_path: str, frame: DataFrame, key: tuple | None = None) -> None:
     """Queue a canonical (operator, metric, bucket_key, value) frame for
-    the next commit. Lazy — no Spark action here."""
-    _PENDING.append((base_path, frame))
+    the next commit. Lazy — no Spark action here. ``key`` (normally
+    ``(operator, metric)``) makes the registration idempotent per run:
+    the newest frame for a (base_path, key) wins."""
+    global _PENDING
+    if key is not None:
+        _PENDING = [e for e in _PENDING if not (e[0] == base_path and e[1] == key)]
+    _PENDING.append((base_path, key, frame))
 
 
 def register_count(
@@ -77,6 +90,7 @@ def register_count(
         df.groupBy().agg(F.count(F.lit(1)).alias("_n")).select(
             *metric_frame(operator, metric, F.lit(""), F.col("_n"))
         ),
+        key=(operator, metric),
     )
 
 
@@ -89,6 +103,7 @@ def register_literal(
         spark.range(1).select(
             *metric_frame(operator, metric, F.lit(""), F.lit(int(value)))
         ),
+        key=(operator, metric),
     )
 
 
@@ -108,7 +123,7 @@ def commit_pending(run_id: str | None = None) -> dict:
     rid = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
     by_base: dict[str, list[DataFrame]] = {}
-    for base, fr in pend:
+    for base, _key, fr in pend:
         by_base.setdefault(base, []).append(fr)
     for base, frames in by_base.items():
         out = frames[0]
@@ -148,6 +163,26 @@ def atomic_export(df: DataFrame, path: str) -> None:
     finally:
         if os.path.isdir(tmp):
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def export_candidates(
+    pairs: DataFrame,
+    export_path: str,
+    metrics_path: str | None,
+    operator: str,
+) -> DataFrame:
+    """The shared soundness-oracle export contract (LSH / IVF candidate
+    sets): atomically export ``pairs`` to parquet, return the READ-BACK
+    scan (so the downstream re-score and the DuckDB oracle read the same
+    bytes), and register the exported row count as the ``candidate_pairs``
+    recall proxy — a free count off the export scan at commit time. One
+    definition instead of the three per-operator copies a round-4 review
+    flagged."""
+    atomic_export(pairs, export_path)
+    out = pairs.sparkSession.read.parquet(export_path)
+    if metrics_path is not None:
+        register_count(metrics_path, operator, "candidate_pairs", out)
+    return out
 
 
 def read_metrics(spark, base_path: str) -> DataFrame:

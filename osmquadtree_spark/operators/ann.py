@@ -175,13 +175,9 @@ def lsh_topk(
     if export_pairs_path is not None:
         from .. import metrics
 
-        metrics.atomic_export(pairs, export_pairs_path)
-        pairs = vectors.sparkSession.read.parquet(export_pairs_path)
-        if metrics_path is not None:
-            # recall proxy: candidates per run from the export scan (free)
-            metrics.register_count(
-                metrics_path, "ann_lsh_topk", "candidate_pairs", pairs
-            )
+        pairs = metrics.export_candidates(
+            pairs, export_pairs_path, metrics_path, "ann_lsh_topk"
+        )
     return _rescore_topk(pairs, vectors, queries, k, id_col, qid_col, vec_col)
 
 
@@ -354,10 +350,7 @@ def ivf_topk(
     if export_pairs_path is not None:
         from .. import metrics
 
-        metrics.atomic_export(pairs, export_pairs_path)
-        pairs = vectors.sparkSession.read.parquet(export_pairs_path)
-        if metrics_path is not None:
-            metrics.register_count(
-                metrics_path, "ann_ivf_topk", "candidate_pairs", pairs
-            )
+        pairs = metrics.export_candidates(
+            pairs, export_pairs_path, metrics_path, "ann_ivf_topk"
+        )
     return _rescore_topk(pairs, vectors, queries, k, id_col, qid_col, vec_col)

@@ -200,6 +200,7 @@ def cap_hot_buckets(
                     F.col("_bn"),
                 )
             ),
+            key=(operator, "bucket_rows_dropped"),
         )
         metrics.register_literal(
             metrics_path, operator, "bucket_cap", cap, df.sparkSession
@@ -230,7 +231,7 @@ def register_pair_volume(
             )
         )
     )
-    metrics.register(metrics_path, vol)
+    metrics.register(metrics_path, vol, key=(operator, "candidate_pair_volume"))
 
 
 def hot_bucket_stats(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
@@ -527,13 +528,9 @@ def embedding_dup_pairs_lsh(
     if export_pairs_path is not None:
         from .. import metrics
 
-        metrics.atomic_export(pairs, export_pairs_path)
-        pairs = vectors.sparkSession.read.parquet(export_pairs_path)
-        if metrics_path is not None:
-            # recall proxy from the export scan — a free count at commit
-            metrics.register_count(
-                metrics_path, "dedup_embedding_lsh", "candidate_pairs", pairs
-            )
+        pairs = metrics.export_candidates(
+            pairs, export_pairs_path, metrics_path, "dedup_embedding_lsh"
+        )
     v = with_norm(vectors, vec_col).select(id_col, "_v", "_norm")
     va = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
     vb = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))

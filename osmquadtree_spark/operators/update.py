@@ -102,8 +102,13 @@ def calc_change_qts(
                 # erased "extra nodes"), and survivors with NO derivable
                 # cell (a way none of whose refs resolved — the reference
                 # aborts instead, update.cpp:548-556; we skip like the
-                # calcqts path and surface the count via missing_ref_count)
-                ((c == 0) & (new.isNull() | (new == old)))
+                # calcqts path and surface the count via missing_ref_count).
+                # old.isNull() is explicit: a Normal row absent from the
+                # stored qts (degenerate input — context always comes FROM
+                # the store) is dropped; relying on `new == old` evaluating
+                # to SQL NULL gave the same outcome but silently, and the
+                # in-mem twin + DuckDB oracle must restate it
+                ((c == 0) & (new.isNull() | old.isNull() | (new == old)))
                 | ((c > CT_REMOVE) & new.isNull()),
             )
             .filter(~F.col("_drop"))
@@ -125,6 +130,13 @@ def calc_change_qts(
         "ways": resolve(way_new, "way_id"),
         "relations": resolve(rel_new, "rel_id"),
     }
+
+
+class DuplicateChangeIds(ValueError):
+    """Raised by :func:`calc_change_qts_inmem` when a change table repeats
+    an id (a raw non-deduplicated .osc). The ONLY condition callers may
+    catch to fall back to the distributed path — any other error in the
+    in-mem twin is a defect and must surface, not silently reroute."""
 
 
 def calc_change_qts_inmem(
@@ -171,7 +183,7 @@ def calc_change_qts_inmem(
             # a raw .osc may repeat an id (create + modify in one file);
             # the distributed operator tolerates that shape — route such
             # inputs there instead of silently picking one row here
-            raise ValueError(
+            raise DuplicateChangeIds(
                 f"duplicate {col} in change set: use calc_change_qts "
                 "(the distributed path) for non-deduplicated change tables"
             )
@@ -276,12 +288,17 @@ def calc_change_qts_inmem(
         old_list = [None if pd.isna(o) else int(o) for o in old]
         new_list = [int(n) if h else None for n, h in zip(new, has_new)]
         is_new_null = np.asarray([n is None for n in new_list], dtype=bool)
+        is_old_null = np.asarray([o is None for o in old_list], dtype=bool)
         eq_old = np.asarray(
             [n is not None and o is not None and n == o
              for n, o in zip(new_list, old_list)],
             dtype=bool,
         )
-        drop = ((ct == 0) & (is_new_null | eq_old)) | (
+        # is_old_null mirrors the distributed resolve (and the DuckDB
+        # oracle's three-valued `new = old`): a Normal row with no stored
+        # cell is dropped on BOTH paths, so the in-mem/distributed gate
+        # (queries._UPDATE_INMEM_MAX_ROWS) never flips the result
+        drop = ((ct == 0) & (is_new_null | is_old_null | eq_old)) | (
             (ct > CT_REMOVE) & is_new_null
         )
         keep = ~drop

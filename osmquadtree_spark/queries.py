@@ -516,8 +516,13 @@ def _change_set(spark, sf_dir):
 _RESOLVED_CACHE: dict = {}
 
 # diff resolutions at or below this row count run driver-side (the
-# reference's in-process update shape); override for experiments
-_UPDATE_INMEM_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_UPDATE_INMEM_ROWS", "2000000"))
+# reference's in-process update shape); override for experiments. 250k ≈
+# 10× a typical daily planet .osc — comfortably inside driver memory even
+# with refs/members arrays (a few hundred MB), while a weekly/catch-up
+# diff in the millions takes the distributed path whose per-row cost the
+# gate exists to amortize (a 2M-row default would have pulled GBs through
+# toPandas and a pure-Python relation closure onto the driver)
+_UPDATE_INMEM_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_UPDATE_INMEM_ROWS", "250000"))
 
 
 def _change_store_rows(sf_dir: str) -> int:
@@ -547,7 +552,11 @@ def _resolved_elements(spark, sf_dir):
     if key in _RESOLVED_CACHE:
         return _RESOLVED_CACHE[key]
     from .cache import cached
-    from .operators.update import calc_change_qts, calc_change_qts_inmem
+    from .operators.update import (
+        DuplicateChangeIds,
+        calc_change_qts,
+        calc_change_qts_inmem,
+    )
 
     ch_nodes, ch_ways, ch_rels, old = _change_set(spark, sf_dir)
     res = None
@@ -562,9 +571,12 @@ def _resolved_elements(spark, sf_dir):
             res = calc_change_qts_inmem(
                 spark, ch_nodes.toPandas(), ch_ways.toPandas(), ch_rels.toPandas()
             )
-        except ValueError:
+        except DuplicateChangeIds:
             # duplicate ids (a raw non-deduplicated .osc): the distributed
-            # operator tolerates that shape — fall through to it
+            # operator tolerates that shape — fall through to it. ONLY
+            # this condition falls back: any other in-mem error is a
+            # defect and must surface (a bare ValueError catch once made
+            # the whole in-process path silently dead under bad coords)
             res = None
     if res is None:
         # read by way-bbox, fallback, and rel passes; registered with the

@@ -251,3 +251,24 @@ def test_null_text_yields_null_signatures(spark):
     for d in (2, 3):
         assert ta[d].n_tokens is None and ta[d].fp is None
         assert ta[d].quality_bucket is None and ta[d].lang_pred is None
+
+
+def test_keyed_registration_replaces_duplicate(spark, tmp_path):
+    """Review regression (r4): building the same query twice in one run
+    registered its metrics frames twice, double-counting drops for anyone
+    aggregating per run. Keyed registration keeps only the newest frame
+    per (base_path, operator, metric)."""
+    from osmquadtree_spark import metrics
+
+    metrics.discard_pending()
+    mpath = str(tmp_path / "metrics")
+    metrics.register_literal(mpath, "op_x", "bucket_cap", 5, spark)
+    metrics.register_literal(mpath, "op_x", "bucket_cap", 9, spark)  # rebuild
+    metrics.register_literal(mpath, "op_y", "bucket_cap", 7, spark)  # other op
+    assert metrics.pending_count() == 2
+    metrics.commit_pending()
+    rows = {
+        (r.operator, r.metric): r.value
+        for r in metrics.read_metrics(spark, mpath).collect()
+    }
+    assert rows == {("op_x", "bucket_cap"): 9, ("op_y", "bucket_cap"): 7}

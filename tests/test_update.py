@@ -231,3 +231,28 @@ def test_inmem_partial_change_sets(spark):
     )
     with pytest.raises(ValueError, match="duplicate node_id"):
         calc_change_qts_inmem(spark, dup, empty_w, empty_r)
+
+
+def test_null_old_normal_row_dropped_on_both_paths(spark):
+    """Review regression (r4): a Normal (changetype 0) row ABSENT from the
+    stored qts (old_qt NULL) with a derivable new cell. The distributed
+    resolve dropped it via SQL three-valued `new == old`; the in-mem twin's
+    Python equality kept it — so the _UPDATE_INMEM_MAX_ROWS gate flipped
+    the result. Both paths (and the DuckDB oracle, whose WHERE NOT shares
+    the SQL semantics) must drop it."""
+    from osmquadtree_spark.operators.update import calc_change_qts_inmem
+
+    nodes = _df(spark, [
+        (1, 100, 100, 0, None),   # Normal, no stored cell, derivable point qt
+        (2, 200, 200, 4, None),   # Modify survivor: kept regardless of old
+    ], NODE_SCHEMA)
+    empty_w = _df(spark, [], WAY_SCHEMA)
+    empty_r = _df(spark, [], REL_SCHEMA)
+
+    dist = calc_change_qts(nodes, empty_w, empty_r)
+    assert {r.node_id for r in dist["nodes"].collect()} == {2}
+
+    inmem = calc_change_qts_inmem(
+        spark, nodes.toPandas(), empty_w.toPandas(), empty_r.toPandas()
+    )
+    assert {r.node_id for r in inmem["nodes"].collect()} == {2}

@@ -123,9 +123,15 @@ def main() -> int:
     # (hot-bucket drops, candidate counts) once, against warm caches
     from osmquadtree_spark import metrics as M
 
-    mc = M.commit_pending()
-    if mc["bases"]:
-        print(f"metrics committed: run_id={mc['run_id']} in {mc['sec']}s")
+    try:
+        mc = M.commit_pending()
+        if mc["bases"]:
+            print(f"metrics committed: run_id={mc['run_id']} in {mc['sec']}s")
+    except Exception as ex:
+        # a registered frame sharing a failed query's lineage re-raises at
+        # commit; record it, never eat the per-query report below
+        failures.append("metrics_commit")
+        print(f"metrics_commit: ERROR {type(ex).__name__}: {ex}")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} green; failures: {failures or 'none'}")
     spark.stop()
