@@ -286,6 +286,7 @@ def ngram_pairs(
     min_jaccard: float = 0.5,
     gram_cap: int | None = 100_000,
     metrics_path: str | None = None,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Word n-gram Jaccard near-dup pairs: explode distinct n-grams, self-join
     on gram, count intersections, compute |∩|/|∪|. Returns
@@ -299,6 +300,17 @@ def ngram_pairs(
     (a standard document-frequency cap: a quadratic bucket of boilerplate
     carries no near-dup signal; note |∪| still counts capped grams, so the
     jaccard stays a lower bound), and AQE splits residual hot keys.
+
+    ``hash_grams`` (default on) replaces the gram STRING with its
+    ``xxhash64`` before the distinct/cap/self-join, so every shuffle in
+    the pipeline moves an int64 instead of an n-word string and the join
+    compares 8 bytes instead of tens — the dominant cost at scale is
+    shuffle bytes on the gram key. Deterministic (same seed every run), so
+    results are reproducible; two distinct grams colliding would merge
+    their posting lists, with birthday-bound odds ≈ g²/2^65 (≈1e-8 at a
+    million distinct grams; at planet scale a handful of global collisions
+    perturb inter_cnt by ±1 on the affected pairs — far below the noise
+    floor of an n-gram sketch whose cap already makes jaccard a bound).
     """
     from .dedup import cap_hot_buckets
 
@@ -307,14 +319,21 @@ def ngram_pairs(
     # filter, sequence(0, size-n) with a negative stop auto-steps DOWNWARD
     # and slice(words, 0, n) throws 'array indices start at 1' at runtime —
     # while the SQL twin (WHERE len >= n) silently excludes those docs
-    grams = docs.filter(F.size(words) >= n).select(
+    exploded = docs.filter(F.size(words) >= n).select(
         "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size(words) - F.lit(n)),
                 lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
             )
-        ).alias("gram"),
+        ).alias("_g"),
+    )
+    # hash BEFORE the distinct: the projection fuses into the explode's
+    # codegen stage, so the distinct's exchange (and everything after it)
+    # shuffles (doc_id, int64) rows instead of n-word strings
+    grams = exploded.select(
+        "doc_id",
+        (F.xxhash64("_g") if hash_grams else F.col("_g")).alias("gram"),
     ).distinct()
     from ..cache import cached
 

@@ -73,6 +73,16 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _load_fanned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """documents/embeddings loads: these feed Arrow signature kernels
+    (minhash, simhash, LSH projections, gram explode) whose cost is
+    per-row compute, so an under-parallel scan serializes them — see
+    sources.tables.fan_out (no-op on an already-parallel scan)."""
+    from .sources.tables import fan_out
+
+    return fan_out(_load(spark, sf_dir, name))
+
+
 def _elements(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo_elements(spark, sf_dir)
 
@@ -1234,16 +1244,16 @@ def q_text_analysis(spark, sf_dir):
     language-ID, fingerprinting) in one pass — one driver entry with a single
     full-value oracle gating all four; the individual operators remain
     available (operators/docs.py) and unit-tested."""
-    return doc_ops.text_analysis_vectorized(_load(spark, sf_dir, "documents"))
+    return doc_ops.text_analysis_vectorized(_load_fanned(spark, sf_dir, "documents"))
 
 
 def q_dedup_exact(spark, sf_dir):
-    return doc_ops.dedup_exact(_load(spark, sf_dir, "documents"))
+    return doc_ops.dedup_exact(_load_fanned(spark, sf_dir, "documents"))
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     return doc_ops.ngram_pairs(
-        _load(spark, sf_dir, "documents"), n=3, min_jaccard=0.2,
+        _load_fanned(spark, sf_dir, "documents"), n=3, min_jaccard=0.2,
         metrics_path=_scratch(sf_dir, "metrics"),
     )
 
@@ -1349,7 +1359,7 @@ def q_dedup_minhash(spark, sf_dir):
     from .operators import dedup as dd
 
     return dd.minhash_lsh_pairs(
-        _load(spark, sf_dir, "documents"), n=3, min_matches=8,
+        _load_fanned(spark, sf_dir, "documents"), n=3, min_matches=8,
         metrics_path=_scratch(sf_dir, "metrics"),
     )
 
@@ -1360,7 +1370,7 @@ def q_dedup_simhash(spark, sf_dir):
     from .operators import dedup as dd
 
     return dd.simhash_pairs(
-        _load(spark, sf_dir, "documents"), max_hamming=3,
+        _load_fanned(spark, sf_dir, "documents"), max_hamming=3,
         metrics_path=_scratch(sf_dir, "metrics"),
     )
 
@@ -1370,7 +1380,7 @@ def q_dedup_embedding_pairs(spark, sf_dir):
     corpus); the LSH-bucketed scale path is q_dedup_embedding_lsh."""
     from .operators import dedup as dd
 
-    return dd.embedding_dup_pairs(_load(spark, sf_dir, "embeddings"), EMB_DUP_MIN_COS)
+    return dd.embedding_dup_pairs(_load_fanned(spark, sf_dir, "embeddings"), EMB_DUP_MIN_COS)
 
 
 def q_dedup_embedding_lsh(spark, sf_dir):
@@ -1382,14 +1392,14 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     from .operators import dedup as dd
 
     return dd.embedding_dup_pairs_lsh(
-        _load(spark, sf_dir, "embeddings"), EMB_DUP_MIN_COS, dim=EMB_DIM,
+        _load_fanned(spark, sf_dir, "embeddings"), EMB_DUP_MIN_COS, dim=EMB_DIM,
         export_pairs_path=_scratch(sf_dir, "lsh_dedup_candidates"),
         metrics_path=_scratch(sf_dir, "metrics"),
     )
 
 
 def q_ann_cosine_topk(spark, sf_dir):
-    emb = _load(spark, sf_dir, "embeddings")
+    emb = _load_fanned(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1402,7 +1412,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     re-ranks those candidates from the raw embeddings — the within-set
     top-k must match exactly (soundness oracle; recall vs brute force
     stays pytest-gated)."""
-    emb = _load(spark, sf_dir, "embeddings")
+    emb = _load_fanned(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1919,7 +1929,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     from the raw embeddings — the within-candidate-set top-k must match
     exactly. Recall vs brute force stays pytest-gated
     (tests/test_spatial.test_ivf_recall_vs_exact_and_determinism)."""
-    emb = _load(spark, sf_dir, "embeddings")
+    emb = _load_fanned(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

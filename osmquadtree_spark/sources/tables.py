@@ -28,3 +28,20 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Guard against under-parallel scans feeding compute-heavy stages: a
+    small table that arrives in fewer splits than the session's
+    parallelism (one local parquet file = one partition) serializes every
+    downstream Arrow-kernel stage onto a handful of tasks — at bench
+    scale the MinHash signature pass ran 4× slower single-task. Round-robin
+    repartition up ONLY in that case; at production scale a multi-TB scan
+    already has thousands of splits and this is a no-op (no shuffle
+    added). Catalyst still pushes filters below the exchange, so scan
+    pruning is unaffected."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
