@@ -146,6 +146,8 @@ def calc_change_qts_inmem(
     rels_pdf,
     buffer: float = qtk.BUFFER_DEFAULT,
     max_depth: int = UPDATE_DEPTH,
+    max_missing_refs: int | None = None,
+    missing_out: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Driver-side twin of :func:`calc_change_qts` for diff-scale change
     sets — the reference's own execution shape: ``oqt update`` resolves
@@ -188,6 +190,29 @@ def calc_change_qts_inmem(
                 "(the distributed path) for non-deduplicated change tables"
             )
 
+    # float64 ints are exact only below 2^53; quadtree cell ids carry their
+    # first path digit at bit 61, so a qt (or 1e7-scaled coord) column that
+    # arrived as float64 (Arrow toPandas of a NULLABLE bigint) can be
+    # silently rounded — refuse rather than diverge from the distributed
+    # twin. queries._resolved_elements collects via toArrow()/
+    # integer_object_nulls so nullable bigints arrive as exact objects.
+    for frame, cols in (
+        (nodes_pdf, ("node_id", "lon", "lat", "old_qt")),
+        (ways_pdf, ("way_id", "old_qt")),
+        (rels_pdf, ("rel_id", "old_qt")),
+    ):
+        for c in cols:
+            if c in frame and pd.api.types.is_float_dtype(frame[c]):
+                v = frame[c].to_numpy(np.float64)
+                v = v[~np.isnan(v)]
+                if len(v) and np.abs(v).max() >= 2.0**53:
+                    raise TypeError(
+                        f"{c} arrived as float64 with values beyond the "
+                        "exact-integer range (a nullable bigint collected "
+                        "via Arrow toPandas); collect with "
+                        "toArrow().to_pandas(integer_object_nulls=True)"
+                    )
+
     # ---- way cells: bbox over resolved member locations ------------------
     act_w = ways_pdf[ways_pdf["changetype"] > CT_DELETE]
     if len(act_w):
@@ -204,6 +229,20 @@ def calc_change_qts_inmem(
     nlon, nlat = _i64(nodes_pdf["lon"]), _i64(nodes_pdf["lat"])
     li = nidx.get_indexer(ref)
     ok = li >= 0  # missing refs skipped (calcqtsinmem.cpp:262-271 logs+continues)
+    n_missing = int((~ok).sum())
+    if missing_out is not None:
+        # never-silent surface: callers commit this to the run metrics
+        missing_out["missing_way_refs"] = n_missing
+    if max_missing_refs is not None and n_missing > max_missing_refs:
+        # opt-in restatement of the reference's abort (update.cpp:538,
+        # 548-556: hard-fail above 10 missing) — a truncated/corrupt .osc.
+        # Default stays skip-and-count: change sets that resolve ways from
+        # partial refs (context pruned upstream) are a supported shape here
+        raise ValueError(
+            f"{n_missing} way refs missing from the change map "
+            f"(max_missing_refs={max_missing_refs}; the reference aborts "
+            "above 10, update.cpp:548-556)"
+        )
     located = pd.DataFrame(
         {"w": wid[ok], "lon": nlon[li[ok]], "lat": nlat[li[ok]]}
     )
@@ -338,12 +377,20 @@ def calc_change_qts_inmem(
     }
 
 
-def missing_ref_count(nodes: DataFrame, ways: DataFrame) -> int:
-    """Ways' refs missing from the change map — the reference aborts above
-    10 (update.cpp:538, 548-556); callers enforce the policy."""
+def missing_refs(nodes: DataFrame, ways: DataFrame) -> DataFrame:
+    """Lazy frame of ways' refs missing from the change map — the
+    never-silent surface: queries register its count as the
+    ``missing_way_refs`` run metric, and strict callers enforce the
+    reference's abort-above-10 policy (update.cpp:538, 548-556) via
+    :func:`missing_ref_count` or the twin's ``max_missing_refs``."""
     ct = F.col("changetype")
     pairs = way_node_pairs(ways.filter(ct > CT_DELETE))
-    return pairs.join(nodes.select("node_id"), "node_id", "left_anti").count()
+    return pairs.join(nodes.select("node_id"), "node_id", "left_anti")
+
+
+def missing_ref_count(nodes: DataFrame, ways: DataFrame) -> int:
+    """Eager count of :func:`missing_refs` for policy enforcement."""
+    return missing_refs(nodes, ways).count()
 
 
 def change_allocs(

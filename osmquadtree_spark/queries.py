@@ -569,6 +569,14 @@ def _resolved_elements(spark, sf_dir):
     )
 
     ch_nodes, ch_ways, ch_rels, old = _change_set(spark, sf_dir)
+
+    def _pdf_exact(df):
+        # toPandas would hand a NULLABLE bigint back as float64, rounding
+        # quadtree cell ids (path digits live above bit 53) — collect via
+        # Arrow and keep nullable ints as exact Python objects instead;
+        # calc_change_qts_inmem refuses float64 qt columns outright
+        return df.toArrow().to_pandas(integer_object_nulls=True)
+
     res = None
     if _change_store_rows(sf_dir) <= _UPDATE_INMEM_MAX_ROWS:
         # the reference's own shape: `oqt update` resolves the day's diff
@@ -577,23 +585,54 @@ def _resolved_elements(spark, sf_dir):
         # + resolution (operators/update.calc_change_qts_inmem); the row
         # gate (parquet footer counts, no Spark job) keeps planet-scale
         # change sets on the distributed path.
+        pdfs = [_pdf_exact(d) for d in (ch_nodes, ch_ways, ch_rels)]
+        missing: dict = {}
         try:
-            res = calc_change_qts_inmem(
-                spark, ch_nodes.toPandas(), ch_ways.toPandas(), ch_rels.toPandas()
-            )
+            res = calc_change_qts_inmem(spark, *pdfs, missing_out=missing)
         except DuplicateChangeIds:
-            # duplicate ids (a raw non-deduplicated .osc): the distributed
-            # operator tolerates that shape — fall through to it. ONLY
-            # this condition falls back: any other in-mem error is a
-            # defect and must surface (a bare ValueError catch once made
-            # the whole in-process path silently dead under bad coords)
-            res = None
+            # duplicate ids: a raw non-deduplicated .osc repeats an id
+            # (create + modify in one file). The reference applies rows in
+            # FILE ORDER into an id-keyed map — last occurrence wins
+            # (update.cpp:539-654) — so dedupe to the last row (Arrow
+            # collect preserves scan row order = file order for a change
+            # file) and resolve the deduped set; routing duplicates to the
+            # distributed operator instead would join BOTH location rows
+            # into way bboxes and emit contradictory resolved rows. ONLY
+            # this condition is caught: any other in-mem error is a defect
+            # and must surface.
+            res = calc_change_qts_inmem(
+                spark,
+                pdfs[0].drop_duplicates("node_id", keep="last"),
+                pdfs[1].drop_duplicates("way_id", keep="last"),
+                pdfs[2].drop_duplicates("rel_id", keep="last"),
+                missing_out=missing,
+            )
+        # never-silent skips: ways resolve from the refs present in the
+        # change map (the reference ABORTS above 10 missing instead,
+        # update.cpp:548-556 — strict callers pass max_missing_refs);
+        # the count is committed to the run metrics either way
+        from . import metrics as _M
+
+        _M.register_literal(
+            _scratch(sf_dir, "metrics"), "update_change_qts",
+            "missing_way_refs", missing.get("missing_way_refs", 0), spark,
+        )
     if res is None:
+        from .operators.update import missing_refs
+
         # read by way-bbox, fallback, and rel passes; registered with the
         # cache registry so bench sweeps release it — a raw persist() would
         # survive release_all and let the NEXT sweep's identical plan hit
         # Spark's CacheManager, reporting a cache read as the query's cost
         ch_nodes = cached(ch_nodes)
+        # distributed twin of the same never-silent surface: the missing
+        # count commits as a LAZY run metric (no extra in-query action)
+        from . import metrics as _M
+
+        _M.register_count(
+            _scratch(sf_dir, "metrics"), "update_change_qts",
+            "missing_way_refs", missing_refs(ch_nodes, ch_ways),
+        )
         res = calc_change_qts(ch_nodes, ch_ways, ch_rels)
     parts = [
         res["nodes"].select(
@@ -1850,7 +1889,14 @@ def clear_session_caches(keep_input_stores: bool = False) -> None:
         _metrics.commit_pending()
     except Exception:
         # teardown path with a stopped session: drop rather than mask the
-        # caller's own error; live run endpoints commit before stopping
+        # caller's own error. A LIVE session failing here is a real defect
+        # (disk full, broken frame) — re-raise instead of silently eating
+        # the "no silent caps" metrics.
+        from pyspark.sql import SparkSession as _SS
+
+        active = _SS.getActiveSession()
+        if active is not None and not active.sparkContext._jsc.sc().isStopped():
+            raise
         _metrics.discard_pending()
     from .cache import release_all
 

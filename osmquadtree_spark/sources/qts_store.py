@@ -151,9 +151,12 @@ def build_qts_store(spark: SparkSession, sf_dir: str, base: str | None = None) -
         # paying a parquet scan per query is the same cost profile.
         from ..operators.geometry import collect_way_coords
 
-        refs = ways.select("way_id", F.explode("refs").alias("node_id")).withColumn(
-            "pos", F.col("node_id")
-        )
+        # posexplode: collect_way_coords orders vertices by ref POSITION.
+        # The synthetic fixture's refs happen to ascend (so node_id order
+        # coincides), but the stored table must carry true positions — the
+        # general OSM shape repeats and reorders refs, and a node_id-sorted
+        # vertex sequence would silently re-order every downstream geometry
+        refs = ways.select("way_id", F.posexplode("refs").alias("pos", "node_id"))
         collect_way_coords(refs, nodes).write.mode("overwrite").parquet(
             os.path.join(tmp, "way_coords")
         )
@@ -167,10 +170,22 @@ def build_qts_store(spark: SparkSession, sf_dir: str, base: str | None = None) -
         ).parquet(os.path.join(tmp, "mp_members"))
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
             json.dump(_fingerprint(sf_dir), f)
-        if os.path.isdir(final):
-            shutil.rmtree(final)
         os.makedirs(os.path.dirname(final), exist_ok=True)
-        os.rename(tmp, final)
+        if os.path.isdir(final):
+            # move the stale store ASIDE atomically before deleting: the
+            # path at `final` is never a half-deleted directory, and the
+            # no-store window shrinks to the gap between two renames
+            aside = final + ".old-" + uuid.uuid4().hex[:8]
+            os.rename(final, aside)
+            shutil.rmtree(aside, ignore_errors=True)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            # a concurrent builder swapped its store in first; both derive
+            # the same deterministic tables, so accept theirs if current
+            # (the fingerprint is the arbiter) instead of crashing
+            if not store_is_current(sf_dir, base):
+                raise
     finally:
         if os.path.isdir(tmp):
             shutil.rmtree(tmp, ignore_errors=True)

@@ -175,11 +175,13 @@ def test_inmem_resolution_matches_distributed(spark, sf_dir):
 
     ch = read_change_store(spark, sf_dir)
     dist = calc_change_qts(ch["ch_nodes"], ch["ch_ways"], ch["ch_rels"])
+    # toArrow/integer_object_nulls, NOT toPandas: the nullable old_qt
+    # column holds cell ids above 2^53, which plain toPandas would round
+    # through float64 — the twin refuses that dtype (TypeError) by design
     inmem = calc_change_qts_inmem(
         spark,
-        ch["ch_nodes"].toPandas(),
-        ch["ch_ways"].toPandas(),
-        ch["ch_rels"].toPandas(),
+        *(ch[k].toArrow().to_pandas(integer_object_nulls=True)
+          for k in ("ch_nodes", "ch_ways", "ch_rels")),
     )
     for kind, idc in (("nodes", "node_id"), ("ways", "way_id"), ("relations", "rel_id")):
         a = {(r[idc], r.qt, r.changetype) for r in dist[kind].collect()}
@@ -256,3 +258,51 @@ def test_null_old_normal_row_dropped_on_both_paths(spark):
         spark, nodes.toPandas(), empty_w.toPandas(), empty_r.toPandas()
     )
     assert {r.node_id for r in inmem["nodes"].collect()} == {2}
+
+
+def test_inmem_refuses_inexact_float_qt_columns(spark):
+    """Review regression (r4): a nullable bigint collected via plain
+    toPandas arrives as float64; qt path digits live above bit 53, so
+    values round silently. The twin must refuse, not diverge from the
+    distributed path (queries._resolved_elements collects exactly via
+    toArrow/integer_object_nulls)."""
+    from osmquadtree_spark.operators.update import calc_change_qts_inmem
+
+    big = float((3 << 61) | 5)  # rounds in float64
+    n = pd.DataFrame(
+        {"node_id": [1, 2], "lon": [100, 200], "lat": [100, 200],
+         "changetype": [4, 1], "old_qt": [big, np.nan]}
+    )
+    empty_w = pd.DataFrame({"way_id": [], "refs": [], "changetype": [], "old_qt": []})
+    empty_r = pd.DataFrame({"rel_id": [], "members": [], "changetype": [], "old_qt": []})
+    with pytest.raises(TypeError, match="float64"):
+        calc_change_qts_inmem(spark, n, empty_w, empty_r)
+    # small float values are exact — accepted (pd.isna/int() handles them)
+    n_ok = n.assign(old_qt=[7.0, np.nan])
+    res = calc_change_qts_inmem(spark, n_ok, empty_w, empty_r)
+    assert res["nodes"].count() == 2
+
+
+def test_inmem_missing_ref_policy(spark):
+    """The reference hard-fails a change set whose ways reference more
+    than 10 nodes absent from the change map (update.cpp:548-556) — the
+    twin restates that as the opt-in ``max_missing_refs``; the default
+    skip-and-count path surfaces the count through ``missing_out`` (which
+    queries._resolved_elements commits as a run metric)."""
+    from osmquadtree_spark.operators.update import calc_change_qts_inmem
+
+    n = pd.DataFrame(
+        {"node_id": [1], "lon": [100], "lat": [100],
+         "changetype": [4], "old_qt": [7]}
+    )
+    w = pd.DataFrame(
+        {"way_id": [10], "refs": [[1] + list(range(900, 911))],
+         "changetype": [4], "old_qt": [5]}
+    )
+    empty_r = pd.DataFrame({"rel_id": [], "members": [], "changetype": [], "old_qt": []})
+    with pytest.raises(ValueError, match="missing from the change map"):
+        calc_change_qts_inmem(spark, n, w, empty_r, max_missing_refs=10)
+    out: dict = {}
+    res = calc_change_qts_inmem(spark, n, w, empty_r, missing_out=out)
+    assert out["missing_way_refs"] == 11
+    assert res["ways"].count() == 1  # bbox from the one resolvable ref
