@@ -145,21 +145,27 @@ def atomic_export(df: DataFrame, path: str) -> None:
     export surface (LSH/IVF candidate sets). The candidate sets are
     deterministic functions of the inputs, so repeated builds write
     identical CONTENT, and the tmp+rename keeps a reader from ever seeing
-    a half-written directory. Two windows remain and are accepted under
-    the single-writer-per-sf assumption the scratch layout implies: the
-    instant between rmtree(old) and rename(new) the path is briefly
-    absent, and a Spark DataFrame that LISTED the old files before a swap
-    can hit FileNotFound at execution (part-file names differ even when
-    rows do not). Concurrent runs against the same sf scratch should set
-    distinct scratch roots."""
+    a half-written directory; the rename-aside swap (fsutil.swap_dir,
+    shared with the qts store) also keeps it from ever being a
+    half-DELETED one. Remaining window, accepted under the
+    single-writer-per-sf assumption the scratch layout implies: a Spark
+    DataFrame that LISTED the old files before a swap can hit
+    FileNotFound at execution (part-file names differ even when rows do
+    not). Concurrent runs against the same sf scratch should set distinct
+    scratch roots; a concurrent writer winning the swap race is accepted
+    (identical content by determinism)."""
     import shutil
+
+    from .fsutil import swap_dir
 
     tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
     try:
         df.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
+        try:
+            swap_dir(tmp, path)
+        except OSError:
+            if not os.path.isdir(path):
+                raise  # not the benign concurrent-winner case
     finally:
         if os.path.isdir(tmp):
             shutil.rmtree(tmp, ignore_errors=True)

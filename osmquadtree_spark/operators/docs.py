@@ -19,12 +19,12 @@ def balanced(df: DataFrame) -> DataFrame:
     """Repartition ONLY when the scan has fewer partitions than cores —
     small fixture files would otherwise pin a whole Arrow kernel to one
     worker; at scale the parquet scan already has enough splits and the
-    pure-map kernels need no exchange at all."""
-    spark = df.sparkSession
-    p = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
-    return df
+    pure-map kernels need no exchange at all. (Alias of
+    sources.tables.fan_out — one implementation, kept importable here
+    because every text kernel in this module calls it.)"""
+    from ..sources.tables import fan_out
+
+    return fan_out(df)
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -311,6 +311,10 @@ def ngram_pairs(
     million distinct grams; at planet scale a handful of global collisions
     perturb inter_cnt by ±1 on the affected pairs — far below the noise
     floor of an n-gram sketch whose cap already makes jaccard a bound).
+    With hashing on, the cap's ``bucket_rows_dropped`` metric records the
+    xxhash64 VALUE, not the gram text; the hash is deterministic (fixed
+    seed), so an offending boilerplate gram is identified by hashing
+    candidate grams (``SELECT xxhash64(g)``) against the metric rows.
     """
     from .dedup import cap_hot_buckets
 

@@ -204,7 +204,19 @@ def calc_change_qts_inmem(
         for c in cols:
             if c in frame and pd.api.types.is_float_dtype(frame[c]):
                 v = frame[c].to_numpy(np.float64)
-                v = v[~np.isnan(v)]
+                nan = np.isnan(v)
+                if c != "old_qt" and nan.any():
+                    # old_qt goes through pd.isna-aware resolution, but
+                    # ids and lon/lat are cast via to_numpy(int64), which
+                    # turns NaN into INT64_MIN SILENTLY — a NULL-coord
+                    # delete row would poison every way bbox that folds it
+                    raise TypeError(
+                        f"{c} arrived as float64 with NaN (a nullable "
+                        "bigint collected via plain toPandas); collect "
+                        "with toArrow().to_pandas(integer_object_nulls="
+                        "True) so NULLs surface as objects, not NaN"
+                    )
+                v = v[~nan]
                 if len(v) and np.abs(v).max() >= 2.0**53:
                     raise TypeError(
                         f"{c} arrived as float64 with values beyond the "
@@ -375,6 +387,28 @@ def calc_change_qts_inmem(
         "ways": mk(ways_out, "way_id"),
         "relations": mk(rels_out, "rel_id"),
     }
+
+
+def dedupe_last_wins(pdf, idc: str):
+    """Collapse duplicate change-set ids to the LAST occurrence in
+    document order — the reference applies .osc rows in file order into an
+    id-keyed map, so the last row wins (update.cpp:539-654). Collect order
+    is NOT file order in general (a multi-part parquet scan orders splits
+    by size), so the rule requires the parser's captured ``file_pos``
+    column (sources/osc.py); duplicates without it are refused rather
+    than resolved shuffle-dependently."""
+    if not pdf[idc].duplicated().any():
+        return pdf
+    if "file_pos" not in pdf.columns:
+        raise ValueError(
+            f"duplicate {idc} without a file_pos column: "
+            "last-occurrence-wins is undefined under Spark scan order — "
+            "parse via sources/osc.py (which captures document order) or "
+            "pre-deduplicate"
+        )
+    return pdf.sort_values("file_pos", kind="stable").drop_duplicates(
+        idc, keep="last"
+    )
 
 
 def missing_refs(nodes: DataFrame, ways: DataFrame) -> DataFrame:

@@ -593,18 +593,22 @@ def _resolved_elements(spark, sf_dir):
             # duplicate ids: a raw non-deduplicated .osc repeats an id
             # (create + modify in one file). The reference applies rows in
             # FILE ORDER into an id-keyed map — last occurrence wins
-            # (update.cpp:539-654) — so dedupe to the last row (Arrow
-            # collect preserves scan row order = file order for a change
-            # file) and resolve the deduped set; routing duplicates to the
-            # distributed operator instead would join BOTH location rows
-            # into way bboxes and emit contradictory resolved rows. ONLY
-            # this condition is caught: any other in-mem error is a defect
-            # and must surface.
+            # (update.cpp:539-654). Collect order is NOT file order in
+            # general (a multi-part parquet scan orders splits by size),
+            # so last-wins needs the parser's captured document position
+            # (sources/osc.py emits file_pos); without it the winner
+            # would be shuffle-dependent — refuse rather than pick one.
+            # Routing duplicates to the distributed operator instead
+            # would join BOTH location rows into way bboxes and emit
+            # contradictory resolved rows. ONLY DuplicateChangeIds is
+            # caught: any other in-mem error is a defect and must surface.
+            from .operators.update import dedupe_last_wins
+
             res = calc_change_qts_inmem(
                 spark,
-                pdfs[0].drop_duplicates("node_id", keep="last"),
-                pdfs[1].drop_duplicates("way_id", keep="last"),
-                pdfs[2].drop_duplicates("rel_id", keep="last"),
+                dedupe_last_wins(pdfs[0], "node_id"),
+                dedupe_last_wins(pdfs[1], "way_id"),
+                dedupe_last_wins(pdfs[2], "rel_id"),
                 missing_out=missing,
             )
         # never-silent skips: ways resolve from the refs present in the
@@ -1884,23 +1888,38 @@ def clear_session_caches(keep_input_stores: bool = False) -> None:
     # endpoint that clears session caches therefore also commits metrics —
     # "no silent caps" holds per run, not per plan construction.
     from . import metrics as _metrics
-
-    try:
-        _metrics.commit_pending()
-    except Exception:
-        # teardown path with a stopped session: drop rather than mask the
-        # caller's own error. A LIVE session failing here is a real defect
-        # (disk full, broken frame) — re-raise instead of silently eating
-        # the "no silent caps" metrics.
-        from pyspark.sql import SparkSession as _SS
-
-        active = _SS.getActiveSession()
-        if active is not None and not active.sparkContext._jsc.sc().isStopped():
-            raise
-        _metrics.discard_pending()
     from .cache import release_all
 
-    release_all()
+    try:
+        try:
+            _metrics.commit_pending()
+        except Exception:
+            # teardown path with a stopped/dead session: drop rather than
+            # mask the caller's own error. A LIVE session failing here is
+            # a real defect (disk full, broken frame) — re-raise instead
+            # of silently eating the "no silent caps" metrics. The
+            # liveness probe itself can throw (dead py4j gateway with a
+            # still-registered active session), which must not replace
+            # the commit error — treat an unprobeable session as dead.
+            try:
+                from pyspark.sql import SparkSession as _SS
+
+                active = _SS.getActiveSession()
+                live = (
+                    active is not None
+                    and not active.sparkContext._jsc.sc().isStopped()
+                )
+            except Exception:
+                live = False
+            if live:
+                raise
+            # commit_pending drained the queue before failing; nothing
+            # pending remains to discard
+    finally:
+        # ALWAYS release registered persisted frames — a commit failure
+        # that left them cached would let the next sweep's identical
+        # plans hit Spark's CacheManager and report cache reads as cost
+        release_all()
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

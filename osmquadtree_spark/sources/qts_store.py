@@ -171,15 +171,12 @@ def build_qts_store(spark: SparkSession, sf_dir: str, base: str | None = None) -
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
             json.dump(_fingerprint(sf_dir), f)
         os.makedirs(os.path.dirname(final), exist_ok=True)
-        if os.path.isdir(final):
-            # move the stale store ASIDE atomically before deleting: the
-            # path at `final` is never a half-deleted directory, and the
-            # no-store window shrinks to the gap between two renames
-            aside = final + ".old-" + uuid.uuid4().hex[:8]
-            os.rename(final, aside)
-            shutil.rmtree(aside, ignore_errors=True)
         try:
-            os.rename(tmp, final)
+            # rename-aside swap: `final` is never a half-deleted directory
+            # (fsutil.swap_dir, shared with the candidate-export path)
+            from ..fsutil import swap_dir
+
+            swap_dir(tmp, final)
         except OSError:
             # a concurrent builder swapped its store in first; both derive
             # the same deterministic tables, so accept theirs if current

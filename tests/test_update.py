@@ -306,3 +306,69 @@ def test_inmem_missing_ref_policy(spark):
     res = calc_change_qts_inmem(spark, n, w, empty_r, missing_out=out)
     assert out["missing_way_refs"] == 11
     assert res["ways"].count() == 1  # bbox from the one resolvable ref
+
+
+def test_inmem_refuses_nan_coords(spark):
+    """Review regression (r4): float64 NaN lon/lat (a NULL-coord delete
+    row via plain toPandas) would cast to INT64_MIN through
+    to_numpy(int64) and poison every way bbox folding that node — the
+    twin must refuse NaN in id/coord columns (old_qt stays NaN-tolerant:
+    it flows through pd.isna-aware resolution)."""
+    from osmquadtree_spark.operators.update import calc_change_qts_inmem
+
+    n = pd.DataFrame(
+        {"node_id": [1, 2], "lon": [100.0, np.nan], "lat": [100, 200],
+         "changetype": [4, 1], "old_qt": [7, 9]}
+    )
+    empty_w = pd.DataFrame({"way_id": [], "refs": [], "changetype": [], "old_qt": []})
+    empty_r = pd.DataFrame({"rel_id": [], "members": [], "changetype": [], "old_qt": []})
+    with pytest.raises(TypeError, match="NaN"):
+        calc_change_qts_inmem(spark, n, empty_w, empty_r)
+
+
+def test_dedupe_last_wins_uses_file_pos():
+    """Last-occurrence-wins must follow the .osc DOCUMENT order
+    (file_pos), not the collect order a multi-part parquet scan happens
+    to produce; duplicates without file_pos are refused."""
+    from osmquadtree_spark.operators.update import dedupe_last_wins
+
+    # collect order REVERSED vs document order: row with file_pos=5
+    # (delete) is the later document row and must win over the modify
+    pdf = pd.DataFrame(
+        {"node_id": [1, 1, 2], "changetype": [1, 4, 4],
+         "file_pos": [5, 2, 3]}
+    )
+    out = dedupe_last_wins(pdf, "node_id")
+    assert out.set_index("node_id").loc[1, "changetype"] == 1
+    assert len(out) == 2
+    # no duplicates: passthrough, file_pos not required
+    solo = pd.DataFrame({"node_id": [1, 2], "changetype": [4, 4]})
+    assert dedupe_last_wins(solo, "node_id") is solo
+    with pytest.raises(ValueError, match="file_pos"):
+        dedupe_last_wins(pdf.drop(columns=["file_pos"]), "node_id")
+
+
+def test_swap_dir_never_half_deleted(tmp_path):
+    """fsutil.swap_dir: the destination is either the old tree, absent
+    for the instant between renames, or the new tree — never a
+    partially-deleted directory; a pre-moved stale dir (concurrent
+    swapper) is tolerated."""
+    from osmquadtree_spark.fsutil import swap_dir
+
+    dst = tmp_path / "store"
+    dst.mkdir()
+    (dst / "old.txt").write_text("old")
+    src = tmp_path / "store.tmp"
+    src.mkdir()
+    (src / "new.txt").write_text("new")
+    swap_dir(str(src), str(dst))
+    assert (dst / "new.txt").read_text() == "new"
+    assert not (dst / "old.txt").exists()
+    assert not src.exists()
+    # an unrenameable destination surfaces OSError to the caller (the
+    # qts store resolves it via the fingerprint; exports check content)
+    src2 = tmp_path / "again.tmp"
+    src2.mkdir()
+    with pytest.raises(OSError):
+        swap_dir(str(src2), str(tmp_path / "no-such-parent" / "store"))
+    assert src2.exists()  # failed swap leaves the tmp tree for the caller
