@@ -66,7 +66,7 @@ def materialize(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
+def main() -> int | None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -87,6 +87,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = Q.spark_queries()
     names = args.queries.split(",") if args.queries else HEADLINE
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        # fail BEFORE the untimed setup (input count, qts-store build,
+        # warmup) — a typo'd name would otherwise surface as a bare
+        # KeyError minutes in, with no JSON line emitted
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
 
     # input scale for the throughput metric: rows entering the flagship
     # assignment pipeline (lineitem-derived elements)
@@ -192,4 +199,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

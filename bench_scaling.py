@@ -42,21 +42,14 @@ def footprint_elements(spark, n: int, partitions: int):
     """Distributed synthetic element table: spark.range → vectorized
     footprint derivation (sources/images.py rule; phash = splitmix64(idx)).
     Pure function of the row index ⇒ identical table at any parallelism."""
-    import numpy as np
     import pandas as pd
 
-    from osmquadtree_spark.sources.images import _H_CYCLE, _W_CYCLE, footprints, splitmix64
-
-    wc = np.asarray(_W_CYCLE, dtype=np.int64)
-    hc = np.asarray(_H_CYCLE, dtype=np.int64)
+    from osmquadtree_spark.sources.images import derive_footprints
 
     def gen(batches):
         for pdf in batches:
             idx = pdf["id"].to_numpy("int64")
-            ph = splitmix64(idx.astype(np.uint64)).astype(np.int64)
-            w = wc[idx % 4]
-            h = hc[(idx // 4) % 4]
-            minx, miny, maxx, maxy = footprints(ph, w, h, idx)
+            minx, miny, maxx, maxy = derive_footprints(idx)
             yield pd.DataFrame(
                 {"idx": idx, "minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy}
             )
@@ -69,22 +62,15 @@ def footprint_elements_with_qt(spark, n: int, partitions: int):
     JVM↔Python Arrow crossing per row instead of two. This mirrors the
     production shape (parquet scan → one vectorized kernel stage); only the
     two columns the layout needs leave Python."""
-    import numpy as np
     import pandas as pd
 
     from osmquadtree_spark.kernels.quadtree import calculate
-    from osmquadtree_spark.sources.images import _H_CYCLE, _W_CYCLE, footprints, splitmix64
-
-    wc = np.asarray(_W_CYCLE, dtype=np.int64)
-    hc = np.asarray(_H_CYCLE, dtype=np.int64)
+    from osmquadtree_spark.sources.images import derive_footprints
 
     def gen(batches):
         for pdf in batches:
             idx = pdf["id"].to_numpy("int64")
-            ph = splitmix64(idx.astype(np.uint64)).astype(np.int64)
-            w = wc[idx % 4]
-            h = hc[(idx // 4) % 4]
-            minx, miny, maxx, maxy = footprints(ph, w, h, idx)
+            minx, miny, maxx, maxy = derive_footprints(idx)
             qt = calculate(minx, miny, maxx, maxy)
             yield pd.DataFrame({"idx": idx, "qt": qt})
 
@@ -114,10 +100,7 @@ def run_job(spark, n_rows: int, partitions: int) -> dict:
 
     from osmquadtree_spark.kernels.quadtree import calculate, round_qt
     from osmquadtree_spark.operators.sortblocks import SHALLOW_LEVEL
-    from osmquadtree_spark.sources.images import _H_CYCLE, _W_CYCLE, footprints, splitmix64
-
-    wc0 = np.asarray(_W_CYCLE, dtype=np.int64)
-    hc0 = np.asarray(_H_CYCLE, dtype=np.int64)
+    from osmquadtree_spark.sources.images import derive_footprints
 
     def hist_gen(batches):
         # accumulate into a dense 4^8 bincount array per partition (level-8
@@ -128,17 +111,18 @@ def run_job(spark, n_rows: int, partitions: int) -> dict:
         shallow_acc: dict = {}
         for pdf in batches:
             idx = pdf["id"].to_numpy("int64")
-            ph = splitmix64(idx.astype(np.uint64)).astype(np.int64)
-            w = wc0[idx % 4]
-            h = hc0[(idx // 4) % 4]
-            minx, miny, maxx, maxy = footprints(ph, w, h, idx)
+            minx, miny, maxx, maxy = derive_footprints(idx)
             qt = calculate(minx, miny, maxx, maxy)
             r = round_qt(qt, SHALLOW_LEVEL)
+            # drop invalid cells (calculate → -1) BEFORE the split: a
+            # negative rounded value still satisfies (r & 31) == level and
+            # would feed a negative index straight into np.bincount
+            r = r[r >= 0]
             at8 = (r & 31) == SHALLOW_LEVEL
             dense += np.bincount(
                 (r[at8] >> (63 - 2 * SHALLOW_LEVEL)), minlength=len(dense)
             )
-            rest = r[~at8 & (r >= 0)]
+            rest = r[~at8]
             if len(rest):
                 cs, ns = np.unique(rest, return_counts=True)
                 for c, n in zip(cs.tolist(), ns.tolist()):
@@ -163,25 +147,15 @@ def run_job(spark, n_rows: int, partitions: int) -> dict:
     # ONE Arrow stage (a single JVM↔Python crossing), then the range
     # partition + in-partition sort + materialized write.
     t0 = time.time()
-    import numpy as np
-    import pandas as pd
-
-    from osmquadtree_spark.kernels.quadtree import calculate
     from osmquadtree_spark.plans.qttree import assign_groups
-    from osmquadtree_spark.sources.images import _H_CYCLE, _W_CYCLE, footprints, splitmix64
 
-    wc = np.asarray(_W_CYCLE, dtype=np.int64)
-    hc = np.asarray(_H_CYCLE, dtype=np.int64)
     bc = spark.sparkContext.broadcast(gqt)
 
     def gen(batches):
         g_tab = bc.value
         for pdf in batches:
             idx = pdf["id"].to_numpy("int64")
-            ph = splitmix64(idx.astype(np.uint64)).astype(np.int64)
-            w = wc[idx % 4]
-            h = hc[(idx // 4) % 4]
-            minx, miny, maxx, maxy = footprints(ph, w, h, idx)
+            minx, miny, maxx, maxy = derive_footprints(idx)
             qt = calculate(minx, miny, maxx, maxy)
             grp = assign_groups(qt, g_tab)
             yield pd.DataFrame({"idx": idx, "qt": qt, "group_qt": grp})

@@ -197,6 +197,23 @@ def footprints(phash: np.ndarray, w: np.ndarray, h: np.ndarray, idx: np.ndarray)
     return lon, lat, maxx, maxy
 
 
+_W_ARR = np.asarray(_W_CYCLE, dtype=np.int64)
+_H_ARR = np.asarray(_H_CYCLE, dtype=np.int64)
+
+
+def derive_footprints(idx: np.ndarray):
+    """Row index → (minx, miny, maxx, maxy): the FULL fixture rule
+    (phash = splitmix64(idx), w/h cycles, footprints) in one call. The
+    single definition the scaling benchmark's histogram pass, assignment
+    pass and element generators all share — the benchmark's determinism
+    claim (identical table at any parallelism) rests on every pass
+    deriving from the same rule, so there must be exactly one copy."""
+    ph = splitmix64(idx.astype(np.uint64)).astype(np.int64)
+    w = _W_ARR[idx % 4]
+    h = _H_ARR[(idx // 4) % 4]
+    return footprints(ph, w, h, idx)
+
+
 def generate_pandas(n: int, start: int = 0):
     """Generate n rows as a pandas DataFrame (driver-side; for tests/bench).
     At scale the same generator runs distributed — see images_df()."""

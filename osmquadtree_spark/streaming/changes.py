@@ -53,6 +53,12 @@ def apply_changes_stream(
     )
     state_schema = "seq bigint, payload double, changetype int"
 
+    def _pk(p) -> float:
+        # NULL payload LOSES to any numeric at equal (seq, changetype) —
+        # the batch window's descending order is NULLS LAST, so the
+        # stream twin must rank NULL below every value, not above it
+        return float("-inf") if p is None or pd.isna(p) else float(p)
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -66,14 +72,26 @@ def apply_changes_stream(
             # deterministic winner among equal-seq rows: break ties by
             # (changetype, payload) — idxmax alone keeps whichever row
             # landed first in the Arrow batch, which is arrival-order-
-            # dependent and varies between runs on identical input
+            # dependent and varies between runs on identical input.
+            # na_position='first' so a NULL payload never out-sorts a
+            # numeric one (matching _pk and the batch NULLS-LAST window)
             best = pdf.sort_values(
-                [seq_col, changetype_col, payload_col], kind="stable"
+                [seq_col, changetype_col, payload_col],
+                kind="stable",
+                na_position="first",
             ).iloc[-1]
-            if int(best[seq_col]) > seq:
-                seq = int(best[seq_col])
-                payload = float(best[payload_col])
-                ct = int(best[changetype_col])
+            # compare the FULL (seq, changetype, payload) triple against
+            # state, not seq alone: equal-seq rows split across Arrow
+            # chunks or micro-batches must elect the same winner as when
+            # they share a chunk — a strict seq comparison would hand the
+            # tie to whichever chunk happened to arrive first
+            b_seq, b_ct = int(best[seq_col]), int(best[changetype_col])
+            b_pay = best[payload_col]
+            if (b_seq, b_ct, _pk(b_pay)) > (seq, ct, _pk(payload)):
+                seq, ct = b_seq, b_ct
+                # preserve NULL as NULL (float() would store NaN and the
+                # sink MERGE would write NaN where batch writes NULL)
+                payload = None if pd.isna(b_pay) else float(b_pay)
         state.update((seq, payload, ct))
         dead = ct in (CT_DELETE, CT_REMOVE)
         yield pd.DataFrame(

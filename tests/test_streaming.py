@@ -136,3 +136,53 @@ def test_stream_ingest_matches_batch_kernel(spark, tmp_path):
     want = {r.group_qt: r["count"] for r in bdf.collect()}
     assert got == want
     assert sum(got.values()) == n
+
+
+def test_stream_tiebreak_chunk_invariant(spark, tmp_path):
+    """Equal-seq rows split ACROSS micro-batches must elect the same
+    winner as when they share one (r4 review: a strict seq comparison
+    handed ties to whichever chunk arrived first). Winner at equal seq =
+    max (changetype, payload), matching the batch window's desc order."""
+    src, chk = str(tmp_path / "s1"), str(tmp_path / "c1")
+    src2, chk2 = str(tmp_path / "s2"), str(tmp_path / "c2")
+    # same-chunk: both seq-5 rows in one file
+    _write_batch(spark, src, [(1, 5, 2.0, 1), (1, 5, 1.0, 0)], 0)
+    same = _run_stream(spark, src, chk, "tb_same").toPandas()
+    # split: the LOWER-ranked row arrives in a LATER micro-batch
+    _write_batch(spark, src2, [(1, 5, 2.0, 1)], 0)
+    _write_batch(spark, src2, [(1, 5, 1.0, 0)], 1)
+    split = _run_stream(spark, src2, chk2, "tb_split").toPandas()
+    w_same = same.sort_values("seq").groupby("key").last()
+    w_split = split.sort_values("seq").groupby("key").last()
+    assert bool(w_same.loc[1, "is_deleted"]) == bool(w_split.loc[1, "is_deleted"]) == True  # noqa: E712
+    assert w_same.loc[1, "payload"] == w_split.loc[1, "payload"] == 2.0
+
+
+def test_stream_null_payload_stays_null_and_loses_ties(spark, tmp_path):
+    """NULL payloads must survive as NULL (not NaN — the batch path
+    keeps NULL and a sink MERGE must too) and must LOSE an equal-
+    (seq, changetype) tie to any numeric payload (the batch window's
+    descending order is NULLS LAST)."""
+    src, chk = str(tmp_path / "sn"), str(tmp_path / "cn")
+    # key 1: lone NULL payload row → emitted payload must be NULL
+    # key 2: NULL and 7.0 at equal (seq, ct) → 7.0 wins
+    pdf = pd.DataFrame(
+        {"key": [1, 2, 2], "seq": [3, 4, 4],
+         "payload": [None, None, 7.0], "changetype": [0, 4, 4]}
+    )
+    spark.createDataFrame(pdf, CH_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "b0"))
+    out = _run_stream(spark, src, chk, "nullsink").toPandas()
+    last = out.sort_values("seq").groupby("key").last()
+    assert pd.isna(last.loc[1, "payload"])
+    # Spark distinguishes NULL from NaN: assert the sink column is NULL
+    spark_rows = {
+        r["key"]: r for r in
+        spark.sql("SELECT key, payload, isnan(payload) AS nan FROM nullsink").collect()
+        if r is not None
+    }
+    # payload is NULL (None), not NaN (isnan(NULL) is false in Spark SQL;
+    # a NaN payload would make it true)
+    assert spark_rows[1]["payload"] is None and spark_rows[1]["nan"] is False
+    assert last.loc[2, "payload"] == 7.0

@@ -54,8 +54,18 @@ def main() -> int:
     ap.add_argument("--queries", nargs="*", default=None, help="subset of registry keys")
     args = ap.parse_args()
 
-    if os.path.normpath(args.sf) != "/root/testdata/sf0.01":
-        os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", args.sf)
+    # point the scale-derived oracles at the SWEPT scale unconditionally:
+    # a stale SPARK_GRAFT_ORACLE_SF_DIR exported by an earlier cross-scale
+    # run would otherwise silently derive the group table / LSH candidate
+    # sets at a different scale than the Spark queries (setdefault kept
+    # the stale value, and skipped the guard entirely at sf0.01)
+    prev = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+    if prev is not None and os.path.normpath(prev) != os.path.normpath(args.sf):
+        print(
+            f"overriding stale SPARK_GRAFT_ORACLE_SF_DIR={prev} with {args.sf}",
+            file=sys.stderr,
+        )
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = args.sf
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -106,8 +116,16 @@ def main() -> int:
                     failures.append(name)
                     if cols != sorted(ocols):
                         print(f"  cols: spark={cols} oracle={sorted(ocols)}")
-                    for a, b in [(a, b) for a, b in zip(srows, orows) if a != b][:3]:
-                        print(f"  spark:  {a}\n  oracle: {b}")
+                    if len(srows) != len(orows):
+                        print(f"  rows: spark={len(srows)} oracle={len(orows)}")
+                    # sample the SYMMETRIC DIFFERENCE, not a positional
+                    # zip (which shows nothing when one side is a shifted
+                    # or truncated copy of the other)
+                    s_set, o_set = set(srows), set(orows)
+                    for r in list(s_set - o_set)[:3]:
+                        print(f"  spark-only:  {r}")
+                    for r in list(o_set - s_set)[:3]:
+                        print(f"  oracle-only: {r}")
             else:
                 status = "rows-only"
                 if not srows:
@@ -133,7 +151,8 @@ def main() -> int:
         failures.append("metrics_commit")
         print(f"metrics_commit: ERROR {type(ex).__name__}: {ex}")
 
-    print(f"\n{len(names) - len(failures)}/{len(names)} green; failures: {failures or 'none'}")
+    q_fail = [f for f in failures if f != "metrics_commit"]
+    print(f"\n{len(names) - len(q_fail)}/{len(names)} green; failures: {failures or 'none'}")
     spark.stop()
     return 1 if failures else 0
 
