@@ -1423,7 +1423,9 @@ def q_dedup_embedding_pairs(spark, sf_dir):
     corpus); the LSH-bucketed scale path is q_dedup_embedding_lsh."""
     from .operators import dedup as dd
 
-    return dd.embedding_dup_pairs(_load_fanned(spark, sf_dir, "embeddings"), EMB_DUP_MIN_COS)
+    return dd.embedding_dup_pairs(
+        _load_fanned(spark, sf_dir, "embeddings"), EMB_DUP_MIN_COS, dim=EMB_DIM
+    )
 
 
 def q_dedup_embedding_lsh(spark, sf_dir):
