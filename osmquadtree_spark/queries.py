@@ -2505,6 +2505,77 @@ FROM buf
 """.strip()
 
 
+def q_pruned_bbox_extract(spark, sf_dir):
+    """End-to-end soundness of the pruned scan by tile locs (SURVEY §2.1;
+    the reference reads only blocks whose index cell overlaps the filter
+    box — readpbffile.cpp's locs prune): assign every element to its group
+    tile, DROP whole tiles whose buffered cell bbox cannot overlap BOX
+    (driver-side prune_tiles — the partition-prune set), then apply the
+    exact bbox filter to the survivors. The oracle is the plain FULL-SCAN
+    bbox SQL (bbox_extract's oracle verbatim): equality proves the prune
+    lost no qualifying element. Unindexed rows (qt < 0) are never pruned —
+    a block index can only prune indexed blocks."""
+    import numpy as np
+
+    from .operators.extract import prune_tiles
+    from .operators.sortblocks import compute_groups_scalable
+
+    df = _elements_qt(spark, sf_dir)
+    gqt, _, _ = compute_groups_scalable(df, "qt", target=1000, minsize=500, tree_level=15)
+    pruned = prune_tiles(np.asarray(gqt, dtype=np.int64), BOX)
+    assigned = with_group_column(df, gqt, "qt")
+    kept = assigned.filter(
+        F.col("group_qt").isin([int(t) for t in pruned]) | (F.col("qt") < 0)
+    )
+    a, b, c, d = BOX
+    return kept.filter(
+        (F.col("minx") <= c) & (F.col("maxx") >= a)
+        & (F.col("miny") <= d) & (F.col("maxy") >= b)
+    ).select("elem_id")
+
+
+def q_tile_sink_lineage(spark, sf_dir):
+    """Indexed tile sink value gate (SURVEY §2.1): run the REAL sink
+    (write_tile_sorted — range-partition by group tile, sort within
+    partitions, write data + per-(partition, tile) lineage metrics +
+    atomic manifest; the `-index.pbf`/Iceberg-manifest analog,
+    writepbffile.cpp:151-199), read the committed ``_metrics`` table back,
+    and aggregate it per tile. The oracle re-derives (tile, row_count,
+    min/max cell) straight from the element table with the SQL find_tile
+    restatement — a mismatch means the sink wrote wrong lineage (lost or
+    duplicated rows, wrong extrema), exactly what a resume would then
+    trust. Physical partition ids are summed out: they depend on range
+    sampling, not on semantics."""
+    import numpy as np
+
+    from .operators.sortblocks import compute_groups_scalable, write_tile_sorted
+
+    df = _elements_qt(spark, sf_dir)
+    gqt, _, _ = compute_groups_scalable(df, "qt", target=1000, minsize=500, tree_level=15)
+    path = _scratch(sf_dir, "tile_sink_gate")
+    write_tile_sorted(df, path, np.asarray(gqt, dtype=np.int64), "qt", sort_cols=["elem_id"])
+    m = spark.read.parquet(os.path.join(path, "_metrics"))
+    return m.groupBy("group_qt").agg(
+        F.sum("row_count").cast("bigint").alias("row_count"),
+        F.min("min_cell").alias("min_cell"),
+        F.max("max_cell").alias("max_cell"),
+    )
+
+
+def _tile_sink_lineage_sql() -> str:
+    """DuckDB twin of q_tile_sink_lineage: per-tile row count + cell
+    extrema from the independently SQL-derived cell + group assignment."""
+    gqt = grpo._group_qts(grpo.oracle_sf_dir(), 1000, 500, 15, rollup=True)
+    return f"""
+SELECT group_qt,
+       COUNT(*) AS row_count,
+       MIN(qt) AS min_cell,
+       MAX(qt) AS max_cell
+FROM (SELECT qt, {grpo.find_tile_sql('qt', gqt)} AS group_qt FROM ({_qt_cte()}))
+GROUP BY 1
+""".strip()
+
+
 def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2515,6 +2586,8 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_diff": q_geojson_diff,
         "ingest_stream": q_ingest_stream,
         "qt_box_overlaps": q_qt_box_overlaps,
+        "pruned_bbox_extract": q_pruned_bbox_extract,
+        "tile_sink_lineage": q_tile_sink_lineage,
     }
 
 
@@ -2530,4 +2603,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "geojson_diff": _geojson_diff_sql(),
         "ingest_stream": _ingest_stream_sql(),
         "qt_box_overlaps": _qt_box_overlaps_sql(),
+        "pruned_bbox_extract": _oracle_sql()["bbox_extract"],
+        "tile_sink_lineage": _tile_sink_lineage_sql(),
     }
