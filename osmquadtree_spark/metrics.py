@@ -36,6 +36,7 @@ Standard metric names:
 
 from __future__ import annotations
 
+import errno
 import os
 import time
 import uuid
@@ -163,9 +164,20 @@ def atomic_export(df: DataFrame, path: str) -> None:
         df.write.mode("overwrite").parquet(tmp)
         try:
             swap_dir(tmp, path)
-        except OSError:
-            if not os.path.isdir(path):
-                raise  # not the benign concurrent-winner case
+        except OSError as ex:
+            # Swallow ONLY the concurrent-winner signature: the final
+            # rename into place hitting a directory a concurrent builder
+            # just re-created (EEXIST/ENOTEMPTY, identical content by
+            # determinism). Any other OSError (EBUSY on a bind-mounted
+            # scratch, EACCES after a permission change) must surface —
+            # the destination may still hold a STALE export from other
+            # inputs, and the DuckDB soundness oracle re-scores the same
+            # exported bytes, so serving it silently would defeat the
+            # exact silent-failure class this surface exists to catch.
+            if ex.errno not in (errno.EEXIST, errno.ENOTEMPTY) or not os.path.isdir(
+                path
+            ):
+                raise
     finally:
         if os.path.isdir(tmp):
             shutil.rmtree(tmp, ignore_errors=True)

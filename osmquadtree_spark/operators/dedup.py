@@ -446,7 +446,6 @@ def embedding_dup_pairs(
     min_cos: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,  # accepted for API symmetry; fold is faster here
 ) -> DataFrame:
     """Exact embedding near-dup pairs: all pairs with cosine ≥ min_cos
     (id_a < id_b). The exactness baseline; the scale path buckets with

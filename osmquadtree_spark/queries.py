@@ -1423,9 +1423,7 @@ def q_dedup_embedding_pairs(spark, sf_dir):
     corpus); the LSH-bucketed scale path is q_dedup_embedding_lsh."""
     from .operators import dedup as dd
 
-    return dd.embedding_dup_pairs(
-        _load_fanned(spark, sf_dir, "embeddings"), EMB_DUP_MIN_COS, dim=EMB_DIM
-    )
+    return dd.embedding_dup_pairs(_load_fanned(spark, sf_dir, "embeddings"), EMB_DUP_MIN_COS)
 
 
 def q_dedup_embedding_lsh(spark, sf_dir):
@@ -1530,6 +1528,18 @@ def _idset_ctes() -> str:
             )}"""
 
 
+def _bbox_extract_sql() -> str:
+    """Shared by the driver's bbox_extract oracle and the sweep extension
+    pruned_bbox_extract (whose soundness gate is exactly this full-scan
+    SQL) — one definition, and the extension no longer pays a second full
+    _oracle_sql() construction (DuckDB-derived group tables included) just
+    to pluck this string."""
+    a, b, c, d = BOX
+    return f"""
+            SELECT elem_id FROM ({_ELEM_CTE})
+            WHERE minx <= {c} AND maxx >= {a} AND miny <= {d} AND maxy >= {b}"""
+
+
 def _oracle_sql() -> dict[str, str]:
     a, b, c, d = BOX
     x_expr, y_expr = so.xyz_sql(so.round_sql("qt", 8), 8)
@@ -1563,9 +1573,7 @@ def _oracle_sql() -> dict[str, str]:
             SELECT elem_id // 8 AS order_key,
                    {so.common_sql('MIN(qt)', 'MAX(qt)')} AS lca_qt
             FROM ({_qt_cte()}) WHERE qt >= 0 GROUP BY 1""",
-        "bbox_extract": f"""
-            SELECT elem_id FROM ({_ELEM_CTE})
-            WHERE minx <= {c} AND maxx >= {a} AND miny <= {d} AND maxy >= {b}""",
+        "bbox_extract": _bbox_extract_sql(),
         "poly_extract": f"""
             SELECT elem_id FROM ({_ELEM_CTE})
             WHERE NOT is_box AND {gk.point_in_poly_sql(PENTAGON, 'minx', 'miny')}""",
@@ -2603,6 +2611,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "geojson_diff": _geojson_diff_sql(),
         "ingest_stream": _ingest_stream_sql(),
         "qt_box_overlaps": _qt_box_overlaps_sql(),
-        "pruned_bbox_extract": _oracle_sql()["bbox_extract"],
+        "pruned_bbox_extract": _bbox_extract_sql(),
         "tile_sink_lineage": _tile_sink_lineage_sql(),
     }

@@ -53,11 +53,16 @@ def apply_changes_stream(
     )
     state_schema = "seq bigint, payload double, changetype int"
 
-    def _pk(p) -> float:
+    def _pk(p) -> tuple[int, float]:
         # NULL payload LOSES to any numeric at equal (seq, changetype) —
         # the batch window's descending order is NULLS LAST, so the
-        # stream twin must rank NULL below every value, not above it
-        return float("-inf") if p is None or pd.isna(p) else float(p)
+        # stream twin must rank NULL below every value, not above it.
+        # A (is_numeric, value) tuple, NOT a -inf sentinel: collapsing
+        # NULL to -inf would tie NULL with a GENUINE -inf payload in the
+        # cross-chunk state comparison while the in-chunk pandas sort
+        # (na_position='first') ranks NULL strictly below -inf — the
+        # winner would again depend on chunk placement
+        return (0, 0.0) if p is None or pd.isna(p) else (1, float(p))
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

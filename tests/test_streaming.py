@@ -186,3 +186,25 @@ def test_stream_null_payload_stays_null_and_loses_ties(spark, tmp_path):
     # a NaN payload would make it true)
     assert spark_rows[1]["payload"] is None and spark_rows[1]["nan"] is False
     assert last.loc[2, "payload"] == 7.0
+
+
+def test_stream_neg_inf_beats_null_across_chunks(spark, tmp_path):
+    """A genuine -inf payload must beat NULL at an equal (seq, changetype)
+    tie even when the rows arrive in SEPARATE micro-batches (r4 review: a
+    -inf sentinel for NULL in the state comparison tied with real -inf,
+    so the winner depended on chunk placement; the (is_numeric, value)
+    key ranks NULL strictly below -inf, matching the in-chunk sort)."""
+    ninf = float("-inf")
+    results = []
+    for tag, batches in (
+        ("same", [[(1, 5, None, 0), (1, 5, ninf, 0)]]),
+        ("null_then_inf", [[(1, 5, None, 0)], [(1, 5, ninf, 0)]]),
+        ("inf_then_null", [[(1, 5, ninf, 0)], [(1, 5, None, 0)]]),
+    ):
+        src, chk = str(tmp_path / f"s_{tag}"), str(tmp_path / f"c_{tag}")
+        for i, rows in enumerate(batches):
+            _write_batch(spark, src, rows, i)
+        out = _run_stream(spark, src, chk, f"ninf_{tag}").toPandas()
+        last = out.sort_values("seq").groupby("key").last()
+        results.append(last.loc[1, "payload"])
+    assert all(r == ninf for r in results), results

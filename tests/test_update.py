@@ -372,3 +372,42 @@ def test_swap_dir_never_half_deleted(tmp_path):
     with pytest.raises(OSError):
         swap_dir(str(src2), str(tmp_path / "no-such-parent" / "store"))
     assert src2.exists()  # failed swap leaves the tmp tree for the caller
+
+
+def test_atomic_export_swallows_only_race_errno(spark, tmp_path, monkeypatch):
+    """atomic_export tolerates ONLY the concurrent-winner rename signature
+    (EEXIST/ENOTEMPTY with the destination present — identical content by
+    determinism); any other OSError must surface, because the destination
+    may hold a STALE export that the DuckDB soundness oracle would then
+    silently re-score (r4 review finding)."""
+    import errno
+
+    from osmquadtree_spark import fsutil, metrics
+
+    df = spark.range(3).selectExpr("id AS id_a", "id + 1 AS id_b")
+    dest = tmp_path / "cands"
+
+    def raising(code):
+        def _swap(tmp, path):
+            ex = OSError(code, "boom")
+            ex.errno = code
+            raise ex
+        return _swap
+
+    # benign race: dest exists + ENOTEMPTY → swallowed, old content served
+    dest.mkdir()
+    (dest / "marker").write_text("x")
+    monkeypatch.setattr(fsutil, "swap_dir", raising(errno.ENOTEMPTY))
+    metrics.atomic_export(df, str(dest))
+    assert (dest / "marker").exists()
+
+    # anything else (EACCES) → surfaces even though dest exists
+    monkeypatch.setattr(fsutil, "swap_dir", raising(errno.EACCES))
+    with pytest.raises(OSError):
+        metrics.atomic_export(df, str(dest))
+
+    # sanity: the real swap still works end-to-end
+    monkeypatch.undo()
+    metrics.atomic_export(df, str(dest))
+    assert not (dest / "marker").exists()
+    assert spark.read.parquet(str(dest)).count() == 3
