@@ -272,3 +272,38 @@ def test_keyed_registration_replaces_duplicate(spark, tmp_path):
         for r in metrics.read_metrics(spark, mpath).collect()
     }
     assert rows == {("op_x", "bucket_cap"): 9, ("op_y", "bucket_cap"): 7}
+
+
+def test_unrolled_dot_bitwise_equals_fold(spark):
+    """ann._dot_unrolled (the codegen twin used by the ANN rescore) must be
+    BITWISE-identical to the interpreted aggregate fold — the DuckDB
+    soundness oracles pin the fold's exact left-to-right float64 sequence,
+    so any reassociation would surface as a value mismatch. Covers NULL
+    arrays (both must propagate NULL) and adversarial magnitudes
+    (cancellation, denormal-range products)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osmquadtree_spark.operators.ann import _as_double, _dot, _dot_unrolled
+
+    d = 16
+    rng = np.random.default_rng(7)
+    rows = [(i, (rng.standard_normal(d) * 10.0 ** rng.integers(-150, 150)).tolist(),
+             rng.standard_normal(d).tolist()) for i in range(200)]
+    rows.append((200, None, [1.0] * d))
+    rows.append((201, [1e-300] * d, [1e300] * d))
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    av, bv = _as_double(F.col("a")), _as_double(F.col("b"))
+    out = df.select(
+        "id",
+        _dot(av, bv).alias("fold"),
+        _dot_unrolled(av, bv, d).alias("unrolled"),
+    ).collect()
+    for r in out:
+        if r.fold is None or r.unrolled is None:
+            assert r.fold is None and r.unrolled is None
+        else:
+            # == is bitwise here except NaN; compare via struct equality
+            assert (r.fold == r.unrolled) or (
+                r.fold != r.fold and r.unrolled != r.unrolled
+            ), (r.id, r.fold, r.unrolled)
