@@ -305,7 +305,16 @@ def calculate(
     My = np.where(My == my, My + 0.0000001, My)
 
     # mercator-normalize (scale 90 then /90, lon /180); out-of-range lat may
-    # produce nan/inf exactly like the C++ log(tan(...)) would
+    # produce nan/inf exactly like the C++ log(tan(...)) would.
+    # libm note: numpy's SIMD float64 tan/log differ from glibc by 1 ulp on
+    # ~40% of inputs (measured; see multipolygons._tan_glibc, where the
+    # centroid fold's CANCELLATION amplified that to a driver-gate flip and
+    # forced a glibc pin). Here there is no cancellation — the merc value is
+    # grid-quantized directly — so a flip needs a coordinate within ~1 ulp
+    # of a cell boundary (~1e-11/row odds vs the DuckDB ln/tan oracle; qt
+    # cells measured EQ at sf0.001/0.01/0.1 = 672k rows). np.tan/log stay:
+    # a per-element glibc loop would cost ~0.36 s/M vertices on the 10^12
+    # design point's hottest kernel for a hazard the gates bound at ~1e-11.
     with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         my = np.log(np.tan(np.pi * (1.0 + my / 90.0) / 4.0)) / np.pi
         My = np.log(np.tan(np.pi * (1.0 + My / 90.0) / 4.0)) / np.pi

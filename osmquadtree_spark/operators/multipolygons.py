@@ -334,11 +334,33 @@ def _seq_group_sums(terms, starts, lens, big=512):
     return acc
 
 
+def _tan_glibc(a: np.ndarray) -> np.ndarray:
+    """Element-wise glibc ``tan`` (math.tan), NOT np.tan: numpy's SIMD
+    float64 tan loop differs from glibc by 1 ulp on ~40% of inputs, and
+    the centroid/shoelace folds downstream CANCEL ~1e14 intermediates to
+    ~1e10, amplifying that ulp to ~1e-5 absolute — enough to flip a
+    floor-scaled driver gate (found as a 1-in-60k mismatch at sf0.1: rel
+    17125's centroid_x_16). The scalar twin (math.tan) and the DuckDB
+    oracle (std::tan) are BOTH glibc, so glibc is the pinned libm; the
+    per-element loop costs ~0.18 s per million vertices."""
+    return np.fromiter((math.tan(v) for v in a), dtype=np.float64, count=len(a))
+
+
+def _log_glibc(a: np.ndarray) -> np.ndarray:
+    """Element-wise glibc ``log`` — same pinning rationale as _tan_glibc."""
+    return np.fromiter((math.log(v) for v in a), dtype=np.float64, count=len(a))
+
+
 def _project_np(lons, lats):
-    """_fwd vectorized — same op sequence, and numpy float64 log/tan call
-    the same libm as the scalar math module, so results are bit-equal."""
+    """_fwd vectorized — same op sequence, with tan/log routed through
+    glibc (see _tan_glibc) so results are bit-equal to the scalar kernel
+    and to the DuckDB oracle's std::tan/ln."""
     x = (lons * 1e-7) * EARTH_WIDTH / 180.0
-    y = np.log(np.tan(np.pi * (1.0 + (lats * 1e-7) / 90.0) / 4.0)) * EARTH_WIDTH / np.pi
+    y = (
+        _log_glibc(_tan_glibc(np.pi * (1.0 + (lats * 1e-7) / 90.0) / 4.0))
+        * EARTH_WIDTH
+        / np.pi
+    )
     return x, y
 
 

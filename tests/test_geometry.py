@@ -271,16 +271,18 @@ def test_way_stats_kernel_matches_column_folds(spark):
         assert math.floor(a[wid].ring_area / 65536.0) == math.floor(b[wid].ring_area / 65536.0), wid
 
     # accumulation-order contract: bit-identical to a scalar left-to-right
-    # fold over the kernel's OWN projected points (numpy libm)
+    # fold over the kernel's OWN projected points (_project_np — glibc
+    # tan/log, the libm the DuckDB oracle pins; this block tests the FOLD
+    # order, so it must share the kernel's projection exactly)
+    from osmquadtree_spark.operators.multipolygons import _project_np
+
     raw_rows = {r.way_id: (list(r._lons), list(r._lats)) for r in raw.collect()}
     for wid, (lons, lats) in raw_rows.items():
         if wid % 6 == 0 and lons:
             lons = lons + [lons[0]]
             lats = lats + [lats[0]]
-        x = (np.asarray(lons, np.float64) * 1e-7) * gs.EARTH_WIDTH / 180.0
-        y = (
-            np.log(np.tan(np.pi * (1.0 + np.asarray(lats, np.float64) * 1e-7 / 90.0) / 4.0))
-            * gs.EARTH_WIDTH / np.pi
+        x, y = _project_np(
+            np.asarray(lons, np.int64), np.asarray(lats, np.int64)
         )
         ln = 0.0
         for i in range(1, len(x)):

@@ -123,3 +123,38 @@ def test_degenerate_inner_drops_whole_part():
     )
     two = multipolygon_wkb({"outers": [outer, outer2], "inners": [sliver]})
     assert two == multipolygon_wkb({"outers": [outer2], "inners": []})
+
+
+def test_vectorized_centroid_is_glibc_exact_rel17125():
+    """Regression (found by a full-suite sweep at sf0.1): numpy's SIMD
+    float64 ``tan`` differs from glibc by 1 ulp on ~40% of inputs, and the
+    centroid fold's cancellation amplified that to ~3e-5 — flipping
+    floor(cx/16) for exactly one relation in 60k (rel 17125). The
+    projection now routes tan/log through glibc (_tan_glibc/_log_glibc),
+    so the vectorized kernel must reproduce the scalar twin (math.tan —
+    also glibc, like the DuckDB oracle's std::tan) BITWISE, here on the
+    exact coordinates that exposed the flip."""
+    import math
+
+    import numpy as np
+
+    from osmquadtree_spark.operators.multipolygons import (
+        _first_outer_centroids,
+        _ring_metrics,
+        ring_centroid,
+    )
+
+    # rel 17125's assembled outer ring (stitched, pre-normalization order)
+    lons = np.asarray(
+        [-1365887125, -1362887125, -1362887125, -1365887125, -1365887125], np.int64
+    )
+    lats = np.asarray(
+        [-308015875, -308015875, -305015875, -305015875, -308015875], np.int64
+    )
+    lens = np.asarray([len(lons)], np.int64)
+    lons_f, lats_f, X, Y, area, offs = _ring_metrics(lons, lats, lens)
+    cx, cy = _first_outer_centroids(X, Y, offs, lens, np.array([0]))
+    scx, scy = ring_centroid(list(zip(lons_f.tolist(), lats_f.tolist())))
+    assert cx[0] == scx and cy[0] == scy  # bitwise, not isclose
+    assert math.floor(cx[0] / 16.0) == -949269
+    assert math.floor(cy[0] / 16.0) == -224225
