@@ -545,6 +545,11 @@ def embedding_dup_pairs_lsh(
     # 64-term tree that duplicated giant expression measured 7× SLOWER
     # than the fold here (12.7 s vs 1.7 s warm on 821k sf0.1 candidates);
     # the fold's tight primitive loop is the faster join-condition shape.
+    # Also measured and REJECTED: the unrolled tree behind a persist
+    # barrier (cache the unfiltered scored projection so the filter can't
+    # push into the join) — 4.4 s → 14.9 s best-of in a same-window A/B;
+    # materializing 821k×3 scalars plus per-stage codegen of the 64-term
+    # tree costs more than the pushdown it prevents. Keep the fold.
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")

@@ -51,6 +51,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument(
+        "--driver-memory",
+        default="4g",
+        help="JVM heap for the local driver. The sweep COLLECTS full result "
+        "sets to compare them (that is the point of the gate), so sweeping "
+        "above the driver's fixed sf0.01 needs headroom — sf0.1's "
+        "geojson_tiles (600k geojson feature strings) OOMs a default-size "
+        "heap. This only sizes the comparison harness, not any operator.",
+    )
     ap.add_argument("--queries", nargs="*", default=None, help="subset of registry keys")
     args = ap.parse_args()
 
@@ -74,6 +83,7 @@ def main() -> int:
 
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.driver.memory", args.driver_memory)
         .config("spark.sql.shuffle.partitions", str(args.cpus))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
