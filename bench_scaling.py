@@ -171,7 +171,105 @@ def run_job(spark, n_rows: int, partitions: int) -> dict:
     return {"rows": n_rows, "tiles": int(len(gqt)), "groups": int(len(gqt)), "phases": phases}
 
 
-def worker(cpus: int, n_rows: int, out_path: str) -> None:
+DOC_WORDS = 16  # words per synthetic doc (14 word-3-grams)
+DOC_DUP_STRIDE = 7  # every 7th doc (offset 3) is a near-dup of doc idx-3
+
+
+def doc_table(spark, n: int, partitions: int):
+    """Distributed deterministic documents table for the dedup scaling job:
+    text is a pure function of the row index (same table at any
+    parallelism). Rows with ``idx % 7 == 3`` re-derive doc ``idx-3``'s word
+    stream plus one extra tail word — a planted near-dup (14 of 15 shared
+    word-3-grams, jaccard ≈ 0.93) that MinHash banding must recover, one
+    per stride so no bucket is degenerate. Vocab = 400 pairwise
+    concatenations of the caption word list (word codes hash length +
+    first/last char, so concatenation varies all three)."""
+    import numpy as np
+    import pandas as pd
+
+    from osmquadtree_spark.sources.images import _WORDS, splitmix64
+
+    vocab = np.array([a + b for a in _WORDS for b in _WORDS], dtype="<U16")
+    nv = np.uint64(len(vocab))
+
+    def gen(batches):
+        for pdf in batches:
+            idx = pdf["id"].to_numpy("int64")
+            is_dup = (idx % DOC_DUP_STRIDE) == 3
+            base = np.where(is_dup, idx - 3, idx).astype(np.uint64)
+            texts = None
+            for k in range(DOC_WORDS):
+                u = splitmix64(base * np.uint64(1_000_003) + np.uint64(k))
+                w = vocab[(u % nv).astype(np.int64)]
+                texts = w if texts is None else np.char.add(np.char.add(texts, " "), w)
+            tail = vocab[(splitmix64(idx.astype(np.uint64)) % nv).astype(np.int64)]
+            texts = np.where(is_dup, np.char.add(np.char.add(texts, " "), tail), texts)
+            yield pd.DataFrame({"doc_id": idx, "text": texts})
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, "doc_id bigint, text string")
+
+
+def run_dedup_job(
+    spark, n_rows: int, partitions: int, docs_path: str | None = None
+) -> dict:
+    """The MinHash-LSH dedup pipeline end to end, fully materialized:
+    documents scan → Arrow signature kernel → band explode → hot-bucket
+    cap → slim (band,bucket) self-join → pair dedup → signature re-join →
+    match-count filter. The input is a parquet table materialized ONCE and
+    read identically at every parallelism level (the production shape —
+    BASELINE.json's input is a table, not a generator — and it keeps the
+    synthetic text generation's own np.char cost out of the engine
+    measurement); ``docs_path=None`` falls back to inline generation.
+    The action is a count so the run self-verifies: every planted
+    near-dup pair must survive (≈ n/7 pairs; random 400-word-vocab docs
+    collide with negligible probability, bound checked loosely below)."""
+    from osmquadtree_spark.operators.dedup import minhash_lsh_pairs
+
+    t0 = time.time()
+    if docs_path is not None:
+        docs = spark.read.parquet(docs_path)
+    else:
+        docs = doc_table(spark, n_rows, partitions)
+    pairs = minhash_lsh_pairs(docs, metrics_path=None)
+    n_pairs = pairs.count()
+    elapsed = round(time.time() - t0, 3)
+    planted = (n_rows - 4) // DOC_DUP_STRIDE + 1 if n_rows > 3 else 0
+    if not (planted * 0.98 <= n_pairs <= planted * 1.2):
+        raise AssertionError(
+            f"dedup scaling job self-check: {n_pairs} pairs vs ~{planted} planted"
+        )
+    return {"rows": n_rows, "pairs": int(n_pairs), "phases": {"dedup": elapsed}}
+
+
+def docs_parquet_path(n_rows: int) -> str:
+    """Stable scratch path for the dedup job's one-off input table."""
+    return os.path.join(
+        tempfile.gettempdir(), f"oqt_scaling_docs_{n_rows}.parquet"
+    )
+
+
+def prepare_docs(cpus: int, n_rows: int) -> None:
+    """Materialize the dedup job's input table ONCE (its own JVM, excluded
+    from every timed window). 64 files so both parallelism levels see the
+    same well-split scan."""
+    path = docs_parquet_path(n_rows)
+    if os.path.isdir(path) and os.path.isfile(os.path.join(path, "_SUCCESS")):
+        return
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("oqt-scaling-docs-prep")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    doc_table(spark, n_rows, 64).write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
+def worker(cpus: int, n_rows: int, out_path: str, job: str = "tiling") -> None:
     from pyspark.sql import SparkSession
 
     # Pin the WHOLE process tree (JVM + Python workers, which inherit the
@@ -203,10 +301,23 @@ def worker(cpus: int, n_rows: int, out_path: str) -> None:
     # warmup excluded from the timed window (cluster startup, not steady-state
     # throughput): executor threads, codegen, AND the python worker pool —
     # run a tiny pandas stage so all N workers are spawned and imported
-    footprint_elements(spark, 10 * cpus, cpus).write.format("noop").mode("overwrite").save()
+    if job == "dedup":
+        from osmquadtree_spark.operators.dedup import minhash_lsh_pairs
+
+        minhash_lsh_pairs(doc_table(spark, 10 * cpus, cpus), metrics_path=None).count()
+        from osmquadtree_spark.cache import release_all
+
+        release_all()  # drop the warmup's persisted signature/band blocks
+    else:
+        footprint_elements(spark, 10 * cpus, cpus).write.format("noop").mode("overwrite").save()
 
     t0 = time.time()
-    counters = run_job(spark, n_rows, partitions=4 * cpus)
+    if job == "dedup":
+        counters = run_dedup_job(
+            spark, n_rows, partitions=4 * cpus, docs_path=docs_parquet_path(n_rows)
+        )
+    else:
+        counters = run_job(spark, n_rows, partitions=4 * cpus)
     elapsed = time.time() - t0
     result = {
         "cpus": cpus,
@@ -293,13 +404,25 @@ def main() -> None:
     ap.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--cpus", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--out", default=None, help=argparse.SUPPRESS)
+    ap.add_argument(
+        "--job",
+        choices=("tiling", "dedup"),
+        default="tiling",
+        help="tiling = the flagship quadtree-assignment pipeline (north "
+        "rule); dedup = the MinHash-LSH near-dup pipeline over a "
+        "deterministic documents table with planted near-dups (shuffle-"
+        "bound: band self-join + pair dedup), self-verified by pair count",
+    )
     args = ap.parse_args()
 
     if args.worker:
-        worker(args.cpus, args.rows, args.out)
+        worker(args.cpus, args.rows, args.out, args.job)
         return
 
     levels = sorted(int(x) for x in args.levels.split(","))
+    if args.job == "dedup":
+        # one-off input materialization, outside every timed window
+        prepare_docs(max(levels), args.rows)
     results = {}
     attempts: dict[int, list] = {c: [] for c in levels}
     for _rep in range(args.repeats):
@@ -311,7 +434,8 @@ def main() -> None:
                 out_path = tf.name
             subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker",
-                 "--cpus", str(cpus), "--rows", str(args.rows), "--out", out_path],
+                 "--cpus", str(cpus), "--rows", str(args.rows), "--out", out_path,
+                 "--job", args.job],
                 check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
@@ -368,7 +492,8 @@ def main() -> None:
         }
 
     out = {
-        "metric": "tiling_pipeline_scaling_efficiency",
+        "metric": f"{args.job}_pipeline_scaling_efficiency",
+        "job": args.job,
         "value": round(efficiency, 3),
         "unit": "ratio",
         "rows": args.rows,

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..kernels.wordcodes import word_codes
+
 P = 1_000_000_007  # signature modulus (same as docs.MOD)
 KNUTH = 2654435761  # Knuth multiplicative constant: spreads 14-bit word codes
 N_HASHES = 16
@@ -107,14 +109,11 @@ def minhash_signature(docs: DataFrame, n: int = 3, text_col: str = "text") -> Da
             # below forces the no-gram outcome even at n=1, where the fake
             # empty word would otherwise form a real 1-gram
             isnull = pdf[text_col].isna().to_numpy()
-            split = pdf[text_col].fillna("").str.split(" ")
-            ex = split.explode()
-            row = ex.index.to_numpy(np.int64)  # input row per word
-            w = ex.to_numpy(dtype=object)
-            lens = np.asarray([len(x) for x in w], dtype=np.int64)
-            first = np.asarray([ord(x[0]) if x else 0 for x in w], dtype=np.int64)
-            last = np.asarray([ord(x[-1]) if x else 0 for x in w], dtype=np.int64)
-            c = lens * 97 + first + last * 31
+            # vectorized split→word-code extraction (kernels/wordcodes.py):
+            # bit-identical to the per-word object path, without the
+            # one-Python-str-per-word allocator traffic that failed to
+            # scale across pinned cores (row = input row per word)
+            row, c = word_codes(pdf[text_col].fillna(""))
             # gram fold over n consecutive words within the same input row
             g = c.copy()
             ok = ~isnull[row] if len(row) else np.ones(0, dtype=bool)
@@ -345,14 +344,9 @@ def simhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
             # in the SQL twin and propagates; fillna here only keeps the
             # batch math total-function, the mask restores the NULL at the end
             isnull = pdf[text_col].isna().to_numpy()
-            split = pdf[text_col].fillna("").str.split(" ")
-            ex = split.explode()
-            row = ex.index.to_numpy(np.int64)
-            w = ex.to_numpy(dtype=object)
-            lens = np.asarray([len(x) for x in w], dtype=np.int64)
-            first = np.asarray([ord(x[0]) if x else 0 for x in w], dtype=np.int64)
-            last = np.asarray([ord(x[-1]) if x else 0 for x in w], dtype=np.int64)
-            h = ((lens * 97 + first + last * 31) * KNUTH) % (1 << 32)
+            # shared vectorized word-code extraction — see minhash_signature
+            row, c = word_codes(pdf[text_col].fillna(""))
+            h = (c * KNUTH) % (1 << 32)
             bits = ((h[:, None] >> np.arange(SIM_BITS, dtype=np.int64)) & 1).astype(
                 np.int64
             )  # (words, 32)

@@ -307,3 +307,63 @@ def test_unrolled_dot_bitwise_equals_fold(spark):
             assert (r.fold == r.unrolled) or (
                 r.fold != r.fold and r.unrolled != r.unrolled
             ), (r.id, r.fold, r.unrolled)
+
+
+def test_word_codes_vectorized_matches_object_path():
+    """The UCS4-matrix word-code extractor is bit-identical to the
+    split/explode/ord object path on adversarial shapes: empty strings,
+    lone/leading/trailing/consecutive spaces, non-ASCII and non-BMP
+    codepoints, tabs-as-word-chars, and a randomized corpus. The DuckDB
+    oracles pin codepoint (not byte) semantics, so this parity IS the
+    oracle contract for both signature kernels."""
+    import random
+
+    from osmquadtree_spark.kernels import wordcodes as wc
+
+    fixed = pd.Series(
+        [
+            "hello world", "", " ", "  ", "a", "a b  c", " leading",
+            "trailing ", "ünïcödé wörds", "汉字 测试 空格", "emoji 😀😀 test",
+            "tab\tstays\tone-word", " a ", "  double  spaces  ", "x" * 200,
+        ]
+    )
+    r1, c1 = wc.word_codes(fixed)
+    r2, c2 = wc.word_codes_obj(fixed)
+    assert np.array_equal(r1, r2) and np.array_equal(c1, c2)
+    # all-ASCII batch exercises the 1-byte 'S' matrix path, including NUL
+    # bytes (ordinary code-0 chars, NOT stripped) and a trailing NUL
+    ascii_only = pd.Series(
+        ["hello world", "a\x00b", "ends in nul\x00", "", " ", "  x  ", "w"]
+    )
+    r1, c1 = wc.word_codes(ascii_only)
+    r2, c2 = wc.word_codes_obj(ascii_only)
+    assert np.array_equal(r1, r2) and np.array_equal(c1, c2)
+    # hand-pinned: "a b  c" -> codes for "a","b","","c"
+    one = pd.Series(["a b  c"])
+    _, codes = wc.word_codes(one)
+    a = 97 * 1 + ord("a") + ord("a") * 31
+    b = 97 * 1 + ord("b") + ord("b") * 31
+    cc = 97 * 1 + ord("c") + ord("c") * 31
+    assert codes.tolist() == [a, b, 0, cc]
+
+    random.seed(11)
+    alph = "ab cd  é汉😀 xyz "
+    texts = pd.Series(
+        ["".join(random.choice(alph) for _ in range(random.randrange(0, 60)))
+         for _ in range(2000)]
+    )
+    r1, c1 = wc.word_codes(texts)
+    r2, c2 = wc.word_codes_obj(texts)
+    assert np.array_equal(r1, r2) and np.array_equal(c1, c2)
+
+    # the memory guard routes oversized matrices through the object path
+    # (one long doc widens every row): force it and re-check parity
+    import unittest.mock as mock
+
+    with mock.patch.object(wc, "MAX_MATRIX_BYTES", 1):
+        r3, c3 = wc.word_codes(texts)
+    assert np.array_equal(r1, r3) and np.array_equal(c1, c3)
+
+    # all-empty corpus: one empty word per doc (the L == 0 matrix edge)
+    r4, c4 = wc.word_codes(pd.Series(["", "", ""]))
+    assert r4.tolist() == [0, 1, 2] and c4.tolist() == [0, 0, 0]
