@@ -40,6 +40,11 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     already has thousands of splits and this is a no-op (no shuffle
     added). Catalyst still pushes filters below the exchange, so scan
     pruning is unaffected."""
+    if df.isStreaming:
+        # no stable partition count to inspect (.rdd throws on streaming
+        # frames); micro-batch parallelism is the source's maxFilesPerTrigger
+        # / partition config, not a scan-split accident
+        return df
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

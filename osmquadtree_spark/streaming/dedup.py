@@ -1,0 +1,143 @@
+"""Streaming MinHash-LSH near-dup detection — the batch
+``operators.dedup.minhash_lsh_pairs`` pipeline as an incremental stateful
+stream (the training-data-pipeline shape: documents arrive continuously,
+near-dup pairs must surface as they form, without re-scanning the corpus).
+
+The reference has no streaming surface (it is batch-only,
+/root/reference/src/sortblocks — the closest analog is the daily .osc
+replication replay); this module follows the same
+Structured-Streaming-first restatement as streaming/changes.py.
+
+Shape: the signature kernel is STATELESS (the same Arrow batch kernel as
+batch, one mapInPandas per micro-batch); the only genuine state is the
+per-(band, bucket) membership — exactly the state a 10^12-document
+deduplicator must shard, and it shards here by bucket hash across
+executors with no driver state. A new document joins each of its N_BANDS
+buckets; the stateful operator compares its 16-hash signature against the
+bucket's existing members (one numpy equality against the stored matrix)
+and emits every pair with >= min_matches agreeing minhashes. State per
+bucket = member ids + flattened signatures, bounded by ``bucket_cap``.
+
+Equivalence contract (pinned in tests/test_streaming.py): the DISTINCT
+set of emitted (doc_a, doc_b, match_cnt) rows converges to the batch
+operator / DuckDB all-pairs oracle on the same corpus, for any split of
+the corpus into micro-batches and any arrival order — emission is
+incremental but membership comparison is order-free (signature equality
+counts are symmetric), and a pair discovered via several shared buckets
+emits identical rows (match_cnt is a pure function of the two
+signatures), so downstream distinct / MERGE upsert is idempotent.
+
+Cap semantics differ from batch BY DESIGN, and are documented here:
+batch ``cap_hot_buckets`` drops a >cap bucket ENTIRELY (retroactive —
+it sees the full bucket before the join); a stream cannot un-emit, so a
+bucket that reaches ``bucket_cap`` members SATURATES: existing members
+stay, later arrivals to that bucket are neither stored nor compared
+(their pairs may still surface via their other N_BANDS-1 buckets). Both
+behaviors bound the quadratic hot-bucket blowup; the batch gate remains
+the recall authority.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.dedup import N_BANDS, N_HASHES, _band_key, minhash_signature
+
+
+def minhash_pairs_stream(
+    docs: DataFrame,
+    n: int = 3,
+    min_matches: int = 8,
+    text_col: str = "text",
+    bucket_cap: int | None = 100_000,
+) -> DataFrame:
+    """Near-dup pairs over a streaming (doc_id, text) frame.
+
+    Output rows: (doc_a, doc_b, match_cnt) with doc_a < doc_b, update
+    mode — each row emits when the LATER document of the pair arrives
+    (in whichever of their shared buckets processes it first; duplicate
+    emissions across buckets are identical rows).
+
+    A doc_id seen again in the same bucket (source replay, duplicate
+    delivery) is ignored — membership is keyed by id, so delivery is
+    at-least-once safe without emitting self-pairs.
+    """
+    import numpy as np
+
+    rows = N_HASHES // N_BANDS
+    sigs = minhash_signature(docs, n, text_col).filter(F.size("sig") > 0)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    _band_key(F.col("sig"), b, rows).alias("bucket"),
+                )
+                for b in range(N_BANDS)
+            ])
+        ).alias("_bb"),
+    ).select(
+        "doc_id", "sig", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+    )
+
+    out_schema = "doc_a bigint, doc_b bigint, match_cnt bigint"
+    state_schema = "ids array<bigint>, sigs array<bigint>"
+    cap = bucket_cap if bucket_cap is not None else 1 << 62
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids_t, flat_t = state.get
+            ids = np.asarray(ids_t, dtype=np.int64)
+            mat = np.asarray(flat_t, dtype=np.int64).reshape(-1, N_HASHES)
+        else:
+            ids = np.zeros(0, np.int64)
+            mat = np.zeros((0, N_HASHES), np.int64)
+        out_a, out_b, out_m = [], [], []
+        changed = False
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # doc_id order inside the batch: purely cosmetic determinism
+            # of emission order; the emitted SET is order-free
+            for doc_id, sig in sorted(
+                zip(pdf["doc_id"].tolist(), pdf["sig"].tolist())
+            ):
+                if len(ids) and (ids == doc_id).any():
+                    continue  # replayed / duplicate delivery
+                if len(ids) >= cap:
+                    continue  # saturated bucket (see module docstring)
+                s = np.asarray(sig, dtype=np.int64)
+                if len(ids):
+                    cnt = (mat == s).sum(axis=1)
+                    hit = np.flatnonzero(cnt >= min_matches)
+                    for j in hit:
+                        a, b = ids[j], doc_id
+                        out_a.append(min(a, b))
+                        out_b.append(max(a, b))
+                        out_m.append(int(cnt[j]))
+                ids = np.append(ids, np.int64(doc_id))
+                mat = np.vstack([mat, s[None, :]])
+                changed = True
+        if changed:
+            state.update((ids.tolist(), mat.ravel().tolist()))
+        if out_a:
+            yield pd.DataFrame(
+                {"doc_a": out_a, "doc_b": out_b, "match_cnt": out_m}
+            )
+
+    return bands.groupBy("band", "bucket").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -208,3 +208,154 @@ def test_stream_neg_inf_beats_null_across_chunks(spark, tmp_path):
         last = out.sort_values("seq").groupby("key").last()
         results.append(last.loc[1, "payload"])
     assert all(r == ninf for r in results), results
+
+
+def _dedup_corpus(n=150):
+    """Deterministic near-dup corpus: 12-word texts from a 30-word vocab;
+    every doc with i % 5 == 2 copies doc i-2's words with the last word
+    replaced (11/12 shared words -> most 3-grams shared), and every doc
+    with i % 11 == 7 is an EXACT copy of doc i-7."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i:02d}" for i in range(30)]
+    texts = []
+    for i in range(n):
+        if i % 11 == 7 and i >= 7:
+            texts.append(texts[i - 7])
+        elif i % 5 == 2 and i >= 2:
+            words = texts[i - 2].split(" ")
+            words[-1] = rng.choice(vocab)
+            texts.append(" ".join(words))
+        else:
+            texts.append(" ".join(rng.choice(vocab) for _ in range(12)))
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+
+
+def _run_dedup_stream(spark, src, chk, sink, bucket_cap=None):
+    from osmquadtree_spark.streaming.dedup import minhash_pairs_stream
+
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src + "/*")
+    q = (
+        minhash_pairs_stream(stream, bucket_cap=bucket_cap)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    return spark.sql(f"SELECT DISTINCT doc_a, doc_b, match_cnt FROM {sink}")
+
+
+def test_stream_dedup_converges_to_batch(spark, tmp_path):
+    """The distinct emitted pair set over micro-batched delivery equals the
+    batch minhash_lsh_pairs result on the same corpus (the module's
+    equivalence contract), regardless of the corpus split."""
+    from osmquadtree_spark.operators.dedup import minhash_lsh_pairs
+
+    pdf = _dedup_corpus()
+    src, chk = str(tmp_path / "docs"), str(tmp_path / "chk")
+    for i in range(3):
+        part = pdf[pdf["doc_id"] % 3 == i]
+        spark.createDataFrame(part, "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(f"{src}/b{i}")
+
+    got = sorted(
+        tuple(r) for r in _run_dedup_stream(spark, src, chk, "dedupsink").collect()
+    )
+    batch = minhash_lsh_pairs(
+        spark.createDataFrame(pdf, "doc_id bigint, text string"),
+        bucket_cap=None,
+        metrics_path=None,
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+    assert len(got) >= 20  # the corpus must actually exercise the operator
+    # exact copies agree on all 16 minhashes
+    exact = {(i - 7, i) for i in range(7, len(pdf), 11) if i >= 7}
+    full = {(a, b) for a, b, m in got if m == 16}
+    assert exact <= full
+
+
+def test_stream_dedup_state_survives_restart(spark, tmp_path):
+    """A pair whose second document arrives in a LATER run of the same
+    checkpointed query still emits: bucket membership is in keyed state,
+    not in the micro-batch. (foreachBatch parquet sink — the memory sink
+    does not support checkpoint recovery.)"""
+    from osmquadtree_spark.operators.dedup import minhash_lsh_pairs
+    from osmquadtree_spark.streaming.dedup import minhash_pairs_stream
+
+    pdf = _dedup_corpus(40)
+    src = str(tmp_path / "docs")
+    chk, out = str(tmp_path / "chk"), str(tmp_path / "out")
+
+    def run():
+        stream = spark.readStream.schema("doc_id bigint, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src + "/*")
+
+        def sink(bdf, bid):
+            if bdf.count():
+                bdf.write.mode("append").parquet(out)
+
+        q = (
+            minhash_pairs_stream(stream, bucket_cap=None)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    # split at 25: the planted exact pair (22, 29) spans the two runs
+    early = pdf[pdf["doc_id"] < 25]
+    late = pdf[pdf["doc_id"] >= 25]
+    spark.createDataFrame(early, "doc_id bigint, text string").coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    run()
+    first = {tuple(r) for r in spark.read.parquet(out).distinct().collect()}
+    spark.createDataFrame(late, "doc_id bigint, text string").coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    run()
+    both = {tuple(r) for r in spark.read.parquet(out).distinct().collect()}
+
+    want = {
+        tuple(r)
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(pdf, "doc_id bigint, text string"),
+            bucket_cap=None,
+            metrics_path=None,
+        ).collect()
+    }
+    assert both == want
+    # cross-run pairs (first doc in run 1, second in run 2) exist and only
+    # surfaced in run 2 — i.e. they needed the carried state
+    cross = {(a, b) for a, b, m in want if a < 25 <= b}
+    assert cross and cross <= {(a, b) for a, b, m in both - first}
+
+
+def test_stream_dedup_bucket_saturation(spark, tmp_path):
+    """bucket_cap=1 saturates every bucket at its first member: identical
+    docs emit NO pairs (their buckets all hold the first doc and skip the
+    rest) — the stream analog of the batch hot-bucket drop, and the state
+    size bound."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": ["x1 x2 x3 x4 x5 x6"] * 6,
+        }
+    )
+    src, chk = str(tmp_path / "docs"), str(tmp_path / "chk")
+    spark.createDataFrame(pdf, "doc_id bigint, text string").coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    got = _run_dedup_stream(spark, src, chk, "satsink", bucket_cap=1).collect()
+    assert got == []
