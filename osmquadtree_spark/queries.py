@@ -2441,6 +2441,135 @@ GROUP BY 1
 """.strip()
 
 
+def q_dedup_stream(spark, sf_dir):
+    """Streaming MinHash-LSH near-dup pairs (streaming/dedup.py): the
+    documents table replayed as 3 micro-batches through the stateful
+    per-(band, bucket) membership operator; the DISTINCT emitted pair set
+    must equal the batch operator's all-pairs DuckDB spec — the module's
+    convergence contract, value-gated at the driver surface."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.dedup import minhash_pairs_stream
+
+    base = _load_fanned(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="oqt_dedup_stream_")
+    try:
+        for i in range(3):
+            base.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{root}/src/b{i}")
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(root + "/src/*")
+        )
+        sink = f"oqt_dedup_stream_{uuid.uuid4().hex[:8]}"
+        q = (
+            minhash_pairs_stream(stream, n=3, min_matches=8, bucket_cap=None)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", root + "/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("dedup stream did not finish within 300 s")
+        # a pair found via several shared buckets emits identical rows;
+        # materialize the distinct set before the source dir disappears
+        return spark.createDataFrame(
+            spark.table(sink).distinct().toPandas(),
+            "doc_a bigint, doc_b bigint, match_cnt bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_windowed_events_stream(spark, sf_dir):
+    """Event-time windowed aggregate with watermark (streaming/ingest.py
+    windowed_counts_stream): the events table replayed IN EVENT ORDER as 3
+    micro-batches (+ one far-future sentinel row that advances the
+    watermark past every real window, flushing append-mode output).
+    In-order delivery + 1h delay means nothing is dropped, so the emitted
+    finalized windows must equal the batch day×event_type aggregate —
+    DuckDB date_trunc oracle. The drop/keep late-data semantics are pinned
+    separately in tests/test_streaming.py (they need controlled arrival
+    order, which a value gate cannot assume)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.ingest import windowed_counts_stream
+
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type"
+    )
+    n = base.count()
+    root = tempfile.mkdtemp(prefix="oqt_winevt_")
+    try:
+        # event_id-range split preserves event-time order (ts is monotone
+        # in event_id in this corpus; verified at all three scales)
+        cuts = [0, n // 3, 2 * n // 3, n]
+        for i in range(3):
+            base.filter(
+                (F.col("event_id") >= cuts[i]) & (F.col("event_id") < cuts[i + 1])
+            ).coalesce(1).write.mode("overwrite").parquet(f"{root}/src/b{i}")
+        # sentinel: 100 days past the corpus, at 00:30 of its day so its
+        # own window end stays ahead of the watermark (never emits)
+        spark.sql(
+            "SELECT CAST(-1 AS BIGINT) AS event_id, "
+            "timestamp'2024-05-10 00:30:00' AS ts, "
+            "CAST('__flush__' AS STRING) AS event_type"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/src/b3")
+        # the file source orders batches by mtime; make it explicit
+        for i in range(4):
+            d = f"{root}/src/b{i}"
+            for f_ in os.listdir(d):
+                os.utime(os.path.join(d, f_), (1_700_000_000 + i * 10,) * 2)
+        stream = (
+            spark.readStream.schema("event_id bigint, ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(root + "/src/*")
+        )
+        out = windowed_counts_stream(
+            stream, ts_col="ts", keys=("event_type",), window="1 day", watermark="1 hour"
+        )
+        sink = f"oqt_winevt_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", root + "/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("windowed events stream did not finish within 300 s")
+        return spark.createDataFrame(
+            spark.table(sink).toPandas(),
+            "win_start bigint, win_end bigint, event_type string, row_count bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _windowed_events_stream_sql() -> str:
+    """DuckDB twin: day-truncated event-time counts. epoch() of the naive
+    timestamp == Spark's epoch-based window alignment, timezone-free."""
+    return """
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start,
+       CAST(epoch(date_trunc('day', ts) + INTERVAL 1 DAY) AS BIGINT) AS win_end,
+       event_type,
+       COUNT(*) AS row_count
+FROM events
+GROUP BY 1, 2, 3
+""".strip()
+
+
 OVERLAP_BOX = (-1234567890, -456789012, 345678901, 567890123)
 
 
@@ -2593,6 +2722,8 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "element_diff": q_element_diff,
         "geojson_diff": q_geojson_diff,
         "ingest_stream": q_ingest_stream,
+        "dedup_stream": q_dedup_stream,
+        "windowed_events_stream": q_windowed_events_stream,
         "qt_box_overlaps": q_qt_box_overlaps,
         "pruned_bbox_extract": q_pruned_bbox_extract,
         "tile_sink_lineage": q_tile_sink_lineage,
@@ -2610,6 +2741,8 @@ def sweep_oracle_sql() -> dict[str, str]:
         "element_diff": _element_diff_sql(),
         "geojson_diff": _geojson_diff_sql(),
         "ingest_stream": _ingest_stream_sql(),
+        "dedup_stream": do.minhash_pairs_sql(n=3, min_matches=8),
+        "windowed_events_stream": _windowed_events_stream_sql(),
         "qt_box_overlaps": _qt_box_overlaps_sql(),
         "pruned_bbox_extract": _bbox_extract_sql(),
         "tile_sink_lineage": _tile_sink_lineage_sql(),

@@ -46,6 +46,44 @@ def tile_counts_stream(enriched: DataFrame, tile_col: str = "group_qt") -> DataF
     return enriched.groupBy(tile_col).agg(F.count(F.lit(1)).alias("row_count"))
 
 
+def windowed_counts_stream(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("group_qt",),
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time tumbling-window counts with a late-data watermark
+    (append mode): each (window, keys) row emits EXACTLY ONCE, when the
+    watermark (max event time seen minus the delay) passes the window
+    end, and the window's state is dropped — so state is bounded by the
+    number of OPEN windows × keys regardless of corpus size, the property
+    that matters at 10^12 rows. Rows arriving later than the watermark
+    are dropped (the late-data contract); rows late but within the delay
+    are counted. Both behaviors are pinned in tests/test_streaming.py;
+    the no-late-data equivalence to the batch aggregate is value-gated
+    against DuckDB via the ``windowed_events_stream`` sweep entry.
+
+    The reference's closest analog is the daily .osc replication window
+    (docs/source/getting_started.rst:60-68) — batch replay there, a
+    genuine event-time stream here.
+
+    Output: (win_start, win_end epoch seconds BIGINT — timezone-free,
+    Spark's window alignment is epoch-based; *keys; row_count)."""
+    win = F.window(ts_col, window).alias("win")
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(win, *keys)
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .select(
+            F.col("win.start").cast("long").alias("win_start"),
+            F.col("win.end").cast("long").alias("win_end"),
+            *keys,
+            "row_count",
+        )
+    )
+
+
 def write_tiles_stream(
     enriched: DataFrame,
     path: str,

@@ -359,3 +359,67 @@ def test_stream_dedup_bucket_saturation(spark, tmp_path):
     )
     got = _run_dedup_stream(spark, src, chk, "satsink", bucket_cap=1).collect()
     assert got == []
+
+
+def test_windowed_counts_watermark_late_data(spark, tmp_path):
+    """Append-mode event-time windows with a 5-minute watermark over
+    controlled arrival order (file mtimes pin micro-batch order):
+    a late row whose window is still open is counted; a row arriving
+    AFTER its window's state was evicted is dropped (Spark's guarantee
+    is one-sided — a too-late row landing in the SAME batch that evicts
+    the window may still merge, so the drop case must arrive a batch
+    later); every closed window emits exactly once (no duplicate from
+    the dropped row re-opening state); the still-open final window
+    never emits."""
+    import os
+
+    from osmquadtree_spark.streaming.ingest import windowed_counts_stream
+
+    src, chk = str(tmp_path / "src"), str(tmp_path / "chk")
+    batches = [
+        # b0: two rows in W1 [00:00,00:10) + one at 00:21 -> watermark 00:16
+        ["00:02", "00:05", "00:21"],
+        # b1: 00:17 late-but-open (W2 end 00:20 > wm 00:16) -> counted;
+        #     W1 (end 00:10 <= wm) evicted + emitted; 00:40 -> wm 00:35
+        ["00:17", "00:40"],
+        # b2: 00:05 replay AFTER W1's eviction -> dropped, no re-emission;
+        #     flush row at 01:30 -> watermark 01:25 closes W3 and W4
+        ["00:05", "01:30"],
+    ]
+    for i, times in enumerate(batches):
+        rows = ", ".join(f"(timestamp'2024-01-01 {t}:00', 'k')" for t in times)
+        spark.sql(f"SELECT * FROM (VALUES {rows}) AS v(ts, k)").coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+        d = f"{src}/b{i}"
+        for f_ in os.listdir(d):
+            os.utime(os.path.join(d, f_), (1_700_000_000 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        windowed_counts_stream(
+            stream, ts_col="ts", keys=("k",), window="10 minutes", watermark="5 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName("winlate")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r.win_start % 86400 // 60, r.win_end % 86400 // 60): r.row_count
+        for r in spark.sql("SELECT * FROM winlate").collect()
+    }
+    want = {
+        (0, 10): 2,   # b1's replayed 00:05 was dropped (window closed)
+        (10, 20): 1,  # 00:17 arrived late but its window was still open
+        (20, 30): 1,
+        (40, 50): 1,
+    }  # [01:30, 01:40) never closes -> never emits
+    assert got == want
