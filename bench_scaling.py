@@ -241,10 +241,29 @@ def run_dedup_job(
     return {"rows": n_rows, "pairs": int(n_pairs), "phases": {"dedup": elapsed}}
 
 
+def _docs_gen_fingerprint() -> str:
+    """Hash of everything the generated table depends on (doc_table's
+    source, the stride/width constants, the vocab word list) — baked into
+    the cache path so editing the generator invalidates the cached parquet
+    instead of silently benchmarking (and self-checking against) a corpus
+    produced by older code."""
+    import hashlib
+    import inspect
+
+    from osmquadtree_spark.sources.images import _WORDS
+
+    blob = "|".join(
+        [inspect.getsource(doc_table), str(DOC_WORDS), str(DOC_DUP_STRIDE)]
+        + list(_WORDS)
+    )
+    return hashlib.sha256(blob.encode()).hexdigest()[:12]
+
+
 def docs_parquet_path(n_rows: int) -> str:
     """Stable scratch path for the dedup job's one-off input table."""
     return os.path.join(
-        tempfile.gettempdir(), f"oqt_scaling_docs_{n_rows}.parquet"
+        tempfile.gettempdir(),
+        f"oqt_scaling_docs_{n_rows}_{_docs_gen_fingerprint()}.parquet",
     )
 
 

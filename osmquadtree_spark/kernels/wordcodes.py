@@ -71,18 +71,28 @@ def word_codes(texts) -> tuple[np.ndarray, np.ndarray]:
         z = np.zeros(0, np.int64)
         return z, z
     doclen = texts.str.len().to_numpy(np.int64)
+    # Budget check BEFORE the fixed-width conversion — to_numpy(dtype=...)
+    # is itself the n × max_len allocation the budget exists to prevent.
+    # doclen.max() ≥ the matrix width numpy would pick (it may strip
+    # trailing NULs), so the pre-check is conservative; the cheap (1-byte)
+    # case is checked first and the UCS4 case re-checked at 4× below.
+    Lmax = int(doclen.max())
+    if Lmax == 0:
+        # every text is "": one empty word (code 0) per doc
+        return np.arange(n, dtype=np.int64), np.zeros(n, np.int64)
+    if n * Lmax > MAX_MATRIX_BYTES:
+        return word_codes_obj(texts)
     try:
         arr = texts.to_numpy(dtype="S")  # strict-ASCII encode, 1 B/char
         width = 1
     except UnicodeEncodeError:
+        if n * Lmax * 4 > MAX_MATRIX_BYTES:
+            return word_codes_obj(texts)
         arr = texts.to_numpy(dtype="U")  # fixed-width UCS4
         width = 4
     L = arr.dtype.itemsize // width
     if L == 0:
-        # every text is "": one empty word (code 0) per doc
         return np.arange(n, dtype=np.int64), np.zeros(n, np.int64)
-    if n * L * width > MAX_MATRIX_BYTES:
-        return word_codes_obj(texts)
     u = arr.view(np.uint8 if width == 1 else np.uint32).reshape(n, L)
     valid = np.arange(L, dtype=np.int64)[None, :] < doclen[:, None]
     sp = (u == 32) & valid

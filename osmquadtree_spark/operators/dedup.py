@@ -158,6 +158,27 @@ def _band_key(sig, band: int, rows: int):
     return acc
 
 
+def band_rows(sigs: DataFrame, keep_sig: bool = False) -> DataFrame:
+    """Explode a non-empty-``sig`` (doc_id, sig) frame into one row per
+    (band, bucket) — the SINGLE definition of LSH banding, shared by the
+    batch pair join (:func:`minhash_lsh_pairs`) and the streaming
+    membership operator (streaming.dedup.minhash_pairs_stream) so the two
+    engines cannot silently drift apart (their equivalence is a pinned
+    contract). ``keep_sig`` carries the signature through for the
+    streaming member comparison."""
+    rows = N_HASHES // N_BANDS
+    cols = ["doc_id"] + (["sig"] if keep_sig else [])
+    return sigs.select(
+        *cols,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), _band_key(F.col("sig"), b, rows).alias("bucket"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("_bb"),
+    ).select(*cols, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+
+
 def cap_hot_buckets(
     df: DataFrame,
     key_cols: list[str],
@@ -268,19 +289,10 @@ def minhash_lsh_pairs(
     Reference has no dedup ops; this is a training-data-pipeline extension
     (north-rule axes) using the same banding as Broder's original scheme.
     """
-    rows = N_HASHES // N_BANDS
     from ..cache import cached
 
     sigs = cached(minhash_signature(docs, n, text_col).filter(F.size("sig") > 0))
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), _band_key(F.col("sig"), b, rows).alias("bucket"))
-                for b in range(N_BANDS)
-            ])
-        ).alias("_bb"),
-    ).select("doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+    bands = band_rows(sigs)
     # persist the CAPPED bands: both self-join branches read them, and the
     # cap's aggregate + broadcast-anti subtree would otherwise run per branch
     bands = cached(

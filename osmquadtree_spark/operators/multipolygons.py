@@ -161,9 +161,20 @@ def _stitch(parts: list[tuple[list[int], list[tuple[int, int]]]]):
 #    below reproduces these through vectorized sequential folds) --------------
 
 
+def _log_c(v: float) -> float:
+    """C-library ``log`` edge semantics: glibc value for v > 0, -inf at 0,
+    nan below — std::log (forward.cpp's merc) returns these instead of
+    raising, so a lat <= -90 node (tan -> 0 or negative at the Mercator
+    pole) flows through as -inf/nan exactly like the reference rather than
+    aborting the task with Python's math-domain ValueError."""
+    if v > 0.0:
+        return math.log(v)
+    return float("-inf") if v == 0.0 else float("nan")
+
+
 def _fwd(lon: int, lat: int):
     x = (lon * 1e-7) * EARTH_WIDTH / 180.0
-    y = math.log(math.tan(math.pi * (1.0 + (lat * 1e-7) / 90.0) / 4.0)) * EARTH_WIDTH / math.pi
+    y = _log_c(math.tan(math.pi * (1.0 + (lat * 1e-7) / 90.0) / 4.0)) * EARTH_WIDTH / math.pi
     return x, y
 
 
@@ -347,8 +358,11 @@ def _tan_glibc(a: np.ndarray) -> np.ndarray:
 
 
 def _log_glibc(a: np.ndarray) -> np.ndarray:
-    """Element-wise glibc ``log`` — same pinning rationale as _tan_glibc."""
-    return np.fromiter((math.log(v) for v in a), dtype=np.float64, count=len(a))
+    """Element-wise glibc ``log`` — same pinning rationale as _tan_glibc,
+    with C edge semantics (-inf at 0, nan below) via _log_c so a pole
+    coordinate degrades like std::log instead of raising (the scalar twin
+    uses the same helper, keeping the two paths bit-identical)."""
+    return np.fromiter((_log_c(v) for v in a), dtype=np.float64, count=len(a))
 
 
 def _project_np(lons, lats):

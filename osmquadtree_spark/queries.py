@@ -2382,52 +2382,81 @@ WHERE (lf IS NULL OR rf IS NULL)
 """.strip()
 
 
-def q_ingest_stream(spark, sf_dir):
-    """Structured-Streaming ingest (streaming/ingest.py): the element table
-    replayed as 3 micro-batches through the stateless qt kernel + group
-    assignment against the complete depth-3 table, with the live per-tile
-    count aggregate in complete mode — the converged state must equal the
-    batch aggregation (oracle: SQL find_tile over the restated cells)."""
+def _replay_stream(
+    spark,
+    batches,
+    src_schema: str,
+    build,
+    output_mode: str,
+    out_schema: str,
+    prefix: str,
+    distinct: bool = False,
+    pin_mtimes: bool = False,
+):
+    """Shared micro-batch replay scaffold for the streaming value gates:
+    write ``batches`` (one parquet dir each) under a tmp source, replay
+    them one file per trigger through ``build(stream)`` into a memory
+    sink, and re-materialize the result before the tmp dirs disappear.
+    ``pin_mtimes`` makes the file source's mtime batch order explicit
+    (needed when replay order is part of the contract)."""
     import shutil
     import tempfile
     import uuid
 
-    from .streaming.ingest import tile_counts_stream, with_cells_stream
-
-    base = _elements(spark, sf_dir).select("elem_id", "minx", "miny", "maxx", "maxy")
-    root = tempfile.mkdtemp(prefix="oqt_ingest_")
+    root = tempfile.mkdtemp(prefix=prefix)
     try:
-        for i in range(3):
-            base.filter(F.col("elem_id") % 3 == i).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{root}/src/b{i}")
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.mode("overwrite").parquet(f"{root}/src/b{i}")
+        if pin_mtimes:
+            for i in range(len(batches)):
+                d = f"{root}/src/b{i}"
+                for f_ in os.listdir(d):
+                    os.utime(os.path.join(d, f_), (1_700_000_000 + i * 10,) * 2)
         stream = (
-            spark.readStream.schema(
-                "elem_id bigint, minx bigint, miny bigint, maxx bigint, maxy bigint"
-            )
+            spark.readStream.schema(src_schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(root + "/src/*")
         )
-        enriched = with_cells_stream(stream, _level3_groups())
-        sink = f"oqt_ingest_{uuid.uuid4().hex[:8]}"
+        sink = f"{prefix}{uuid.uuid4().hex[:8]}"
         q = (
-            tile_counts_stream(enriched)
+            build(stream)
             .writeStream.format("memory")
             .queryName(sink)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", root + "/chk")
             .trigger(availableNow=True)
             .start()
         )
         if not q.awaitTermination(300):
             q.stop()
-            raise TimeoutError("ingest stream did not finish within 300 s")
-        # materialize before the checkpoint dir disappears
-        return spark.createDataFrame(
-            spark.table(sink).toPandas(), "group_qt bigint, row_count bigint"
-        )
+            raise TimeoutError(f"{prefix} replay did not finish within 300 s")
+        res = spark.table(sink)
+        if distinct:
+            res = res.distinct()
+        return spark.createDataFrame(res.toPandas(), out_schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def q_ingest_stream(spark, sf_dir):
+    """Structured-Streaming ingest (streaming/ingest.py): the element table
+    replayed as 3 micro-batches through the stateless qt kernel + group
+    assignment against the complete depth-3 table, with the live per-tile
+    count aggregate in complete mode — the converged state must equal the
+    batch aggregation (oracle: SQL find_tile over the restated cells)."""
+    from .streaming.ingest import tile_counts_stream, with_cells_stream
+
+    base = _elements(spark, sf_dir).select("elem_id", "minx", "miny", "maxx", "maxy")
+    groups = _level3_groups()
+    return _replay_stream(
+        spark,
+        [base.filter(F.col("elem_id") % 3 == i) for i in range(3)],
+        "elem_id bigint, minx bigint, miny bigint, maxx bigint, maxy bigint",
+        lambda stream: tile_counts_stream(with_cells_stream(stream, groups)),
+        "complete",
+        "group_qt bigint, row_count bigint",
+        "oqt_ingest_",
+    )
 
 
 def _ingest_stream_sql() -> str:
@@ -2447,45 +2476,21 @@ def q_dedup_stream(spark, sf_dir):
     per-(band, bucket) membership operator; the DISTINCT emitted pair set
     must equal the batch operator's all-pairs DuckDB spec — the module's
     convergence contract, value-gated at the driver surface."""
-    import shutil
-    import tempfile
-    import uuid
-
     from .streaming.dedup import minhash_pairs_stream
 
     base = _load_fanned(spark, sf_dir, "documents").select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="oqt_dedup_stream_")
-    try:
-        for i in range(3):
-            base.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{root}/src/b{i}")
-        stream = (
-            spark.readStream.schema("doc_id bigint, text string")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(root + "/src/*")
-        )
-        sink = f"oqt_dedup_stream_{uuid.uuid4().hex[:8]}"
-        q = (
-            minhash_pairs_stream(stream, n=3, min_matches=8, bucket_cap=None)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("update")
-            .option("checkpointLocation", root + "/chk")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("dedup stream did not finish within 300 s")
-        # a pair found via several shared buckets emits identical rows;
-        # materialize the distinct set before the source dir disappears
-        return spark.createDataFrame(
-            spark.table(sink).distinct().toPandas(),
-            "doc_a bigint, doc_b bigint, match_cnt bigint",
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    # a pair found via several shared buckets emits identical rows ->
+    # distinct before the compare
+    return _replay_stream(
+        spark,
+        [base.filter(F.col("doc_id") % 3 == i) for i in range(3)],
+        "doc_id bigint, text string",
+        lambda stream: minhash_pairs_stream(stream, n=3, min_matches=8, bucket_cap=None),
+        "update",
+        "doc_a bigint, doc_b bigint, match_cnt bigint",
+        "oqt_dedup_stream_",
+        distinct=True,
+    )
 
 
 def q_windowed_events_stream(spark, sf_dir):
@@ -2498,63 +2503,42 @@ def q_windowed_events_stream(spark, sf_dir):
     DuckDB date_trunc oracle. The drop/keep late-data semantics are pinned
     separately in tests/test_streaming.py (they need controlled arrival
     order, which a value gate cannot assume)."""
-    import shutil
-    import tempfile
-    import uuid
-
     from .streaming.ingest import windowed_counts_stream
 
     base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "ts", "event_type"
     )
     n = base.count()
-    root = tempfile.mkdtemp(prefix="oqt_winevt_")
-    try:
-        # event_id-range split preserves event-time order (ts is monotone
-        # in event_id in this corpus; verified at all three scales)
-        cuts = [0, n // 3, 2 * n // 3, n]
-        for i in range(3):
-            base.filter(
-                (F.col("event_id") >= cuts[i]) & (F.col("event_id") < cuts[i + 1])
-            ).coalesce(1).write.mode("overwrite").parquet(f"{root}/src/b{i}")
-        # sentinel: 100 days past the corpus, at 00:30 of its day so its
-        # own window end stays ahead of the watermark (never emits)
+    # event_id-range split preserves event-time order (ts is monotone
+    # in event_id in this corpus; verified at all three scales)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    batches = [
+        base.filter(
+            (F.col("event_id") >= cuts[i]) & (F.col("event_id") < cuts[i + 1])
+        )
+        for i in range(3)
+    ]
+    # sentinel: 100 days past the corpus, at 00:30 of its day so its
+    # own window end stays ahead of the watermark (never emits)
+    batches.append(
         spark.sql(
             "SELECT CAST(-1 AS BIGINT) AS event_id, "
             "timestamp'2024-05-10 00:30:00' AS ts, "
             "CAST('__flush__' AS STRING) AS event_type"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/src/b3")
-        # the file source orders batches by mtime; make it explicit
-        for i in range(4):
-            d = f"{root}/src/b{i}"
-            for f_ in os.listdir(d):
-                os.utime(os.path.join(d, f_), (1_700_000_000 + i * 10,) * 2)
-        stream = (
-            spark.readStream.schema("event_id bigint, ts timestamp, event_type string")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(root + "/src/*")
         )
-        out = windowed_counts_stream(
+    )
+    return _replay_stream(
+        spark,
+        batches,
+        "event_id bigint, ts timestamp, event_type string",
+        lambda stream: windowed_counts_stream(
             stream, ts_col="ts", keys=("event_type",), window="1 day", watermark="1 hour"
-        )
-        sink = f"oqt_winevt_{uuid.uuid4().hex[:8]}"
-        q = (
-            out.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option("checkpointLocation", root + "/chk")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("windowed events stream did not finish within 300 s")
-        return spark.createDataFrame(
-            spark.table(sink).toPandas(),
-            "win_start bigint, win_end bigint, event_type string, row_count bigint",
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+        ),
+        "append",
+        "win_start bigint, win_end bigint, event_type string, row_count bigint",
+        "oqt_winevt_",
+        pin_mtimes=True,
+    )
 
 
 def _windowed_events_stream_sql() -> str:

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..operators.dedup import N_BANDS, N_HASHES, _band_key, minhash_signature
+from ..operators.dedup import N_HASHES, band_rows, minhash_signature
 
 
 def minhash_pairs_stream(
@@ -69,23 +69,10 @@ def minhash_pairs_stream(
     """
     import numpy as np
 
-    rows = N_HASHES // N_BANDS
+    # banding is the SHARED batch definition (operators.dedup.band_rows) —
+    # the stream/batch equivalence contract depends on identical buckets
     sigs = minhash_signature(docs, n, text_col).filter(F.size("sig") > 0)
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    _band_key(F.col("sig"), b, rows).alias("bucket"),
-                )
-                for b in range(N_BANDS)
-            ])
-        ).alias("_bb"),
-    ).select(
-        "doc_id", "sig", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
-    )
+    bands = band_rows(sigs, keep_sig=True)
 
     out_schema = "doc_a bigint, doc_b bigint, match_cnt bigint"
     state_schema = "ids array<bigint>, sigs array<bigint>"
@@ -102,32 +89,46 @@ def minhash_pairs_stream(
             ids = np.zeros(0, np.int64)
             mat = np.zeros((0, N_HASHES), np.int64)
         out_a, out_b, out_m = [], [], []
-        changed = False
+        id_set = set(ids.tolist())
+        new_ids: list[int] = []
+        new_sigs: list[np.ndarray] = []
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
             # doc_id order inside the batch: purely cosmetic determinism
-            # of emission order; the emitted SET is order-free
+            # of emission order; the emitted SET is order-free. Sort key is
+            # the id ALONE — sig values are numpy arrays after Arrow
+            # conversion and a tuple-tie comparison on them raises (a
+            # duplicate-delivered id within one micro-batch would tie).
             for doc_id, sig in sorted(
-                zip(pdf["doc_id"].tolist(), pdf["sig"].tolist())
+                zip(pdf["doc_id"].tolist(), pdf["sig"].tolist()),
+                key=lambda t: t[0],
             ):
-                if len(ids) and (ids == doc_id).any():
+                if doc_id in id_set:
                     continue  # replayed / duplicate delivery
-                if len(ids) >= cap:
+                if len(ids) + len(new_ids) >= cap:
                     continue  # saturated bucket (see module docstring)
                 s = np.asarray(sig, dtype=np.int64)
-                if len(ids):
-                    cnt = (mat == s).sum(axis=1)
-                    hit = np.flatnonzero(cnt >= min_matches)
-                    for j in hit:
-                        a, b = ids[j], doc_id
-                        out_a.append(min(a, b))
-                        out_b.append(max(a, b))
-                        out_m.append(int(cnt[j]))
-                ids = np.append(ids, np.int64(doc_id))
-                mat = np.vstack([mat, s[None, :]])
-                changed = True
-        if changed:
+                # compare against stored members AND this trigger's new
+                # members in one pass each (no per-doc state matrix copy —
+                # the state append happens ONCE per invocation below)
+                for prev_ids, prev_mat in (
+                    (ids, mat),
+                    (new_ids, np.asarray(new_sigs, dtype=np.int64)),
+                ):
+                    if len(prev_ids):
+                        cnt = (prev_mat == s).sum(axis=1)
+                        for j in np.flatnonzero(cnt >= min_matches):
+                            a, b = prev_ids[j], doc_id
+                            out_a.append(min(a, b))
+                            out_b.append(max(a, b))
+                            out_m.append(int(cnt[j]))
+                new_ids.append(int(doc_id))
+                new_sigs.append(s)
+                id_set.add(doc_id)
+        if new_ids:
+            ids = np.concatenate([ids, np.asarray(new_ids, np.int64)])
+            mat = np.vstack([mat, np.asarray(new_sigs, np.int64)])
             state.update((ids.tolist(), mat.ravel().tolist()))
         if out_a:
             yield pd.DataFrame(

@@ -367,3 +367,30 @@ def test_word_codes_vectorized_matches_object_path():
     # all-empty corpus: one empty word per doc (the L == 0 matrix edge)
     r4, c4 = wc.word_codes(pd.Series(["", "", ""]))
     assert r4.tolist() == [0, 1, 2] and c4.tolist() == [0, 0, 0]
+
+
+def test_word_codes_budget_checked_before_matrix_allocation():
+    """The MAX_MATRIX_BYTES guard must route to the object path BEFORE
+    texts.to_numpy(dtype='S'/'U') materializes the n x max_len fixed-width
+    matrix it exists to prevent — a single megabyte-long doc in a 100k-row
+    batch would otherwise OOM during the conversion itself. The patched
+    Series.to_numpy fails the test if a fixed-width dtype conversion is
+    ever attempted under a 1-byte budget."""
+    import unittest.mock as mock
+
+    from osmquadtree_spark.kernels import wordcodes as wc
+
+    texts = pd.Series(["hello world", "a b", "xyz " * 50])
+    want_r, want_c = wc.word_codes_obj(texts)
+    orig = pd.Series.to_numpy
+
+    def guarded(self, *a, **k):
+        dt = k.get("dtype", a[0] if a else None)
+        assert dt not in ("S", "U"), "fixed-width conversion ran before the budget check"
+        return orig(self, *a, **k)
+
+    with mock.patch.object(wc, "MAX_MATRIX_BYTES", 1), mock.patch.object(
+        pd.Series, "to_numpy", guarded
+    ):
+        r, c = wc.word_codes(texts)
+    assert np.array_equal(r, want_r) and np.array_equal(c, want_c)

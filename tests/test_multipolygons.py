@@ -158,3 +158,23 @@ def test_vectorized_centroid_is_glibc_exact_rel17125():
     assert cx[0] == scx and cy[0] == scy  # bitwise, not isclose
     assert math.floor(cx[0] / 16.0) == -949269
     assert math.floor(cy[0] / 16.0) == -224225
+
+
+def test_projection_pole_latitude_degrades_like_std_log():
+    """lat <= -90 (a representable OSM coordinate: a South Pole node) must
+    flow through the Mercator projection as -inf/nan exactly like the
+    reference's std::log(std::tan(...)) — NOT abort the task with Python's
+    math-domain ValueError — and the scalar/vector twins must agree."""
+    import numpy as np
+
+    from osmquadtree_spark.operators.multipolygons import _fwd, _project_np
+
+    _, y_pole = _fwd(0, -900000000)
+    assert y_pole == float("-inf")
+    X, Y = _project_np(
+        np.array([0.0, 0.0, 1e7]),
+        np.array([-900000000.0, -910000000.0, 0.0]),
+    )
+    assert Y[0] == float("-inf")
+    assert np.isnan(Y[1])  # below the pole: tan < 0 -> log -> nan
+    assert np.isfinite(Y[2])

@@ -43,3 +43,16 @@ def test_dedup_job_recovers_planted_pairs(spark):
     assert recovered >= 0.98 * len(planted)
     # false pairs (non-planted survivors) stay a sliver of the result
     assert len(pairs - planted) <= 0.02 * len(planted)
+
+
+def test_docs_cache_path_tracks_generator_params(monkeypatch):
+    """The dedup input table's cache path embeds a fingerprint of the
+    generator (source + constants + vocab), so editing the generator
+    invalidates the cached parquet instead of silently benchmarking a
+    corpus produced by older code."""
+    import bench_scaling as bs
+
+    p1 = bs.docs_parquet_path(1000)
+    assert bs.docs_parquet_path(1000) == p1  # deterministic
+    monkeypatch.setattr(bs, "DOC_WORDS", bs.DOC_WORDS + 1)
+    assert bs.docs_parquet_path(1000) != p1

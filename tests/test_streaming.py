@@ -375,6 +375,12 @@ def test_windowed_counts_watermark_late_data(spark, tmp_path):
 
     from osmquadtree_spark.streaming.ingest import windowed_counts_stream
 
+    # the VALUES timestamp literals parse in the SESSION timezone while the
+    # expected keys below are UTC minute-of-day — pin UTC so the test is not
+    # host-timezone-dependent
+    tz_prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     src, chk = str(tmp_path / "src"), str(tmp_path / "chk")
     batches = [
         # b0: two rows in W1 [00:00,00:10) + one at 00:21 -> watermark 00:16
@@ -422,4 +428,35 @@ def test_windowed_counts_watermark_late_data(spark, tmp_path):
         (20, 30): 1,
         (40, 50): 1,
     }  # [01:30, 01:40) never closes -> never emits
+    spark.conf.set("spark.sql.session.timeZone", tz_prev)
     assert got == want
+
+
+def test_stream_dedup_duplicate_delivery_in_one_batch(spark, tmp_path):
+    """At-least-once safety INSIDE a single micro-batch: the same
+    (doc_id, text) delivered twice in one trigger is ignored — no crash in
+    the per-bucket ordering (numpy-sig tuple ties), no self-pairs — and
+    the emitted set still equals the batch operator on the deduped corpus.
+    Also exercises within-trigger pair discovery (the whole corpus arrives
+    in ONE batch, so every pair is found among that trigger's new members)."""
+    from osmquadtree_spark.operators.dedup import minhash_lsh_pairs
+
+    pdf = _dedup_corpus(60)
+    dup = pd.concat([pdf, pdf.iloc[:15]], ignore_index=True)
+    src, chk = str(tmp_path / "docs"), str(tmp_path / "chk")
+    spark.createDataFrame(dup, "doc_id bigint, text string").coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    got = sorted(
+        tuple(r) for r in _run_dedup_stream(spark, src, chk, "dupsink").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(pdf, "doc_id bigint, text string"),
+            bucket_cap=None,
+            metrics_path=None,
+        ).collect()
+    )
+    assert got == want
+    assert all(a < b for a, b, _ in got)
