@@ -2554,6 +2554,78 @@ GROUP BY 1, 2, 3
 """.strip()
 
 
+def q_session_events_stream(spark, sf_dir):
+    """Event-time session windows with watermark (streaming/ingest.py
+    session_counts_stream): the events table replayed IN EVENT ORDER as 3
+    micro-batches (+ the far-future flush sentinel). In-order delivery +
+    1h delay means no session is dropped or split by late data, so the
+    emitted finalized sessions must equal the batch gaps-and-islands
+    sessionization — DuckDB lag/cumsum oracle (break at diff >= gap:
+    Spark's session end is exclusive). The session MERGE semantics (an
+    out-of-order bridge event fusing two open sessions) need controlled
+    arrival order and are pinned in tests/test_streaming.py instead."""
+    from .streaming.ingest import session_counts_stream
+
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type"
+    )
+    n = base.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    batches = [
+        base.filter(
+            (F.col("event_id") >= cuts[i]) & (F.col("event_id") < cuts[i + 1])
+        )
+        for i in range(3)
+    ]
+    batches.append(
+        spark.sql(
+            "SELECT CAST(-1 AS BIGINT) AS event_id, "
+            "timestamp'2024-05-10 00:30:00' AS ts, "
+            "CAST('__flush__' AS STRING) AS event_type"
+        )
+    )
+    return _replay_stream(
+        spark,
+        batches,
+        "event_id bigint, ts timestamp, event_type string",
+        lambda stream: session_counts_stream(
+            stream, ts_col="ts", keys=("event_type",), gap="15 minutes", watermark="1 hour"
+        ),
+        "append",
+        "sess_start bigint, sess_end bigint, event_type string, row_count bigint",
+        "oqt_sessevt_",
+        pin_mtimes=True,
+    )
+
+
+def _session_events_stream_sql(gap_minutes: int = 15) -> str:
+    """DuckDB twin: gaps-and-islands sessionization in epoch MICROseconds.
+    Break at diff >= gap because Spark's session window end (last + gap)
+    is exclusive — an event at exactly last + gap opens a NEW session."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH d AS (
+  SELECT event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {gap_us}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+),
+s AS (
+  SELECT event_type, ts,
+         SUM(brk) OVER (PARTITION BY event_type ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS sess_start,
+       CAST(epoch_us(MAX(ts)) + {gap_us} AS BIGINT) AS sess_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS row_count
+FROM s GROUP BY event_type, sid
+""".strip()
+
+
 OVERLAP_BOX = (-1234567890, -456789012, 345678901, 567890123)
 
 
@@ -2708,6 +2780,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_stream": q_ingest_stream,
         "dedup_stream": q_dedup_stream,
         "windowed_events_stream": q_windowed_events_stream,
+        "session_events_stream": q_session_events_stream,
         "qt_box_overlaps": q_qt_box_overlaps,
         "pruned_bbox_extract": q_pruned_bbox_extract,
         "tile_sink_lineage": q_tile_sink_lineage,
@@ -2727,6 +2800,7 @@ def sweep_oracle_sql() -> dict[str, str]:
         "ingest_stream": _ingest_stream_sql(),
         "dedup_stream": do.minhash_pairs_sql(n=3, min_matches=8),
         "windowed_events_stream": _windowed_events_stream_sql(),
+        "session_events_stream": _session_events_stream_sql(),
         "qt_box_overlaps": _qt_box_overlaps_sql(),
         "pruned_bbox_extract": _bbox_extract_sql(),
         "tile_sink_lineage": _tile_sink_lineage_sql(),

@@ -84,6 +84,46 @@ def windowed_counts_stream(
     )
 
 
+def session_counts_stream(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    gap: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time SESSION-window counts (append mode): a session is a
+    maximal run of events per key where consecutive gaps are < ``gap``;
+    its window is [first_event, last_event + gap). Unlike tumbling
+    windows, sessions MERGE — a late-but-within-watermark event that
+    lands between two open sessions of the same key fuses them into one
+    (state-store merge, pinned in tests/test_streaming.py). A session
+    emits exactly once, when the watermark passes its end, and its state
+    is dropped — state stays bounded by OPEN sessions × keys.
+
+    Semantics twin (the sweep's ``session_events_stream`` value gate):
+    SQL gaps-and-islands — new session when ts - lag(ts) >= gap (Spark's
+    window end is EXCLUSIVE, so an event at exactly last + gap starts a
+    new session; the oracle must use >=, not >). The reference is
+    batch-only (no analog); this is the telemetry/training-pipeline
+    sessionization shape, first-class in Structured Streaming.
+
+    Output: (sess_start, sess_end epoch MICROseconds BIGINT — the events
+    corpus carries microsecond timestamps, so second-truncated bounds
+    would collide; *keys; row_count)."""
+    win = F.session_window(F.col(ts_col), gap).alias("sess")
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(win, *keys)
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .select(
+            F.unix_micros(F.col("sess.start")).alias("sess_start"),
+            F.unix_micros(F.col("sess.end")).alias("sess_end"),
+            *keys,
+            "row_count",
+        )
+    )
+
+
 def write_tiles_stream(
     enriched: DataFrame,
     path: str,

@@ -460,3 +460,69 @@ def test_stream_dedup_duplicate_delivery_in_one_batch(spark, tmp_path):
     )
     assert got == want
     assert all(a < b for a, b, _ in got)
+
+
+def test_session_windows_merge_and_single_emission(spark, tmp_path):
+    """Session-window semantics that the sweep's in-event-order replay can
+    NOT see (it needs controlled arrival order): two OPEN sessions of the
+    same key ([00:00,00:15) and [00:20,00:35), gap 15m) are FUSED by a
+    late-but-within-watermark bridge event at 00:10 arriving a batch later
+    (state-store session merge); the merged session emits EXACTLY once
+    when the watermark passes its end, with the union bounds and the
+    summed count; an event at exactly last + gap (00:50 after 00:35-end
+    session... exercised via the flush row) opens a new session that never
+    closes and never emits."""
+    import os
+
+    from osmquadtree_spark.streaming.ingest import session_counts_stream
+
+    tz_prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    src, chk = str(tmp_path / "src"), str(tmp_path / "chk")
+    batches = [
+        # b0: 00:00 and 00:20 -> two open sessions (gap 20m >= 15m);
+        #     watermark (30m) stays before both ends -> nothing emits
+        ["00:00", "00:20"],
+        # b1: bridge 00:10 -> gaps 10m/10m < 15m -> ONE merged session
+        #     [00:00, 00:35)
+        ["00:10"],
+        # b2: flush 02:00 -> wm 01:30 > 00:35 -> merged session emits once;
+        #     the flush's own session [02:00, 02:15) stays open forever
+        ["02:00"],
+    ]
+    for i, times in enumerate(batches):
+        rows = ", ".join(f"(timestamp'2024-01-01 {t}:00', 'k')" for t in times)
+        spark.sql(f"SELECT * FROM (VALUES {rows}) AS v(ts, k)").coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+        d = f"{src}/b{i}"
+        for f_ in os.listdir(d):
+            os.utime(os.path.join(d, f_), (1_700_000_000 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        session_counts_stream(
+            stream, ts_col="ts", keys=("k",), gap="15 minutes", watermark="30 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName("sessmerge")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = [
+        (r.sess_start % 86_400_000_000 // 60_000_000,
+         r.sess_end % 86_400_000_000 // 60_000_000,
+         r.k, r.row_count)
+        for r in spark.sql("SELECT * FROM sessmerge").collect()
+    ]
+    spark.conf.set("spark.sql.session.timeZone", tz_prev)
+    # exactly ONE row: the fused session, union bounds, all 3 events
+    assert got == [(0, 35, "k", 3)]
