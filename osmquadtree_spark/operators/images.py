@@ -143,3 +143,63 @@ def with_footprint(images: DataFrame) -> DataFrame:
 
     out = images.withColumn("_fp", fp("image_id", "phash", "w", "h"))
     return out.select("*", "_fp.minx", "_fp.miny", "_fp.maxx", "_fp.maxy", "_fp.qt").drop("_fp")
+
+
+def phash_near_dup(
+    catalog: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "img_idx",
+    phash_col: str = "phash",
+    bucket_cap: int | None = 100_000,
+    metrics_path: str | None = None,
+) -> DataFrame:
+    """64-bit perceptual-hash near-dup pairs — the image-payload twin of
+    dedup.simhash_pairs, over the north-rule input shape's ``phash``
+    column (a lossy re-encode perturbs a perceptual hash by a few bits,
+    so image near-dup detection is a hamming ball around phash).
+
+    Pigeonhole block join: the 64 bits split into ``max_hamming + 1``
+    contiguous blocks, so any pair within hamming ≤ max_hamming agrees on
+    at least one whole block and the candidate stage is an equi-join on
+    (block_idx, block_value) — no pairwise scan, the only shape that
+    survives a 10^12-image catalog. The signature is one bigint and rides
+    the join (no re-join stage); ``bucket_cap`` drops degenerate blocks
+    (flat-color images collapse to few distinct phashes at scale) with
+    drops committed to the run metrics (see dedup.cap_hot_buckets).
+    Returns (img_a, img_b, hamming) with img_a < img_b."""
+    from ..cache import cached
+    from .dedup import cap_hot_buckets, register_pair_volume
+
+    n_blocks = max_hamming + 1
+    parts = []
+    for k in range(n_blocks):
+        lo, hi = 64 * k // n_blocks, 64 * (k + 1) // n_blocks
+        parts.append(
+            F.struct(
+                F.lit(k).alias("blk"),
+                F.shiftright(F.col(phash_col), lo)
+                .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+                .alias("val"),
+            )
+        )
+    blocks = catalog.select(
+        F.col(id_col).alias("_pid"), F.col(phash_col).alias("_ph"),
+        F.explode(F.array(*parts)).alias("_b"),
+    ).select("_pid", "_ph", F.col("_b.blk").alias("blk"), F.col("_b.val").alias("val"))
+    blocks = cached(
+        cap_hot_buckets(blocks, ["blk", "val"], bucket_cap, metrics_path,
+                        "image_phash_dedup")
+    )
+    if metrics_path is not None:
+        register_pair_volume(metrics_path, "image_phash_dedup", blocks, ["blk", "val"])
+    a = blocks.select(F.col("_pid").alias("img_a"), F.col("_ph").alias("_pha"), "blk", "val")
+    b = blocks.select(F.col("_pid").alias("img_b"), F.col("_ph").alias("_phb"), "blk", "val")
+    hamming = F.bit_count(F.col("_pha").bitwiseXOR(F.col("_phb"))).cast("bigint")
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("img_a") < F.col("img_b"))
+        .dropDuplicates(["img_a", "img_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("img_a", "img_b", "hamming")
+    )

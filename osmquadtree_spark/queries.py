@@ -2769,6 +2769,103 @@ GROUP BY 1
 """.strip()
 
 
+def q_image_phash_dedup(spark, sf_dir):
+    """Perceptual-hash near-dup pairs over the image catalog (north-rule
+    input shape: phash is an input_hint column): 64-bit pigeonhole block
+    equi-join, hamming ≤ 3, planted 're-encoded upload' variants
+    (sources/images.phash_catalog). The DuckDB twin is the all-pairs
+    hamming spec over the SQL-restated catalog, so a match proves block
+    completeness AND catalog parity."""
+    from .sources.images import phash_catalog
+
+    _load(spark, sf_dir, "part")  # register the view for the oracle
+    n = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    cat = phash_catalog(spark, n, partitions=spark.sparkContext.defaultParallelism)
+    return img_ops.phash_near_dup(
+        cat, max_hamming=3, metrics_path=_scratch(sf_dir, "metrics")
+    )
+
+
+def _image_phash_dedup_sql() -> str:
+    """All-pairs hamming ≤ 3 over the splitmix64-restated phash catalog
+    (HUGEINT domain for the bit flips, two's-complement reinterpretation
+    to BIGINT to match Spark's signed phash)."""
+    return f"""
+WITH u AS MATERIALIZED (
+  SELECT p_partkey AS i, {so.splitmix64_sql('p_partkey')} AS u FROM part
+),
+cat AS (
+  SELECT i AS img_idx, u FROM u
+  UNION ALL
+  SELECT -1 - i, xor(u, (1::HUGEINT << (i % 64))) FROM u WHERE i % 7 = 3
+  UNION ALL
+  SELECT -1000000001 - i,
+         xor(xor(xor(u, (1::HUGEINT << ((i * 7) % 64))),
+                 (1::HUGEINT << ((i * 13 + 5) % 64))),
+             (1::HUGEINT << ((i * 29 + 11) % 64)))
+  FROM u WHERE i % 11 = 5
+),
+s AS MATERIALIZED (
+  SELECT img_idx,
+         (CASE WHEN u >= 9223372036854775808::HUGEINT
+               THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS phash
+  FROM cat
+)
+SELECT a.img_idx AS img_a, b.img_idx AS img_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM s a JOIN s b
+  ON a.img_idx < b.img_idx
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+""".strip()
+
+
+ASOF_TOLERANCE = "24 hours"  # ~36% of probes match at sf0.01 — both the
+_ASOF_TOLERANCE_US = 24 * 3600 * 1_000_000  # matched and nulled branches real
+
+
+def q_events_asof(spark, sf_dir):
+    """As-of join (operators/asof.py): every 'purchase' event attached to
+    the user's most recent 'view' at-or-before its timestamp, 24-hour
+    tolerance; refs pre-deduped per (user, ts) keep-max-id on BOTH sides
+    (SQL ASOF leaves the equal-ts ref tie unspecified). Timestamps stay
+    TIMESTAMP_NTZ end to end — Spark's naive collect values equal
+    DuckDB's naive TIMESTAMPs with no session-timezone dependence. The
+    DuckDB twin is a native ASOF LEFT JOIN + tolerance CASE."""
+    from .operators.asof import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    refs = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    out = asof_join(
+        probes, refs, on=["user_id"], ts_col="ts", ref_cols=("event_id",),
+        tolerance=ASOF_TOLERANCE,
+    )
+    return out.select("event_id", "user_id", "ts", "ref_event_id", "ref_ts")
+
+
+def _events_asof_sql() -> str:
+    return f"""
+WITH refs AS (
+  SELECT user_id, ts, MAX(event_id) AS ref_event_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts,
+       CASE WHEN epoch_us(p.ts) - epoch_us(r.ts) <= {_ASOF_TOLERANCE_US}
+            THEN r.ref_event_id END AS ref_event_id,
+       CASE WHEN epoch_us(p.ts) - epoch_us(r.ts) <= {_ASOF_TOLERANCE_US}
+            THEN r.ts END AS ref_ts
+FROM p ASOF LEFT JOIN refs r
+  ON p.user_id = r.user_id AND p.ts >= r.ts
+""".strip()
+
+
 def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2784,6 +2881,8 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qt_box_overlaps": q_qt_box_overlaps,
         "pruned_bbox_extract": q_pruned_bbox_extract,
         "tile_sink_lineage": q_tile_sink_lineage,
+        "image_phash_dedup": q_image_phash_dedup,
+        "events_asof": q_events_asof,
     }
 
 
@@ -2804,4 +2903,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "qt_box_overlaps": _qt_box_overlaps_sql(),
         "pruned_bbox_extract": _bbox_extract_sql(),
         "tile_sink_lineage": _tile_sink_lineage_sql(),
+        "image_phash_dedup": _image_phash_dedup_sql(),
+        "events_asof": _events_asof_sql(),
     }

@@ -240,3 +240,50 @@ def images_df(spark, n: int, partitions: int = 32):
             yield pd.DataFrame([image_row(int(i)) for i in idx])
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def phash_catalog(spark, n: int, partitions: int = 32):
+    """(img_idx, phash) perceptual-hash catalog with planted near-dup
+    variants — the dedup input over the north-rule image shape (phash is
+    an input_hint column; real pipelines compute it from pixels, here it
+    is the same splitmix64(i) the image generator uses).
+
+    Planted "re-encoded uploads" (a lossy re-encode perturbs a perceptual
+    hash by a few bits): rows with i % 7 == 3 get a 1-bit-flipped variant
+    (img_idx = -1 - i), rows with i % 11 == 5 a ≤3-bit variant
+    (img_idx = -10^9 - 1 - i). Negative variant ids keep the id space
+    independent of n, so the DuckDB oracle restates the catalog without a
+    scale parameter. Pure function of the row index — any partitioning
+    yields the same table (the 10^12-row design point)."""
+    import pandas as pd
+
+    one = np.uint64(1)
+
+    def gen(batches):
+        for pdf in batches:
+            i = pdf["id"].to_numpy().astype(np.int64)
+            u = splitmix64(i.astype(np.uint64))
+            frames = [pd.DataFrame({"img_idx": i, "phash": u.astype(np.int64)})]
+            m7 = i[i % 7 == 3]
+            if len(m7):
+                v = splitmix64(m7.astype(np.uint64)) ^ (
+                    one << (m7.astype(np.uint64) % np.uint64(64))
+                )
+                frames.append(
+                    pd.DataFrame({"img_idx": -1 - m7, "phash": v.astype(np.int64)})
+                )
+            m11 = i[i % 11 == 5]
+            if len(m11):
+                v = splitmix64(m11.astype(np.uint64))
+                for mult, add in ((7, 0), (13, 5), (29, 11)):
+                    v = v ^ (one << ((m11 * mult + add) % 64).astype(np.uint64))
+                frames.append(
+                    pd.DataFrame(
+                        {"img_idx": -1_000_000_001 - m11, "phash": v.astype(np.int64)}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(
+        gen, "img_idx bigint, phash bigint"
+    )

@@ -97,3 +97,59 @@ def test_decode_stats_and_resize(spark):
     for _, r in small.iterrows():
         pix = img.decode_image(r["fmt"], bytes(r["bytes"]))
         assert pix.shape == (8, 8, 3)
+
+
+def test_phash_near_dup_planted_and_complete(spark):
+    """phash_near_dup recovers every planted 're-encoded upload' variant
+    pair and, on a brute-force numpy oracle over the whole catalog,
+    matches the exact hamming ≤ 3 pair set (pigeonhole completeness and
+    soundness at once)."""
+    from itertools import combinations
+
+    from osmquadtree_spark.operators.images import phash_near_dup
+
+    n = 400
+    cat = img.phash_catalog(spark, n, partitions=4)
+    rows = {r.img_idx: r.phash for r in cat.collect()}
+    # planted variants present with the documented id scheme
+    assert all(-1 - i in rows for i in range(n) if i % 7 == 3)
+    assert all(-1_000_000_001 - i in rows for i in range(n) if i % 11 == 5)
+    got = sorted(
+        (r.img_a, r.img_b, r.hamming)
+        for r in phash_near_dup(cat, max_hamming=3).collect()
+    )
+    ids = sorted(rows)
+    want = sorted(
+        (a, b, h)
+        for a, b in combinations(ids, 2)
+        for h in [bin((rows[a] ^ rows[b]) & ((1 << 64) - 1)).count("1")]
+        if h <= 3
+    )
+    assert got == want
+    # every 1-bit planted pair is in the result
+    for i in range(n):
+        if i % 7 == 3:
+            a, b = sorted((i, -1 - i))
+            assert (a, b, 1) in got
+
+
+def test_phash_near_dup_wider_hamming_blocks(spark):
+    """max_hamming=7 → 8 blocks of 8 bits; still exact vs brute force
+    (uneven-width block split path)."""
+    from itertools import combinations
+
+    from osmquadtree_spark.operators.images import phash_near_dup
+
+    cat = img.phash_catalog(spark, 150, partitions=2)
+    rows = {r.img_idx: r.phash for r in cat.collect()}
+    got = sorted(
+        (r.img_a, r.img_b, r.hamming)
+        for r in phash_near_dup(cat, max_hamming=7).collect()
+    )
+    want = sorted(
+        (a, b, h)
+        for a, b in combinations(sorted(rows), 2)
+        for h in [bin((rows[a] ^ rows[b]) & ((1 << 64) - 1)).count("1")]
+        if h <= 7
+    )
+    assert got == want
