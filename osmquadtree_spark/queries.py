@@ -2866,6 +2866,63 @@ FROM p ASOF LEFT JOIN refs r
 """.strip()
 
 
+INTERVAL_GAP = "12 hours"
+_INTERVAL_GAP_US = 12 * 3600 * 1_000_000
+
+
+def q_events_interval_join(spark, sf_dir):
+    """Interval-containment (range) join (operators/interval.py): each
+    'purchase' attributed to the user's browsing session containing it —
+    sessions are batch gaps-and-islands over 'view' events (12h gap,
+    half-open [first, last + gap), the streaming session convention), and
+    the join is the bucketized equi-join shape (1-day buckets), NOT a
+    nested-loop range predicate. DuckDB twin: lag/cumsum sessionization +
+    a plain range-predicate join."""
+    from .operators.interval import interval_join, sessionize
+
+    ev = _load(spark, sf_dir, "events")
+    sessions = sessionize(
+        ev.filter(F.col("event_type") == "view").select("user_id", "ts"),
+        on=["user_id"], gap=INTERVAL_GAP,
+    ).select("user_id", "sess_start", "sess_end")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interval_join(
+        purchases, sessions, on=["user_id"], ts_col="ts",
+        start_col="sess_start", end_col="sess_end", bucket="1 day",
+    )
+    return out.select("event_id", "user_id", "ts", "sess_start", "sess_end")
+
+
+def _events_interval_join_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_INTERVAL_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events WHERE event_type = 'view'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+),
+sess AS MATERIALIZED (
+  SELECT user_id, MIN(ts) AS sess_start,
+         MAX(ts) + INTERVAL 12 HOUR AS sess_end
+  FROM s GROUP BY user_id, sid
+)
+SELECT p.event_id, p.user_id, p.ts, sess.sess_start, sess.sess_end
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN sess ON p.user_id = sess.user_id
+         AND sess.sess_start <= p.ts AND p.ts < sess.sess_end
+""".strip()
+
+
 def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2883,6 +2940,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_sink_lineage": q_tile_sink_lineage,
         "image_phash_dedup": q_image_phash_dedup,
         "events_asof": q_events_asof,
+        "events_interval_join": q_events_interval_join,
     }
 
 
@@ -2905,4 +2963,5 @@ def sweep_oracle_sql() -> dict[str, str]:
         "tile_sink_lineage": _tile_sink_lineage_sql(),
         "image_phash_dedup": _image_phash_dedup_sql(),
         "events_asof": _events_asof_sql(),
+        "events_interval_join": _events_interval_join_sql(),
     }

@@ -1,0 +1,140 @@
+"""operators/interval.py — bucketized range join + batch sessionize."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from osmquadtree_spark.operators.interval import interval_join, sessionize
+
+
+def _t(s):
+    return pd.Timestamp(f"2024-01-01 {s}")
+
+
+def _points(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "k", "ts"]),
+        "event_id bigint, k bigint, ts timestamp_ntz",
+    )
+
+
+def _ivals(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "start", "end"]),
+        "k bigint, start timestamp_ntz, end timestamp_ntz",
+    )
+
+
+def test_interval_join_boundaries_and_buckets(spark):
+    """Half-open semantics (ts == start in, ts == end out), an interval
+    spanning multiple buckets still matches exactly once, an interval
+    ending exactly on a bucket boundary does not leak into the next
+    bucket, and keys never cross."""
+    points = _points(
+        spark,
+        [
+            (1, 10, _t("02:00")),   # == start -> in
+            (2, 10, _t("05:00")),   # == end -> out
+            (3, 10, _t("04:59")),   # inside -> in
+            (4, 20, _t("02:30")),   # same time, other key, no interval -> out
+            (5, 30, pd.Timestamp("2024-01-03 01:00")),  # inside 2-day interval
+        ],
+    )
+    ivals = _ivals(
+        spark,
+        [
+            (10, _t("02:00"), _t("05:00")),
+            # multi-bucket (2 days) with end exactly on a day boundary:
+            # bucket explode must cover Jan 1-2 but NOT Jan 3
+            (30, _t("12:00"), pd.Timestamp("2024-01-03 00:00")),
+        ],
+    )
+    got = sorted(
+        r.event_id
+        for r in interval_join(
+            points, ivals, on=["k"], ts_col="ts", start_col="start",
+            end_col="end", bucket="1 day",
+        ).collect()
+    )
+    assert got == [1, 3]
+    # the day-boundary point (Jan 3 00:30 < end would be in; 01:00 is past
+    # the exclusive end 00:00? no: end IS Jan 3 00:00, so 5 is out)
+    # -- asserted by absence above
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Randomized equivalence vs the naive range-predicate join, at a
+    bucket much smaller than the intervals (max fan-out path) and one
+    much larger (max false-candidate path)."""
+    rng = np.random.RandomState(11)
+    base = pd.Timestamp("2024-01-01").value
+    p = pd.DataFrame(
+        {
+            "event_id": np.arange(500, dtype=np.int64),
+            "k": rng.randint(0, 6, 500).astype(np.int64),
+            "ts": pd.to_datetime(base + rng.randint(0, 10**6, 500) * 10**9),
+        }
+    )
+    starts = base + rng.randint(0, 10**6, 80) * 10**9
+    iv = pd.DataFrame(
+        {
+            "k": rng.randint(0, 6, 80).astype(np.int64),
+            "start": pd.to_datetime(starts),
+            "end": pd.to_datetime(starts + rng.randint(1, 10**5, 80) * 10**9),
+        }
+    )
+    # naive truth in pandas
+    m = p.merge(iv, on="k")
+    m = m[(m["start"] <= m["ts"]) & (m["ts"] < m["end"])]
+    want = sorted(zip(m["event_id"], m["start"].astype("int64")))
+    sp = spark.createDataFrame(p, "event_id bigint, k bigint, ts timestamp_ntz")
+    si = spark.createDataFrame(iv, "k bigint, start timestamp_ntz, end timestamp_ntz")
+    for bucket in ("1 hour", "10 days"):
+        got = sorted(
+            (r.event_id, pd.Timestamp(r.start).value)
+            for r in interval_join(
+                sp, si, on=["k"], ts_col="ts", start_col="start",
+                end_col="end", bucket=bucket,
+            ).collect()
+        )
+        assert got == want, bucket
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    """Scale-shape gate: the bucketized join compiles to a hash equi-join
+    — no nested-loop, no cartesian (the naive range predicate would)."""
+    sp = _points(spark, [(1, 10, _t("02:00"))])
+    si = _ivals(spark, [(10, _t("01:00"), _t("03:00"))])
+    plan = (
+        interval_join(sp, si, on=["k"], ts_col="ts", start_col="start", end_col="end")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_sessionize_matches_streaming_convention(spark):
+    """Batch sessionize: >= gap break (event at exactly last + gap opens a
+    NEW session), half-open ends, per-key isolation, n_events counts."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": np.asarray([1, 1, 1, 1, 2], dtype=np.int64),
+                "ts": [
+                    _t("00:00"), _t("00:10"),  # one session
+                    _t("00:25"),               # exactly 15m after 00:10 -> NEW
+                    _t("00:30"),               # 5m later -> same
+                    _t("00:00"),               # other key
+                ],
+            }
+        ),
+        "k bigint, ts timestamp_ntz",
+    )
+    got = sorted(
+        (r.k, pd.Timestamp(r.sess_start), pd.Timestamp(r.sess_end), r.n_events)
+        for r in sessionize(df, on=["k"], gap="15 minutes").collect()
+    )
+    assert got == [
+        (1, _t("00:00"), _t("00:25"), 2),
+        (1, _t("00:25"), _t("00:45"), 2),
+        (2, _t("00:00"), _t("00:15"), 1),
+    ]
