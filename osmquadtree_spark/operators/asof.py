@@ -54,18 +54,34 @@ def asof_join(
     Output: every probe column, plus ``ref_<c>`` for each ``ref_cols``
     entry and ``ref_<ts_col>``."""
     carry = [f"ref_{c}" for c in ref_cols] + [f"ref_{ts_col}"]
+    # the carried ref payload travels as ONE struct so last(ignorenulls)
+    # picks an ENTIRE ref row atomically — carrying columns independently
+    # would let a NULL in one ref payload column pull that column from an
+    # older ref row, emitting a mixed match that corresponds to no real row
+    struct_type = (
+        "struct<"
+        + ", ".join(
+            [f"ref_{c}: {refs.schema[c].dataType.simpleString()}" for c in ref_cols]
+            + [f"ref_{ts_col}: {refs.schema[ts_col].dataType.simpleString()}"]
+        )
+        + ">"
+    )
+    tie_type = refs.schema[(ref_cols + (ts_col,))[0]].dataType
     p = probes.select(
         *probes.columns,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(refs.schema[c].dataType).alias(f"ref_{c}") for c in ref_cols],
-        F.lit(None).cast(refs.schema[ts_col].dataType).alias(f"ref_{ts_col}"),
+        F.lit(None).cast(struct_type).alias("_ref"),
+        F.lit(None).cast(tie_type).alias("_tie"),
     )
     r = refs.select(
         *on,
         F.col(ts_col),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"ref_{c}") for c in ref_cols],
-        F.col(ts_col).alias(f"ref_{ts_col}"),
+        F.struct(
+            *[F.col(c).alias(f"ref_{c}") for c in ref_cols],
+            F.col(ts_col).alias(f"ref_{ts_col}"),
+        ).alias("_ref"),
+        F.col((ref_cols + (ts_col,))[0]).alias("_tie"),
         *[
             F.lit(None).cast(probes.schema[c].dataType).alias(c)
             for c in probes.columns
@@ -74,16 +90,17 @@ def asof_join(
     )
     u = p.unionByName(r)
     # refs (side 0) sort before probes at equal ts -> the >= convention;
-    # equal-ts refs resolve by the first carry column, greatest-wins
+    # equal-ts refs resolve by the first ref column, greatest-wins
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col(carry[0]).asc())
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tie").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    best = F.last("_ref", ignorenulls=True).over(w)
     matched = u.select(
         *[c for c in probes.columns],
         "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carry],
+        *[best.getField(c).alias(c) for c in carry],
     ).filter(F.col("_side") == 1)
     if tolerance is not None:
         too_old: Column = (

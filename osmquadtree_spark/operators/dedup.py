@@ -11,9 +11,10 @@ Scale shapes (the 10^12-row design points):
   is an equi-join on (band, bucket) — the only pairwise-comparison-free
   join shape that survives web scale. Band width tunes the
   candidate-volume/recall trade.
-- SimHash: 32-bit signature; the pigeonhole block join (4 blocks of 8 bits)
-  guarantees every pair within hamming ≤ 3 shares a block, so candidates
-  are again an equi-join, verified by bit_count(xor).
+- SimHash: 32-bit signature; the pigeonhole block join (max_hamming+1
+  contiguous blocks — hamming_block_pairs, shared with the 64-bit image
+  phash) guarantees every pair within the hamming bound shares a block,
+  so candidates are again an equi-join, verified by bit_count(xor).
 - Embedding pairs: exact all-pairs is the oracle baseline; the bucketed
   variant reuses the ANN LSH machinery (operators/ann.py) for scale.
 """
@@ -29,8 +30,7 @@ P = 1_000_000_007  # signature modulus (same as docs.MOD)
 KNUTH = 2654435761  # Knuth multiplicative constant: spreads 14-bit word codes
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
-SIM_BITS = 32
-SIM_BLOCKS = 4  # 8 bits per block → complete for hamming <= 3
+SIM_BITS = 32  # hamming_block_pairs splits max_hamming+1 blocks out of these
 
 # deterministic (a, b) per hash function, from a fixed LCG (seeded so the
 # oracle SQL embeds the same literals)
@@ -392,6 +392,72 @@ def simhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def hamming_block_pairs(
+    sigs: DataFrame,
+    sig_bits: int,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+    bucket_cap: int | None = 100_000,
+    metrics_path: str | None = None,
+    operator: str = "hamming_block_pairs",
+) -> DataFrame:
+    """Pigeonhole hamming near-dup pairs over an int64 signature of
+    ``sig_bits`` bits — the ONE definition shared by the 32-bit text
+    SimHash (simhash_pairs) and the 64-bit image perceptual hash
+    (images.phash_near_dup), so the cap-before-join ordering and the
+    metrics registration cannot drift between them.
+
+    The signature's bits split into ``max_hamming + 1`` contiguous blocks
+    (uneven widths allowed): any pair within hamming ≤ max_hamming agrees
+    on at least one whole block, so the candidate stage is an equi-join on
+    (block_idx, block_value) — no pairwise scan. The signature is one
+    bigint and rides the join; the exact ``bit_count(xor)`` filter runs
+    BEFORE the pair dedup (hamming is a function of the pair, so the
+    result is identical while the dropDuplicates shuffle shrinks by the
+    false-candidate volume — the dominant term at catalog scale). NULL
+    signatures produce NULL block values and drop out of the equi-join
+    (NULL-propagating). Returns (out_a, out_b, hamming), out_a < out_b."""
+    from ..cache import cached
+
+    n_blocks = max_hamming + 1
+    if n_blocks > sig_bits:
+        raise ValueError("need max_hamming + 1 <= sig_bits for non-empty blocks")
+    parts = []
+    for k in range(n_blocks):
+        lo, hi = sig_bits * k // n_blocks, sig_bits * (k + 1) // n_blocks
+        parts.append(
+            F.struct(
+                F.lit(k).alias("blk"),
+                F.shiftright(F.col(sig_col), lo)
+                .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+                .alias("val"),
+            )
+        )
+    blocks = sigs.select(
+        F.col(id_col).alias("_pid"), F.col(sig_col).alias("_sig"),
+        F.explode(F.array(*parts)).alias("_b"),
+    ).select("_pid", "_sig", F.col("_b.blk").alias("blk"), F.col("_b.val").alias("val"))
+    blocks = cached(
+        cap_hot_buckets(blocks, ["blk", "val"], bucket_cap, metrics_path, operator)
+    )
+    if metrics_path is not None:
+        register_pair_volume(metrics_path, operator, blocks, ["blk", "val"])
+    a = blocks.select(F.col("_pid").alias(out_a), F.col("_sig").alias("_sa"), "blk", "val")
+    b = blocks.select(F.col("_pid").alias(out_b), F.col("_sig").alias("_sb"), "blk", "val")
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("bigint")
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col(out_a) < F.col(out_b))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates([out_a, out_b])
+        .select(out_a, out_b, "hamming")
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -399,51 +465,20 @@ def simhash_pairs(
     bucket_cap: int | None = 100_000,
     metrics_path: str | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: block-join candidates + exact hamming filter.
-
-    With SIM_BLOCKS=4 blocks of 8 bits, any pair within hamming ≤ 3 shares
-    at least one whole block (pigeonhole), so the equi-join on (block_idx,
-    block_value) is complete for max_hamming ≤ 3. Returns
-    (doc_a, doc_b, hamming) with doc_a < doc_b. ``bucket_cap`` drops
-    degenerate blocks (see cap_hot_buckets); the signature itself is one
-    bigint, so it rides the join for free (no re-join stage needed).
-    """
-    if max_hamming >= SIM_BLOCKS:
-        raise ValueError("block join is only complete for max_hamming < SIM_BLOCKS")
+    """SimHash near-dup pairs: pigeonhole block join + exact hamming filter
+    (hamming_block_pairs over the 32-bit signature; with max_hamming=3
+    that is 4 blocks of 8 bits — complete by construction). Returns
+    (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    if max_hamming + 1 > SIM_BITS:  # cheap guard before the signature stage
+        raise ValueError("max_hamming + 1 must be <= SIM_BITS")
     # persist the signatures: the 32-bit vote fold is the expensive stage and
     # the cap aggregate + both self-join branches would each re-run it
     from ..cache import cached
 
     sigs = cached(simhash_signature(docs, text_col))
-    blocks = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(k).alias("blk"),
-                    F.shiftright(F.col("sig"), 8 * k).bitwiseAND(F.lit(255)).alias("val"),
-                )
-                for k in range(SIM_BLOCKS)
-            ])
-        ).alias("_b"),
-    ).select("doc_id", "sig", F.col("_b.blk").alias("blk"), F.col("_b.val").alias("val"))
-    blocks = cached(
-        cap_hot_buckets(blocks, ["blk", "val"], bucket_cap, metrics_path,
-                        "dedup_simhash")
-    )
-    a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "blk", "val")
-    b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "blk", "val")
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint")
-    if metrics_path is not None:
-        register_pair_volume(metrics_path, "dedup_simhash", blocks, ["blk", "val"])
-    return (
-        a.join(b, ["blk", "val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+    return hamming_block_pairs(
+        sigs, SIM_BITS, max_hamming, bucket_cap=bucket_cap,
+        metrics_path=metrics_path, operator="dedup_simhash",
     )
 
 

@@ -43,18 +43,25 @@ def decode_stats(images: DataFrame) -> DataFrame:
                 "decode_ok": [],
             }
             for fmt, data, w, h in zip(pdf["fmt"], pdf["bytes"], pdf["w"], pdf["h"]):
+                # compute ALL values before appending ANY: a zero-size
+                # decode raises on .min() AFTER .sum() succeeded, and a
+                # partial append desynchronizes the column lists (the
+                # DataFrame constructor then kills the whole task instead
+                # of emitting decode_ok=False for the one bad row)
                 try:
                     pix = img.decode_image(fmt, bytes(data))
-                    ok = pix.shape == (h, w, 3)
-                    out["pix_sum"].append(int(pix.sum(dtype=np.int64)))
-                    out["pix_min"].append(int(pix.min()))
-                    out["pix_max"].append(int(pix.max()))
-                    out["decode_ok"].append(bool(ok))
+                    row = (
+                        int(pix.sum(dtype=np.int64)),
+                        int(pix.min()),
+                        int(pix.max()),
+                        pix.shape == (h, w, 3),
+                    )
                 except Exception:
-                    out["pix_sum"].append(0)
-                    out["pix_min"].append(-1)
-                    out["pix_max"].append(-1)
-                    out["decode_ok"].append(False)
+                    row = (0, -1, -1, False)
+                out["pix_sum"].append(row[0])
+                out["pix_min"].append(row[1])
+                out["pix_max"].append(row[2])
+                out["decode_ok"].append(bool(row[3]))
             yield pd.DataFrame(out)
 
     return images.mapInPandas(run, DECODE_STATS_SCHEMA)
@@ -167,39 +174,10 @@ def phash_near_dup(
     (flat-color images collapse to few distinct phashes at scale) with
     drops committed to the run metrics (see dedup.cap_hot_buckets).
     Returns (img_a, img_b, hamming) with img_a < img_b."""
-    from ..cache import cached
-    from .dedup import cap_hot_buckets, register_pair_volume
+    from .dedup import hamming_block_pairs
 
-    n_blocks = max_hamming + 1
-    parts = []
-    for k in range(n_blocks):
-        lo, hi = 64 * k // n_blocks, 64 * (k + 1) // n_blocks
-        parts.append(
-            F.struct(
-                F.lit(k).alias("blk"),
-                F.shiftright(F.col(phash_col), lo)
-                .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
-                .alias("val"),
-            )
-        )
-    blocks = catalog.select(
-        F.col(id_col).alias("_pid"), F.col(phash_col).alias("_ph"),
-        F.explode(F.array(*parts)).alias("_b"),
-    ).select("_pid", "_ph", F.col("_b.blk").alias("blk"), F.col("_b.val").alias("val"))
-    blocks = cached(
-        cap_hot_buckets(blocks, ["blk", "val"], bucket_cap, metrics_path,
-                        "image_phash_dedup")
-    )
-    if metrics_path is not None:
-        register_pair_volume(metrics_path, "image_phash_dedup", blocks, ["blk", "val"])
-    a = blocks.select(F.col("_pid").alias("img_a"), F.col("_ph").alias("_pha"), "blk", "val")
-    b = blocks.select(F.col("_pid").alias("img_b"), F.col("_ph").alias("_phb"), "blk", "val")
-    hamming = F.bit_count(F.col("_pha").bitwiseXOR(F.col("_phb"))).cast("bigint")
-    return (
-        a.join(b, ["blk", "val"])
-        .filter(F.col("img_a") < F.col("img_b"))
-        .dropDuplicates(["img_a", "img_b"])
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("img_a", "img_b", "hamming")
+    return hamming_block_pairs(
+        catalog, 64, max_hamming, id_col=id_col, sig_col=phash_col,
+        out_a="img_a", out_b="img_b", bucket_cap=bucket_cap,
+        metrics_path=metrics_path, operator="image_phash_dedup",
     )

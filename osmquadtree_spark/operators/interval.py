@@ -54,6 +54,12 @@ def interval_join(
         "day": 86_400_000_000, "days": 86_400_000_000,
     }[unit]
     icols = [c for c in intervals.columns if c not in on]
+    # drop empty/inverted intervals BEFORE the explode: they can match no
+    # point under half-open semantics, and F.sequence(start_bkt, end_bkt)
+    # with end < start would generate the whole DESCENDING bucket range —
+    # one corrupt epoch-zero end date would explode into ~half a million
+    # rows that the exact filter then discards
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     iv = intervals.select(
         *on,
         *icols,

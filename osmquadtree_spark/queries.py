@@ -2493,6 +2493,35 @@ def q_dedup_stream(spark, sf_dir):
     )
 
 
+def _event_order_batches(spark, sf_dir):
+    """The events table replayed IN EVENT ORDER as 3 micro-batches plus a
+    far-future flush sentinel — the shared scaffold of every event-time
+    stream gate (windowed + session). event_id-range split preserves
+    event-time order (ts is monotone in event_id in this corpus, verified
+    at all three scales); the sentinel sits 100 days past the corpus at
+    00:30 of its day so its own window/session stays ahead of the
+    watermark and never emits."""
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type"
+    )
+    n = base.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    batches = [
+        base.filter(
+            (F.col("event_id") >= cuts[i]) & (F.col("event_id") < cuts[i + 1])
+        )
+        for i in range(3)
+    ]
+    batches.append(
+        spark.sql(
+            "SELECT CAST(-1 AS BIGINT) AS event_id, "
+            "timestamp'2024-05-10 00:30:00' AS ts, "
+            "CAST('__flush__' AS STRING) AS event_type"
+        )
+    )
+    return batches
+
+
 def q_windowed_events_stream(spark, sf_dir):
     """Event-time windowed aggregate with watermark (streaming/ingest.py
     windowed_counts_stream): the events table replayed IN EVENT ORDER as 3
@@ -2505,31 +2534,9 @@ def q_windowed_events_stream(spark, sf_dir):
     order, which a value gate cannot assume)."""
     from .streaming.ingest import windowed_counts_stream
 
-    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "ts", "event_type"
-    )
-    n = base.count()
-    # event_id-range split preserves event-time order (ts is monotone
-    # in event_id in this corpus; verified at all three scales)
-    cuts = [0, n // 3, 2 * n // 3, n]
-    batches = [
-        base.filter(
-            (F.col("event_id") >= cuts[i]) & (F.col("event_id") < cuts[i + 1])
-        )
-        for i in range(3)
-    ]
-    # sentinel: 100 days past the corpus, at 00:30 of its day so its
-    # own window end stays ahead of the watermark (never emits)
-    batches.append(
-        spark.sql(
-            "SELECT CAST(-1 AS BIGINT) AS event_id, "
-            "timestamp'2024-05-10 00:30:00' AS ts, "
-            "CAST('__flush__' AS STRING) AS event_type"
-        )
-    )
     return _replay_stream(
         spark,
-        batches,
+        _event_order_batches(spark, sf_dir),
         "event_id bigint, ts timestamp, event_type string",
         lambda stream: windowed_counts_stream(
             stream, ts_col="ts", keys=("event_type",), window="1 day", watermark="1 hour"
@@ -2566,27 +2573,9 @@ def q_session_events_stream(spark, sf_dir):
     arrival order and are pinned in tests/test_streaming.py instead."""
     from .streaming.ingest import session_counts_stream
 
-    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "ts", "event_type"
-    )
-    n = base.count()
-    cuts = [0, n // 3, 2 * n // 3, n]
-    batches = [
-        base.filter(
-            (F.col("event_id") >= cuts[i]) & (F.col("event_id") < cuts[i + 1])
-        )
-        for i in range(3)
-    ]
-    batches.append(
-        spark.sql(
-            "SELECT CAST(-1 AS BIGINT) AS event_id, "
-            "timestamp'2024-05-10 00:30:00' AS ts, "
-            "CAST('__flush__' AS STRING) AS event_type"
-        )
-    )
     return _replay_stream(
         spark,
-        batches,
+        _event_order_batches(spark, sf_dir),
         "event_id bigint, ts timestamp, event_type string",
         lambda stream: session_counts_stream(
             stream, ts_col="ts", keys=("event_type",), gap="15 minutes", watermark="1 hour"
@@ -2598,26 +2587,36 @@ def q_session_events_stream(spark, sf_dir):
     )
 
 
-def _session_events_stream_sql(gap_minutes: int = 15) -> str:
-    """DuckDB twin: gaps-and-islands sessionization in epoch MICROseconds.
-    Break at diff >= gap because Spark's session window end (last + gap)
-    is exclusive — an event at exactly last + gap opens a NEW session."""
-    gap_us = gap_minutes * 60 * 1_000_000
+def _gaps_islands_ctes(src_sql: str, key: str, gap_us: int) -> str:
+    """Shared DuckDB lag/cumsum sessionization CTE pair (d, s) — used by
+    BOTH event-time session oracles (_session_events_stream_sql and
+    _events_interval_join_sql). Break at diff >= gap because Spark's
+    session end (last + gap) is exclusive — an event at exactly
+    last + gap opens a NEW session."""
     return f"""
-WITH d AS (
-  SELECT event_type, ts,
+d AS (
+  SELECT {key}, ts,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {gap_us}
               THEN 1 ELSE 0 END AS brk
-  FROM events
-  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+  FROM {src_sql}
+  WINDOW w AS (PARTITION BY {key} ORDER BY ts)
 ),
 s AS (
-  SELECT event_type, ts,
-         SUM(brk) OVER (PARTITION BY event_type ORDER BY ts
+  SELECT {key}, ts,
+         SUM(brk) OVER (PARTITION BY {key} ORDER BY ts
                         ROWS UNBOUNDED PRECEDING) AS sid
   FROM d
-)
+)""".strip()
+
+
+def _session_events_stream_sql(gap_minutes: int = 15) -> str:
+    """DuckDB twin: gaps-and-islands sessionization in epoch MICROseconds
+    (the events corpus carries microsecond timestamps, so second-truncated
+    bounds would collide)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH {_gaps_islands_ctes('events', 'event_type', gap_us)}
 SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS sess_start,
        CAST(epoch_us(MAX(ts)) + {gap_us} AS BIGINT) AS sess_end,
        event_type,
@@ -2778,8 +2777,7 @@ def q_image_phash_dedup(spark, sf_dir):
     completeness AND catalog parity."""
     from .sources.images import phash_catalog
 
-    _load(spark, sf_dir, "part")  # register the view for the oracle
-    n = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    n = _load(spark, sf_dir, "part").count()  # also registers the oracle view
     cat = phash_catalog(spark, n, partitions=spark.sparkContext.defaultParallelism)
     return img_ops.phash_near_dup(
         cat, max_hamming=3, metrics_path=_scratch(sf_dir, "metrics")
@@ -2896,21 +2894,9 @@ def q_events_interval_join(spark, sf_dir):
 
 
 def _events_interval_join_sql() -> str:
+    views = "(SELECT user_id, ts FROM events WHERE event_type = 'view') v"
     return f"""
-WITH d AS (
-  SELECT user_id, ts,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_INTERVAL_GAP_US}
-              THEN 1 ELSE 0 END AS brk
-  FROM events WHERE event_type = 'view'
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-),
-s AS (
-  SELECT user_id, ts,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-                        ROWS UNBOUNDED PRECEDING) AS sid
-  FROM d
-),
+WITH {_gaps_islands_ctes(views, 'user_id', _INTERVAL_GAP_US)},
 sess AS MATERIALIZED (
   SELECT user_id, MIN(ts) AS sess_start,
          MAX(ts) + INTERVAL 12 HOUR AS sess_end

@@ -138,3 +138,14 @@ def test_asof_one_shuffle_plan(spark):
     plan = asof_join(probes, refs, on=["user_id"])._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_null_ref_payload_stays_atomic(spark):
+    """A NULL in a ref payload column must NOT be backfilled from an older
+    ref row: the carried ref is one atomic struct, so the latest ref wins
+    wholesale (regression: per-column last(ignorenulls) once emitted a
+    mixed match of two different ref rows)."""
+    probes = _probes(spark, [(1, 10, _t("03:00"))])
+    refs = _refs(spark, [(10, _t("01:00"), 5), (10, _t("02:00"), None)])
+    [row] = asof_join(probes, refs, on=["user_id"]).collect()
+    assert (row.ref_event_id, row.ref_ts) == (None, _t("02:00"))

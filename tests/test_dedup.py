@@ -99,8 +99,8 @@ def test_simhash_block_join_complete(spark):
 
 def test_simhash_guard():
     with pytest.raises(ValueError):
-        # blocks only guarantee completeness below SIM_BLOCKS
-        dd.simhash_pairs(None, max_hamming=dd.SIM_BLOCKS)
+        # max_hamming+1 blocks must each be at least one bit wide
+        dd.simhash_pairs(None, max_hamming=dd.SIM_BITS)
 
 
 def test_embedding_lsh_recall(spark, sf_dir):

@@ -153,3 +153,26 @@ def test_phash_near_dup_wider_hamming_blocks(spark):
         if h <= 7
     )
     assert got == want
+
+
+def test_decode_stats_survives_zero_size_image(spark):
+    """A payload that decodes to a zero-size array must emit
+    decode_ok=False for that row, not kill the task (regression: .min()
+    raised AFTER .sum() had appended, desynchronizing the batch columns)."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "image_id": ["bad", "good"],
+            "bytes": [b"P6\n0 0\n255\n", img.CODECS["ppm"][0](img.pixels_for(7, 4, 4))],
+            "w": np.asarray([0, 4], dtype=np.int32),
+            "h": np.asarray([0, 4], dtype=np.int32),
+            "fmt": ["ppm", "ppm"],
+        }
+    )
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {r.image_id: r for r in decode_stats(df).collect()}
+    assert got["good"].decode_ok
+    assert not got["bad"].decode_ok or got["bad"].pix_sum == 0  # no crash is the gate

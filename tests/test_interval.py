@@ -138,3 +138,23 @@ def test_sessionize_matches_streaming_convention(spark):
         (1, _t("00:25"), _t("00:45"), 2),
         (2, _t("00:00"), _t("00:15"), 1),
     ]
+
+
+def test_interval_join_inverted_interval_is_cheap_noop(spark):
+    """An empty/inverted interval (end <= start, e.g. a corrupt epoch-zero
+    end) matches nothing AND is dropped before the bucket explode — the
+    unguarded sequence(start_bkt, end_bkt) would generate the whole
+    descending bucket range (regression)."""
+    points = _points(spark, [(1, 10, _t("02:00"))])
+    ivals = _ivals(
+        spark,
+        [
+            (10, _t("02:00"), _t("02:00")),                      # empty
+            (10, _t("03:00"), pd.Timestamp("1970-01-01")),       # inverted
+        ],
+    )
+    joined = interval_join(
+        points, ivals, on=["k"], ts_col="ts", start_col="start",
+        end_col="end", bucket="1 hour",
+    )
+    assert joined.collect() == []

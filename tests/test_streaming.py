@@ -380,6 +380,16 @@ def test_windowed_counts_watermark_late_data(spark, tmp_path):
     # host-timezone-dependent
     tz_prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        _run_windowed_counts_case(spark, tmp_path)
+    finally:  # a mid-test failure must not leak UTC into the session fixture
+        spark.conf.set("spark.sql.session.timeZone", tz_prev)
+
+
+def _run_windowed_counts_case(spark, tmp_path):
+    import os
+
+    from osmquadtree_spark.streaming.ingest import windowed_counts_stream
 
     src, chk = str(tmp_path / "src"), str(tmp_path / "chk")
     batches = [
@@ -428,7 +438,6 @@ def test_windowed_counts_watermark_late_data(spark, tmp_path):
         (20, 30): 1,
         (40, 50): 1,
     }  # [01:30, 01:40) never closes -> never emits
-    spark.conf.set("spark.sql.session.timeZone", tz_prev)
     assert got == want
 
 
@@ -472,12 +481,18 @@ def test_session_windows_merge_and_single_emission(spark, tmp_path):
     summed count; an event at exactly last + gap (00:50 after 00:35-end
     session... exercised via the flush row) opens a new session that never
     closes and never emits."""
+    tz_prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        _run_session_merge_case(spark, tmp_path)
+    finally:  # a mid-test failure must not leak UTC into the session fixture
+        spark.conf.set("spark.sql.session.timeZone", tz_prev)
+
+
+def _run_session_merge_case(spark, tmp_path):
     import os
 
     from osmquadtree_spark.streaming.ingest import session_counts_stream
-
-    tz_prev = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     src, chk = str(tmp_path / "src"), str(tmp_path / "chk")
     batches = [
@@ -523,6 +538,5 @@ def test_session_windows_merge_and_single_emission(spark, tmp_path):
          r.k, r.row_count)
         for r in spark.sql("SELECT * FROM sessmerge").collect()
     ]
-    spark.conf.set("spark.sql.session.timeZone", tz_prev)
     # exactly ONE row: the fused session, union bounds, all 3 events
     assert got == [(0, 35, "k", 3)]
