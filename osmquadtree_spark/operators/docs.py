@@ -9,6 +9,8 @@ float so both engines agree bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints here
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -374,3 +376,78 @@ def ngram_pairs(
         .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
     )
     return out
+
+
+def doc_chunks(
+    docs: DataFrame,
+    chunk_words: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking — the LLM-pipeline primitive that turns long
+    documents into overlapping training windows. Chunk k starts at word
+    offset 1 + k*stride (1-based) and spans ``chunk_words`` words, clipped
+    at the document end; offsets run while they point at an existing word,
+    so every word appears in at least one chunk and tail chunks may be
+    short. Documents with NULL text yield no chunks (split(NULL) → NULL
+    sequence → posexplode drops the row, matching the SQL twin's
+    ``text IS NOT NULL``).
+
+    All JVM-side (split / sequence / posexplode / slice / array_join) —
+    one projection + one generator, no shuffle at all; at 100 TB this is
+    embarrassingly parallel over the scan."""
+    if chunk_words < 1 or stride < 1:
+        raise ValueError("chunk_words and stride must be positive")
+    words = F.split(F.col(text_col), " ")
+    exploded = docs.select(
+        F.col(id_col),
+        words.alias("_w"),
+        F.posexplode(F.sequence(F.lit(1), F.size(words), F.lit(stride))).alias(
+            "chunk_id", "_start"
+        ),
+    )
+    chunk = F.slice(F.col("_w"), F.col("_start"), chunk_words)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("_start").cast("bigint").alias("start_word"),
+        F.size(chunk).cast("bigint").alias("n_words"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def sample_by_hash(
+    df: DataFrame,
+    rates: dict[str, int],
+    default_rate: int = 0,
+    key_col: str = "doc_id",
+    strata_col: str = "lang",
+    mod: int = 10_000,
+) -> DataFrame:
+    """Deterministic stratified sampling — the reproducible train/eval
+    split primitive: keep a row iff ``splitmix64(key) % mod`` falls below
+    its stratum's threshold (``rates[stratum]`` out of ``mod``; unlisted
+    strata get ``default_rate``). Pure function of the key — stable under
+    repartitioning, re-runs, and engine changes (the DuckDB twin restates
+    splitmix64 over HUGEINT bit-for-bit), unlike ``df.sample`` whose seed
+    is partition-layout-dependent. The mark is one Arrow batch kernel
+    (Spark's ANSI int64 overflow rules preclude a JVM-side wraparound
+    mix); the threshold test is a JVM CASE, so the filter stays a scan-
+    side projection with no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..sources.images import splitmix64
+
+    @pandas_udf("bigint")
+    def mark(keys: pd.Series) -> pd.Series:
+        u = splitmix64(keys.to_numpy("int64").astype(np.uint64))
+        return pd.Series((u % np.uint64(mod)).astype(np.int64))
+
+    thresh = F.lit(default_rate)
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(F.col(strata_col) == stratum, F.lit(rate)).otherwise(thresh)
+    return (
+        df.withColumn("sample_mark", mark(F.col(key_col)))
+        .filter(F.col("sample_mark") < thresh)
+    )

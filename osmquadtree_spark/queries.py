@@ -2909,6 +2909,71 @@ JOIN sess ON p.user_id = sess.user_id
 """.strip()
 
 
+CHUNK_WORDS, CHUNK_STRIDE = 24, 16
+SAMPLE_RATES = {"en": 1500, "de": 5000, "zh": 9000}  # per-10000 thresholds
+SAMPLE_DEFAULT = 500
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking over the documents table (docs.doc_chunks):
+    24-word chunks, stride 16 (overlapping), clipped tails, 0-based
+    chunk_id. DuckDB twin: string_split + unnest(range(...)) + 1-based
+    inclusive list slices (auto-clipping)."""
+    from .operators.docs import doc_chunks
+
+    return doc_chunks(
+        _load(spark, sf_dir, "documents"),
+        chunk_words=CHUNK_WORDS, stride=CHUNK_STRIDE,
+    )
+
+
+def _doc_chunks_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+e AS (
+  SELECT doc_id, words,
+         unnest(range(1, len(words) + 1, {CHUNK_STRIDE})) AS gs
+  FROM w
+)
+SELECT doc_id,
+       CAST((gs - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(gs AS BIGINT) AS start_word,
+       CAST(len(words[gs : gs + {CHUNK_WORDS} - 1]) AS BIGINT) AS n_words,
+       array_to_string(words[gs : gs + {CHUNK_WORDS} - 1], ' ') AS chunk_text
+FROM e
+""".strip()
+
+
+def q_sample_by_hash(spark, sf_dir):
+    """Deterministic stratified sampling (docs.sample_by_hash): keep a doc
+    iff splitmix64(doc_id) % 10000 < its lang's threshold — reproducible
+    train/eval splits, stable under repartitioning. DuckDB twin restates
+    splitmix64 over HUGEINT and the same CASE thresholds."""
+    from .operators.docs import sample_by_hash
+
+    return sample_by_hash(
+        _load(spark, sf_dir, "documents").select("doc_id", "lang"),
+        rates=SAMPLE_RATES, default_rate=SAMPLE_DEFAULT,
+    ).select("doc_id", "lang", "sample_mark")
+
+
+def _sample_by_hash_sql() -> str:
+    case = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+    ) + f" ELSE {SAMPLE_DEFAULT} END"
+    return f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         CAST(({so.splitmix64_sql('doc_id')}) % 10000 AS BIGINT) AS sample_mark
+  FROM documents
+)
+SELECT doc_id, lang, sample_mark FROM m WHERE sample_mark < {case}
+""".strip()
+
+
 def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2927,6 +2992,8 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_dedup": q_image_phash_dedup,
         "events_asof": q_events_asof,
         "events_interval_join": q_events_interval_join,
+        "doc_chunks": q_doc_chunks,
+        "sample_by_hash": q_sample_by_hash,
     }
 
 
@@ -2950,4 +3017,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "image_phash_dedup": _image_phash_dedup_sql(),
         "events_asof": _events_asof_sql(),
         "events_interval_join": _events_interval_join_sql(),
+        "doc_chunks": _doc_chunks_sql(),
+        "sample_by_hash": _sample_by_hash_sql(),
     }

@@ -10,6 +10,7 @@ import pandas as pd
 import pytest
 
 from osmquadtree_spark.operators import dedup as dd
+from osmquadtree_spark.operators import docs as dd_docs
 
 
 def _corpus(spark):
@@ -394,3 +395,73 @@ def test_word_codes_budget_checked_before_matrix_allocation():
     ):
         r, c = wc.word_codes(texts)
     assert np.array_equal(r, want_r) and np.array_equal(c, want_c)
+
+
+def test_doc_chunks_windows(spark):
+    """Chunking rule: 1-based offsets 1, 1+stride, ... while <= n_words;
+    tails clipped; every word covered; NULL text yields no chunks; a
+    single-word doc yields exactly one chunk."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["w1 w2 w3 w4 w5 w6 w7", None, "solo"],
+            }
+        ),
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.start_word, r.n_words, r.chunk_text)
+        for r in dd_docs.doc_chunks(df, chunk_words=3, stride=2).collect()
+    )
+    assert got == [
+        (1, 0, 1, 3, "w1 w2 w3"),
+        (1, 1, 3, 3, "w3 w4 w5"),
+        (1, 2, 5, 3, "w5 w6 w7"),
+        (1, 3, 7, 1, "w7"),          # clipped tail
+        (3, 0, 1, 1, "solo"),
+    ]
+    with pytest.raises(ValueError):
+        dd_docs.doc_chunks(df, chunk_words=0)
+
+
+def test_sample_by_hash_deterministic_and_stratified(spark):
+    """The mark equals numpy splitmix64 % mod exactly, survives
+    repartitioning unchanged, and each stratum honors its own threshold
+    (unlisted strata get the default)."""
+    import pandas as pd
+
+    from osmquadtree_spark.sources.images import splitmix64
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(500, dtype=np.int64),
+            "lang": ["en", "de", "xx", "en", "de"] * 100,
+        }
+    )
+    df = spark.createDataFrame(pdf, "doc_id bigint, lang string")
+    rates = {"en": 3000, "de": 9000}
+    got = {
+        r.doc_id: (r.lang, r.sample_mark)
+        for r in dd_docs.sample_by_hash(
+            df, rates=rates, default_rate=100, mod=10_000
+        ).collect()
+    }
+    marks = splitmix64(np.arange(500, dtype=np.int64).astype(np.uint64)) % np.uint64(10_000)
+    want = {
+        int(i): (pdf["lang"][i], int(marks[i]))
+        for i in range(500)
+        if marks[i] < rates.get(pdf["lang"][i], 100)
+    }
+    assert got == want
+    assert {l for l, _ in got.values()} >= {"en", "de"}  # strata both sampled
+    # repartitioning does not change the sample (pure function of the key)
+    got2 = {
+        r.doc_id
+        for r in dd_docs.sample_by_hash(
+            df.repartition(7), rates=rates, default_rate=100, mod=10_000
+        ).collect()
+    }
+    assert got2 == set(got)
