@@ -120,3 +120,38 @@ def test_calc_change_qts_inmem_empty(spark):
             "qt",
             "changetype",
         }
+
+
+def test_temporal_and_phash_operators_on_empty(spark, empties):
+    """Round-4 additions: empty probes / refs / catalogs / corpora all
+    return schema-stable empty (or all-NULL-ref) results."""
+    from osmquadtree_spark.operators import docs as do
+    from osmquadtree_spark.operators.asof import asof_join
+    from osmquadtree_spark.operators.images import phash_near_dup
+    from osmquadtree_spark.operators.interval import interval_join, sessionize
+
+    probes = spark.createDataFrame([], "event_id bigint, k bigint, ts timestamp_ntz")
+    refs = spark.createDataFrame([], "k bigint, ts timestamp_ntz, event_id bigint")
+    ivals = spark.createDataFrame([], "k bigint, start timestamp_ntz, end timestamp_ntz")
+    cat = spark.createDataFrame([], "img_idx bigint, phash bigint")
+
+    assert asof_join(probes, refs, on=["k"]).count() == 0
+    assert interval_join(
+        probes, ivals, on=["k"], ts_col="ts", start_col="start", end_col="end"
+    ).count() == 0
+    assert sessionize(refs.select("k", "ts"), on=["k"]).count() == 0
+    assert phash_near_dup(cat).count() == 0
+    assert do.doc_chunks(empties["docs"]).count() == 0
+    assert do.sample_by_hash(
+        spark.createDataFrame([], "doc_id bigint, lang string"), rates={"en": 5000}
+    ).count() == 0
+    # non-empty probes against EMPTY refs: left semantics — all rows kept,
+    # all ref columns NULL
+    import pandas as pd
+    one = spark.createDataFrame(
+        pd.DataFrame([(1, 10, pd.Timestamp("2024-01-01"))],
+                     columns=["event_id", "k", "ts"]),
+        "event_id bigint, k bigint, ts timestamp_ntz",
+    )
+    [row] = asof_join(one, refs, on=["k"]).collect()
+    assert (row.ref_event_id, row.ref_ts) == (None, None)
