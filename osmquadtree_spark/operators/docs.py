@@ -399,6 +399,10 @@ def doc_chunks(
     embarrassingly parallel over the scan."""
     if chunk_words < 1 or stride < 1:
         raise ValueError("chunk_words and stride must be positive")
+    if stride > chunk_words:
+        # the docstring's every-word-covered invariant would silently drop
+        # words (stride - chunk_words) of every window otherwise
+        raise ValueError("stride must be <= chunk_words for full coverage")
     words = F.split(F.col(text_col), " ")
     exploded = docs.select(
         F.col(id_col),
@@ -434,8 +438,12 @@ def sample_by_hash(
     is partition-layout-dependent. The mark is one Arrow batch kernel
     (Spark's ANSI int64 overflow rules preclude a JVM-side wraparound
     mix); the threshold test is a JVM CASE, so the filter stays a scan-
-    side projection with no shuffle."""
+    side projection with no shuffle. NULL keys are excluded up front —
+    they have no meaningful hash (and the SQL twin's splitmix64(NULL)
+    mark is NULL, which every threshold comparison rejects)."""
     from pyspark.sql.functions import pandas_udf
+
+    df = df.filter(F.col(key_col).isNotNull())
 
     from ..sources.images import splitmix64
 

@@ -2910,7 +2910,8 @@ JOIN sess ON p.user_id = sess.user_id
 
 
 CHUNK_WORDS, CHUNK_STRIDE = 24, 16
-SAMPLE_RATES = {"en": 1500, "de": 5000, "zh": 9000}  # per-10000 thresholds
+SAMPLE_MOD = 10_000
+SAMPLE_RATES = {"en": 1500, "de": 5000, "zh": 9000}  # per-SAMPLE_MOD thresholds
 SAMPLE_DEFAULT = 500
 
 
@@ -2956,7 +2957,7 @@ def q_sample_by_hash(spark, sf_dir):
 
     return sample_by_hash(
         _load(spark, sf_dir, "documents").select("doc_id", "lang"),
-        rates=SAMPLE_RATES, default_rate=SAMPLE_DEFAULT,
+        rates=SAMPLE_RATES, default_rate=SAMPLE_DEFAULT, mod=SAMPLE_MOD,
     ).select("doc_id", "lang", "sample_mark")
 
 
@@ -2967,7 +2968,7 @@ def _sample_by_hash_sql() -> str:
     return f"""
 WITH m AS (
   SELECT doc_id, lang,
-         CAST(({so.splitmix64_sql('doc_id')}) % 10000 AS BIGINT) AS sample_mark
+         CAST(({so.splitmix64_sql('doc_id')}) % {SAMPLE_MOD} AS BIGINT) AS sample_mark
   FROM documents
 )
 SELECT doc_id, lang, sample_mark FROM m WHERE sample_mark < {case}

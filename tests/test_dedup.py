@@ -401,8 +401,6 @@ def test_doc_chunks_windows(spark):
     """Chunking rule: 1-based offsets 1, 1+stride, ... while <= n_words;
     tails clipped; every word covered; NULL text yields no chunks; a
     single-word doc yields exactly one chunk."""
-    import pandas as pd
-
     df = spark.createDataFrame(
         pd.DataFrame(
             {
@@ -431,8 +429,6 @@ def test_sample_by_hash_deterministic_and_stratified(spark):
     """The mark equals numpy splitmix64 % mod exactly, survives
     repartitioning unchanged, and each stratum honors its own threshold
     (unlisted strata get the default)."""
-    import pandas as pd
-
     from osmquadtree_spark.sources.images import splitmix64
 
     pdf = pd.DataFrame(
