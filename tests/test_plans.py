@@ -208,3 +208,21 @@ def test_update_alloc_kernel_is_diff_bounded(spark, sf_dir):
     n_changes = changes.count()
     assert allocs.count() <= n_changes
     assert stored.count() > 10 * n_changes  # the prune actually prunes
+
+
+def test_doc_chunks_is_shuffle_free_generator(spark, sf_dir):
+    """doc_chunks claims 'pure scan-side projection, zero shuffles': the
+    executed plan must contain a Generate (posexplode) and NO Exchange."""
+    plan = _plan(Q.q_doc_chunks(spark, sf_dir))
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+
+
+def test_sample_by_hash_is_scan_side_filter(spark, sf_dir):
+    """sample_by_hash claims a scan-side projection with no shuffle: the
+    plan holds one ArrowEvalPython (the mark kernel) + Filter, no Exchange,
+    and the NULL-key exclusion is pushed into the parquet scan."""
+    plan = _plan(Q.q_sample_by_hash(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "isnotnull(doc_id" in plan.lower().replace(" ", "") or "isnotnull" in plan
