@@ -271,3 +271,70 @@ def common_sql(a: str, b: str) -> str:
         f"WHEN ({a}) = ({b}) THEN ({a}) "
         f"ELSE {rounded} END)"
     )
+
+
+# ---------------------------------------------------------------------------
+# geohash (public algorithm, geohash.org): 1e-7 fixed-point lon/lat ints →
+# base-32 geohash string. Shared between the Spark operator
+# (operators/spatial.geohash_encode) and the DuckDB oracle: both evaluate the
+# SAME step expressions (only integer division spells differently), each step
+# referencing named columns so neither engine pays the 2^5 textual blowup of
+# inlining the Morton spread.
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+# classic 5-step magic-mask spread of a ≤32-bit value into even bit positions
+_SPREAD = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def geohash_steps(
+    lon_col: str, lat_col: str, precision: int = 8, intdiv: str = "//"
+) -> list[tuple[str, str]]:
+    """Ordered (column, expr) pairs computing a ``precision``-char geohash.
+
+    ``lon_col``/``lat_col`` are 1e-7 fixed-point degree ints (the engine's
+    native coordinate type, sources/geo.py). Geohash interleaves binary
+    subdivisions of lon (first/even bits) and lat: we scale each axis to a
+    ``bits``-bit integer, Morton-spread both, and read the interleaved code
+    out 5 bits per base-32 char. precision must be even so bits split
+    equally (8 → 20+20 bits, the standard ~19 m cell).
+    """
+    if precision % 2 or not 2 <= precision <= 12:
+        raise ValueError("precision must be even, in [2, 12]")
+    bits = precision * 5 // 2  # per axis
+    scale = 1 << bits
+    steps = [
+        ("gh_xb", f"((({lon_col}) + 1800000000) * {scale}) {intdiv} 3600000000"),
+        ("gh_yb", f"((({lat_col}) + 900000000) * {scale}) {intdiv} 1800000000"),
+    ]
+    for axis in ("gh_xb", "gh_yb"):
+        cur = axis
+        for j, (sh, mask) in enumerate(_SPREAD):
+            nxt = f"{axis}_{j}"
+            steps.append((nxt, f"(({cur} | ({cur} << {sh})) & {mask})"))
+            cur = nxt
+    steps.append(("gh_code", "((gh_xb_4 << 1) | gh_yb_4)"))
+    chars = [
+        f"substring('{GEOHASH_ALPHABET}', "
+        f"CAST((gh_code >> {5 * (precision - 1 - i)}) & 31 AS INT) + 1, 1)"
+        for i in range(precision)
+    ]
+    steps.append(("geohash", " || ".join(chars)))
+    return steps
+
+
+def geohash_cte(base_sql: str, keep_cols: str, precision: int = 8) -> str:
+    """DuckDB CTE chain evaluating geohash_steps over ``base_sql`` (which
+    must expose integer ``lon``/``lat`` columns); returns
+    (keep_cols..., geohash)."""
+    steps = geohash_steps("lon", "lat", precision, intdiv="//")
+    sql = f"SELECT {keep_cols}, lon, lat FROM ({base_sql})"
+    for name, expr in steps:
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    return f"SELECT {keep_cols}, geohash FROM ({sql})"

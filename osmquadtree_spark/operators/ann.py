@@ -389,3 +389,88 @@ def ivf_topk(
         pairs, vectors, queries, k, id_col, qid_col, vec_col,
         dim=int(centroids.shape[1]),
     )
+
+
+def sq8_scales(vectors: DataFrame, dim: int, vec_col: str = "embedding") -> list[float]:
+    """Per-dimension max-abs scales for scalar int8 quantization (SQ8), in
+    one aggregate pass. Returns ``dim`` float64 scalars to the driver —
+    bounded by the dimensionality, not the row count (same discipline as
+    the IVF codebook sample above). The max is taken in the column's
+    native float32 and cast to double AFTER, matching the SQL twin
+    bit-for-bit."""
+    row = vectors.agg(
+        *[
+            F.max(F.abs(F.element_at(vec_col, i + 1))).cast("double").alias(f"s{i}")
+            for i in range(dim)
+        ]
+    ).first()
+    # max over an EMPTY table is NULL — treat as the all-zero dimension
+    # (code 0) so downstream quantization stays total-function
+    return [row[f"s{i}"] if row[f"s{i}"] is not None else 0.0 for i in range(dim)]
+
+
+def sq8_quantize(
+    vectors: DataFrame,
+    scales: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """int8 scalar quantization: code_i = floor(x_i·127/s_i + 0.5).
+
+    The production ANN compression step (4× smaller than float32, integer
+    dot products downstream). floor(+0.5) is used instead of round() so
+    both engines share one rounding rule (SQL round() half-away vs Spark
+    half-up differ on negatives). |x| ≤ s makes the result ≤ 127 even
+    after the 1-ulp division wobble (127.5 + ε floors to 127), so no
+    clamp is needed; a zero scale (all-zero dimension) maps to code 0.
+    Pure JVM projection — no shuffle, no Python."""
+    codes = F.array(
+        *[
+            (
+                F.lit(0)
+                if s == 0.0
+                else F.floor(
+                    F.element_at(vec_col, i + 1).cast("double") * 127.0 / F.lit(s) + 0.5
+                )
+            ).cast("int")
+            for i, s in enumerate(scales)
+        ]
+    )
+    return vectors.select(id_col, codes.alias(out_col))
+
+
+def sq8_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by quantized integer dot product (SQ8 ANN).
+
+    Both sides are quantized with the SAME per-dim scales (derived from the
+    vector table), so the score Σ code_q·code_v is exact int64 arithmetic —
+    the one ANN variant whose end-to-end result is bit-reproducible across
+    engines with no candidate-export machinery. Returns
+    (query_id, vec_id, score, rank); ties break on vec_id ascending.
+    Scale shape: scales pass is one aggregate; scoring is a broadcast
+    crossJoin like cosine_topk (exactness baseline at 10^12 rows is the
+    bucketed path; this is the quantized refinement stage)."""
+    scales = sq8_scales(vectors, dim, vec_col)
+    vc = sq8_quantize(vectors, scales, id_col, vec_col)
+    qc = sq8_quantize(queries, scales, qid_col, vec_col, out_col="qcodes")
+    score = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("qcodes"), lambda a, b: (a * b).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    joined = vc.crossJoin(F.broadcast(qc)).withColumn("score", score)
+    w = Window.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "score", "rank")
+    )

@@ -459,3 +459,82 @@ def sample_by_hash(
         df.withColumn("sample_mark", mark(F.col(key_col)))
         .filter(F.col("sample_mark") < thresh)
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals, entirely row-local.
+
+    Per document: word count, distinct-word count, duplicate-word fraction
+    (×10000, integer), and the most frequent bigram with its count and
+    fraction of all bigrams (×10000). Filtering on these is the standard
+    "remove boilerplate/spam before training" pass (duplicate-line /
+    top-n-gram fraction rules from the Gopher data pipeline, public).
+
+    The bigram mode is computed WITHOUT a shuffle: sort the row's bigram
+    array, then fold it once tracking the current and best run — ties break
+    toward the lexicographically smallest bigram (the sorted order visits it
+    first and later runs must be strictly longer to win). All JVM HOFs
+    (split/slice/zip_with/array_sort/aggregate) inside one whole-stage
+    projection: at 10^12 docs this is a pure map over the scan, shuffle
+    volume zero. NULL text propagates NULLs (string_split(NULL) is NULL in
+    the SQL twin).
+
+    Docs with fewer than 2 words have no bigram: top_bigram is NULL and the
+    count/fraction are 0.
+    """
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    nd = F.size(F.array_distinct(words))
+    bigrams = F.array_sort(
+        F.zip_with(
+            F.slice(words, F.lit(1), n - 1),
+            F.slice(words, F.lit(2), n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    # fold state: (prev bigram, current run, best run, best bigram)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+        F.lit(None).cast("string").alias("bestb"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bestb"]).alias("bestb"),
+        )
+
+    fold = F.aggregate(bigrams, init, step)
+
+    def intdiv(a, b):
+        # exact integer division for non-negative a: (a - a%b) is exactly
+        # divisible, so the double division is exact (no float-truncation
+        # boundary risk vs the oracle's `//`)
+        return ((a - a % b) / b).cast("bigint")
+
+    n_words = F.when(F.col("text").isNotNull(), n.cast("bigint"))
+    n_distinct = F.when(F.col("text").isNotNull(), nd.cast("bigint"))
+    n_bigrams = n.cast("bigint") - 1
+    has_bg = F.col("text").isNotNull() & (n >= 2)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct"),
+        F.when(
+            F.col("text").isNotNull(),
+            intdiv((n - nd).cast("bigint") * 10000, n.cast("bigint")),
+        ).alias("dup_word_x10000"),
+        F.when(has_bg, fold["bestb"]).alias("top_bigram"),
+        F.when(has_bg, fold["best"]).otherwise(
+            F.when(F.col("text").isNotNull(), F.lit(0).cast("bigint"))
+        ).alias("top_bigram_cnt"),
+        F.when(has_bg, intdiv(fold["best"] * 10000, n_bigrams)).otherwise(
+            F.when(F.col("text").isNotNull(), F.lit(0).cast("bigint"))
+        ).alias("top_bigram_x10000"),
+    )

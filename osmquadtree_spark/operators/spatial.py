@@ -412,3 +412,64 @@ def make_qt_point_udf(max_depth: int):
         return pd.Series(qtk.calculate(v, w, v, w, max_depth=max_depth))
 
     return qt_point
+
+
+def geohash_encode(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    precision: int = 8,
+    out_col: str = "geohash",
+) -> DataFrame:
+    """Geohash cell ids (public algorithm) from 1e-7 fixed-point lon/lat.
+
+    Third index family next to quadtree (kernels/quadtree.py) and S2/hex
+    (kernels/s2.py, kernels/hexlite.py): base-32 interleave of binary axis
+    subdivisions. Pure JVM bit arithmetic — the Morton spread runs as a
+    chain of projected columns (Catalyst collapses them into one
+    whole-stage-codegen projection), so the scan stays UDF-free and the
+    expression never hits the textual 2^5 blowup of inlining each step.
+    Shares its step expressions verbatim with the DuckDB oracle
+    (functions/sql_oracle.geohash_steps) — only integer division differs
+    by dialect. Scale: per-row map, no shuffle; prefix-aggregating the
+    result (geohash truncation = ancestor cell) is an ordinary groupBy.
+    """
+    from ..functions.sql_oracle import geohash_steps
+
+    cur = df
+    steps = geohash_steps(lon_col, lat_col, precision, intdiv="DIV")
+    for name, expr in steps:
+        cur = cur.withColumn(name, F.expr(expr))
+    drop = [name for name, _ in steps if name != "geohash"]
+    return cur.drop(*drop).withColumnRenamed("geohash", out_col)
+
+
+def tile_pyramid(
+    tiles: DataFrame,
+    max_zoom: int,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Roll a leaf-zoom tile histogram up to every ancestor zoom 0..max_zoom.
+
+    The standard raster-pyramid build: parent tile at zoom z-1 is
+    (x >> 1, y >> 1). Input must already be aggregated at ``max_zoom``
+    (the big shuffle happened there, bounded by 4^max_zoom output cells);
+    this rollup explodes each leaf row into max_zoom+1 ancestor rows and
+    re-aggregates — the second shuffle moves only (zoom+1) × n_leaf_cells
+    pre-aggregated rows, independent of input row count, so it costs the
+    same at 10^12 inputs as at 10^6. Mirrors the reference's tree
+    accumulation of tile weights (qttree.cpp tree_rollup) as a flat
+    DataFrame aggregation.
+    """
+    z = F.explode(F.sequence(F.lit(0), F.lit(max_zoom))).alias("zoom")
+    e = tiles.select(F.col(x_col), F.col(y_col), F.col(cnt_col).alias("_n"), z)
+    return (
+        e.groupBy(
+            "zoom",
+            F.expr(f"{x_col} >> ({max_zoom} - zoom)").alias(x_col),
+            F.expr(f"{y_col} >> ({max_zoom} - zoom)").alias(y_col),
+        )
+        .agg(F.sum("_n").cast("bigint").alias(cnt_col))
+    )

@@ -2975,6 +2975,140 @@ SELECT doc_id, lang, sample_mark FROM m WHERE sample_mark < {case}
 """.strip()
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Raster tile pyramid: the zoom-8 xyz histogram rolled up to every
+    ancestor zoom 0..8 (operators/spatial.tile_pyramid — the flat-DataFrame
+    analog of qttree.cpp's tree weight accumulation). The big shuffle is
+    the leaf histogram; the rollup re-shuffles only (zoom+1)×leaf-cell
+    pre-aggregated rows, independent of input size."""
+    from .operators.spatial import tile_pyramid
+
+    return tile_pyramid(q_xyz_tiles(spark, sf_dir), max_zoom=8)
+
+
+def _tile_pyramid_sql() -> str:
+    x_expr, y_expr = so.xyz_sql(so.round_sql("qt", 8), 8)
+    return f"""
+WITH leaf AS (
+  SELECT {x_expr} AS tile_x, {y_expr} AS tile_y, COUNT(*) AS cnt
+  FROM ({_qt_cte()}) WHERE qt >= 0 AND (qt & 31) >= 8 GROUP BY 1, 2
+)
+SELECT z.zoom, tile_x >> (8 - z.zoom) AS tile_x, tile_y >> (8 - z.zoom) AS tile_y,
+       CAST(SUM(cnt) AS BIGINT) AS cnt
+FROM leaf CROSS JOIN (SELECT UNNEST(range(0, 9)) AS zoom) z
+GROUP BY 1, 2, 3
+""".strip()
+
+
+def q_geohash_cells(spark, sf_dir):
+    """Geohash-8 cell ids for every point element — the third index family
+    (quadtree / S2 / geohash), pure JVM bit arithmetic sharing its step
+    expressions verbatim with the oracle
+    (functions/sql_oracle.geohash_steps)."""
+    from .operators.spatial import geohash_encode
+
+    pts = _elements(spark, sf_dir).filter(~F.col("is_box")).select(
+        "elem_id", "minx", "miny"
+    )
+    return geohash_encode(pts, "minx", "miny", precision=8).select(
+        "elem_id", "geohash"
+    )
+
+
+def _geohash_cells_sql() -> str:
+    return so.geohash_cte(
+        f"SELECT elem_id, minx AS lon, miny AS lat FROM ({_ELEM_CTE}) WHERE NOT is_box",
+        "elem_id",
+        precision=8,
+    )
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (operators/docs
+    .repetition_stats): duplicate-word fraction + most-frequent bigram,
+    computed shuffle-free via a sorted-array run fold per row."""
+    from .operators.docs import repetition_stats
+
+    return repetition_stats(_load(spark, sf_dir, "documents"))
+
+
+def _doc_repetition_sql() -> str:
+    """DuckDB twin: explodes bigrams and takes the per-doc mode via a
+    window — a deliberately different formulation (group/count/rank) from
+    the engine's shuffle-free sorted-run fold."""
+    return """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+st AS (
+  SELECT doc_id, len(words) AS n_words, len(list_distinct(words)) AS n_distinct
+  FROM base
+),
+bg AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])) AS bigram
+  FROM base WHERE len(words) >= 2
+),
+cnts AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, bigram, c FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram ASC) AS rn
+    FROM cnts
+  ) WHERE rn = 1
+)
+SELECT s.doc_id,
+       CAST(s.n_words AS BIGINT) AS n_words,
+       CAST(s.n_distinct AS BIGINT) AS n_distinct,
+       CAST((s.n_words - s.n_distinct) * 10000 // s.n_words AS BIGINT) AS dup_word_x10000,
+       t.bigram AS top_bigram,
+       CAST(CASE WHEN s.n_words IS NULL THEN NULL ELSE COALESCE(t.c, 0) END AS BIGINT)
+         AS top_bigram_cnt,
+       CAST(CASE WHEN s.n_words IS NULL THEN NULL
+                 WHEN s.n_words < 2 THEN 0
+                 ELSE t.c * 10000 // (s.n_words - 1) END AS BIGINT) AS top_bigram_x10000
+FROM st s LEFT JOIN top t USING (doc_id)
+""".strip()
+
+
+def q_ann_sq8_topk(spark, sf_dir):
+    """SQ8 quantized ANN (operators/ann.sq8_topk): per-dim max-abs int8
+    quantization, then top-k by INTEGER dot product — exact int64
+    arithmetic end to end, so the full result (score included) is
+    bit-reproducible against the SQL twin with no candidate export."""
+    emb = _load_fanned(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ops.sq8_topk(emb, queries, ANN_K, dim=EMB_DIM)
+
+
+def _ann_sq8_sql() -> str:
+    scale_list = ", ".join(
+        f"CAST(MAX(ABS(embedding[{i + 1}])) AS DOUBLE)" for i in range(EMB_DIM)
+    )
+    return f"""
+WITH scales AS (SELECT [{scale_list}] AS s FROM embeddings),
+codes AS (
+  SELECT vec_id,
+         list_transform(embedding, (x, i) ->
+           CASE WHEN s[i] = 0 THEN 0
+                ELSE CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / s[i] + 0.5) AS INT) END) AS c
+  FROM embeddings, scales
+),
+q AS (SELECT vec_id AS query_id, c AS qc FROM codes WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+         CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), i ->
+              CAST(v.c[i] AS BIGINT) * qc[i])) AS BIGINT) AS score
+  FROM codes v CROSS JOIN q
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+""".strip()
+
+
 def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2995,6 +3129,10 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": q_events_interval_join,
         "doc_chunks": q_doc_chunks,
         "sample_by_hash": q_sample_by_hash,
+        "tile_pyramid": q_tile_pyramid,
+        "geohash_cells": q_geohash_cells,
+        "doc_repetition": q_doc_repetition,
+        "ann_sq8_topk": q_ann_sq8_topk,
     }
 
 
@@ -3020,4 +3158,8 @@ def sweep_oracle_sql() -> dict[str, str]:
         "events_interval_join": _events_interval_join_sql(),
         "doc_chunks": _doc_chunks_sql(),
         "sample_by_hash": _sample_by_hash_sql(),
+        "tile_pyramid": _tile_pyramid_sql(),
+        "geohash_cells": _geohash_cells_sql(),
+        "doc_repetition": _doc_repetition_sql(),
+        "ann_sq8_topk": _ann_sq8_sql(),
     }
