@@ -1,0 +1,156 @@
+"""Connected components over near-dup pair sets — pair lists → canonical
+cluster representatives.
+
+A dedup pipeline ends with "keep one document per duplicate CLUSTER", but
+every pair operator (minhash/simhash/ngram/embedding LSH) emits EDGES.
+Transitivity is real at corpus scale: A≈B and B≈C chains mean the keep/drop
+decision needs the connected component, not the pair. The reference's quadtree
+relation closure (calcqts.py rel→rel passes) is the same fixpoint problem over
+a bounded graph; here the graph is unbounded, so the engine uses the
+alternating large-star / small-star algorithm (Kiveris, Lattanzi, Mirrokni,
+Rastogi, Vassilvitskii — "Connected Components in MapReduce and Beyond",
+ACM SoCC 2014): each round is two groupBy-min shuffles over the edge list,
+convergence in O(log² n) rounds (2-5 in practice), every step a plain
+DataFrame op (no UDFs, no driver-side graph).
+
+Scale shape: state is only the current edge list (≤ input edges, shrinking
+toward one star edge per non-root node); each round shuffles on the node id —
+the natural key, skew-limited because large-star points high-degree
+neighborhoods at their min and the edge list contracts geometrically. Lineage
+is truncated per round via cache.stage_checkpoint (reliable checkpoint dir on
+clusters, localCheckpoint in bounded local runs); convergence is ONE tiny
+aggregate action per round (count + xxhash64 checksum of the edge set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..cache import cached, stage_checkpoint
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u}).
+
+    Input/output edges are (u, v) with u > v (large→small orientation);
+    the symmetrized neighborhood is grouped on each endpoint, so one
+    groupBy-min + one re-join per round."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    m = F.least(F.col("_mn"), F.col("u")).alias("v")
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m)
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every smaller neighbor of u (and u itself) to
+    min(Γ⁻(u) ∪ {u}) over the large→small-oriented edge list."""
+    ori = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = ori.groupBy("u").agg(F.min("v").alias("_mn"))
+    to_min = ori.join(mins, "u").select(F.col("v").alias("u"), F.col("_mn").alias("v"))
+    self_edge = mins.select("u", F.col("_mn").alias("v"))
+    return (
+        to_min.unionByName(self_edge)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """(node, component_id) for every node appearing in ``edges``;
+    component_id = the smallest node id in the component (the canonical
+    "keep" representative of a duplicate cluster).
+
+    Alternates large-star / small-star until the edge set is a fixpoint —
+    at that point the edge list IS the star forest (each non-root node has
+    exactly the edge (node, root)). Convergence is detected by a
+    (count, xxhash64-sum) checksum of the oriented edge set: one tiny
+    aggregate per round, the only driver-side state. ``max_rounds`` is a
+    runaway backstop far above the O(log² n) bound (n = 2^30 nodes needs
+    ~10 rounds); hitting it raises instead of returning a wrong answer."""
+    e = (
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+    e = stage_checkpoint(e, eager=True)
+    # node set off the CHECKPOINTED edges: the final-join scan re-reads the
+    # truncated frame, not the upstream pair-operator lineage
+    nodes = cached(
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    prev = None
+    for _ in range(max_rounds):
+        e = stage_checkpoint(_small_star(_large_star(e)), eager=True)
+        # decimal(38,0) accumulator: an int64 sum of xxhash64 terms overflows
+        # (ANSI mode raises); decimal holds ~10^38, beyond any edge count
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(theoretical bound is O(log^2 n) ≈ 10 for 2^30 nodes) — the "
+            "edge set is oscillating, which the alternating algorithm "
+            "excludes; treat as a bug, not a data property"
+        )
+    # star fixpoint: every non-root node carries exactly (node, root)
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component_id"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component_id"), F.col("node")).alias("component_id"),
+        )
+    )
+
+
+def dup_clusters(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Full-corpus cluster table: (doc_id, component_id, component_size,
+    is_representative) — singletons (docs in no pair) map to themselves
+    with size 1. The pipeline's keep/drop surface: keep
+    ``is_representative``, drop the rest; component_size feeds dedup-rate
+    reporting. One left join + one windowless size aggregate."""
+    comp = connected_components(edges, id_a=id_a, id_b=id_b)
+    base = docs.select(F.col(id_col).alias("node")).join(comp, "node", "left")
+    base = base.select(
+        F.col("node").alias(id_col),
+        F.coalesce(F.col("component_id"), F.col("node")).alias("component_id"),
+    )
+    sizes = base.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return base.join(sizes, "component_id").select(
+        id_col,
+        "component_id",
+        "component_size",
+        (F.col(id_col) == F.col("component_id")).alias("is_representative"),
+    )

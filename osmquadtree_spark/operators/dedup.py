@@ -541,7 +541,7 @@ def embedding_dup_pairs_lsh(
     the raw embeddings table and must reproduce every emitted (pair, cos)
     exactly, turning the former rows-only driver check into a full value
     gate (recall itself stays pytest-gated against the exact operator)."""
-    from .ann import _dot, bucket_signatures, make_planes, with_norm
+    from .ann import bucket_signatures, make_planes
 
     if dim is not None:
         d = dim
@@ -579,24 +579,42 @@ def embedding_dup_pairs_lsh(
         pairs = metrics.export_candidates(
             pairs, export_pairs_path, metrics_path, "dedup_embedding_lsh"
         )
-    # cache the normed table: BOTH pair sides join it, and uncached each
-    # side re-scans the source and re-folds the norms (measured 1.6 s of
-    # the 4.3 s sf0.1 wall — exec 1.9 → 0.8 s with the persist)
+    return rescore_pairs(pairs, vectors, min_cos, id_col, vec_col)
+
+
+def rescore_pairs(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    min_cos: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine rescore of a candidate (id_a, id_b) set — the shared
+    back stage of every bucketed near-dup path (LSH, semantic/k-means):
+    re-attach vectors to surviving pairs only, score, threshold.
+
+    The normed table is cached: BOTH pair sides join it, and uncached each
+    side re-scans the source and re-folds the norms (measured 1.6 s of
+    the 4.3 s sf0.1 LSH wall — exec 1.9 → 0.8 s with the persist).
+
+    The per-pair cosine stays the compact aggregate FOLD on purpose:
+    Catalyst pushes the `cos >= min_cos` predicate INTO the broadcast
+    join as a join condition, duplicating the scoring expression (once
+    in the join, once in the output Project). With ann._dot_unrolled's
+    64-term tree that duplicated giant expression measured 7× SLOWER
+    than the fold here (12.7 s vs 1.7 s warm on 821k sf0.1 candidates);
+    the fold's tight primitive loop is the faster join-condition shape.
+    Also measured and REJECTED: the unrolled tree behind a persist
+    barrier (cache the unfiltered scored projection so the filter can't
+    push into the join) — 4.4 s → 14.9 s best-of in a same-window A/B;
+    materializing 821k×3 scalars plus per-stage codegen of the 64-term
+    tree costs more than the pushdown it prevents. Keep the fold."""
+    from ..cache import cached
+    from .ann import _dot, with_norm
+
     v = cached(with_norm(vectors, vec_col).select(id_col, "_v", "_norm"))
     va = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
     vb = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
-    # The per-pair cosine stays the compact aggregate FOLD on purpose:
-    # Catalyst pushes the `cos >= min_cos` predicate INTO the broadcast
-    # join as a join condition, duplicating the scoring expression (once
-    # in the join, once in the output Project). With ann._dot_unrolled's
-    # 64-term tree that duplicated giant expression measured 7× SLOWER
-    # than the fold here (12.7 s vs 1.7 s warm on 821k sf0.1 candidates);
-    # the fold's tight primitive loop is the faster join-condition shape.
-    # Also measured and REJECTED: the unrolled tree behind a persist
-    # barrier (cache the unfiltered scored projection so the filter can't
-    # push into the join) — 4.4 s → 14.9 s best-of in a same-window A/B;
-    # materializing 821k×3 scalars plus per-stage codegen of the 64-term
-    # tree costs more than the pushdown it prevents. Keep the fold.
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
@@ -604,3 +622,70 @@ def embedding_dup_pairs_lsh(
         .filter(F.col("cos") >= min_cos)
         .select("id_a", "id_b", "cos")
     )
+
+
+def semantic_dup_pairs(
+    vectors: DataFrame,
+    min_cos: float,
+    n_centroids: int = 64,
+    nprobe: int = 2,
+    sample_mod: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_cap: int | None = 1_000_000,
+    export_pairs_path: str | None = None,
+    metrics_path: str | None = None,
+) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space with the deterministic spherical-k-means
+    codebook (ann.train_centroids — bounded xxhash64-sampled driver
+    collect), then emit near-dup pairs WITHIN clusters only — candidates
+    share one of each vector's ``nprobe`` nearest centroids, scored by
+    exact cosine ≥ min_cos.
+
+    vs embedding_dup_pairs_lsh: k-means buckets follow the DATA layout
+    (dense regions get their own centroids) where random hyperplanes are
+    data-blind, so at equal candidate volume the semantic path recalls
+    boundary-dense corpora better; the codebook is a train-once artifact
+    (pass the same seed/sample across daily runs for stable clusters).
+    ``nprobe`` > 1 closes the classic k-means seam — near-dups straddling
+    a Voronoi boundary — by assigning each vector to its nprobe nearest
+    lists (pairs meet when ANY list is shared; nprobe=1 is pure SemDeDup).
+
+    Scale shape: the candidate join is a slim (id, cid) equi-join on the
+    int32 centroid id; degenerate clusters are dropped by ``cluster_cap``
+    (cap_hot_buckets — drops committed to the metrics table, never
+    silent); vectors re-attach to surviving pairs only (rescore_pairs).
+    ``export_pairs_path`` commits the candidate set and feeds the plan
+    from it — the same soundness-oracle surface as the LSH paths (DuckDB
+    re-scores the export from raw embeddings; recall is pytest-gated vs
+    the exact operator)."""
+    from .ann import ivf_assign, train_centroids
+
+    centroids = train_centroids(
+        vectors, n_centroids, sample_mod, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    from ..cache import cached
+
+    assign = ivf_assign(vectors, centroids, [id_col], vec_col, nprobe=nprobe)
+    assign = cached(
+        cap_hot_buckets(assign, ["cid"], cluster_cap, metrics_path,
+                        "dedup_semantic")
+    )
+    a = assign.select(F.col(id_col).alias("id_a"), "cid")
+    b = assign.select(F.col(id_col).alias("id_b"), "cid")
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if export_pairs_path is not None:
+        from .. import metrics
+
+        pairs = metrics.export_candidates(
+            pairs, export_pairs_path, metrics_path, "dedup_semantic"
+        )
+    return rescore_pairs(pairs, vectors, min_cos, id_col, vec_col)

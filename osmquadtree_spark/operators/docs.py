@@ -282,6 +282,43 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "dup_count")
 
 
+def distinct_grams(
+    docs: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Distinct word n-grams per document — (id_col, gram), the shared
+    front stage of ngram_pairs and benchmark_overlap.
+
+    Guard: a doc with fewer than n words has no n-grams. Without the
+    filter, sequence(0, size-n) with a negative stop auto-steps DOWNWARD
+    and slice(words, 0, n) throws 'array indices start at 1' at runtime —
+    while the SQL twins (WHERE len >= n) silently exclude those docs.
+
+    ``hash_grams`` replaces the gram STRING with its xxhash64 BEFORE the
+    distinct, so the projection fuses into the explode's codegen stage and
+    the distinct's exchange (and every downstream shuffle/join) moves a
+    (id, int64) row instead of an n-word string — the dominant cost at
+    corpus scale is shuffle bytes on the gram key. Deterministic (fixed
+    seed); collision odds and diagnostics are discussed in ngram_pairs."""
+    words = F.split(F.col(text_col), " ")
+    exploded = docs.filter(F.size(words) >= n).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - F.lit(n)),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        ).alias("_g"),
+    )
+    return exploded.select(
+        id_col,
+        (F.xxhash64("_g") if hash_grams else F.col("_g")).alias("gram"),
+    ).distinct()
+
+
 def ngram_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -320,27 +357,7 @@ def ngram_pairs(
     """
     from .dedup import cap_hot_buckets
 
-    words = F.split(F.col("text"), " ")
-    # guard: a doc with fewer than n words has no n-grams. Without the
-    # filter, sequence(0, size-n) with a negative stop auto-steps DOWNWARD
-    # and slice(words, 0, n) throws 'array indices start at 1' at runtime —
-    # while the SQL twin (WHERE len >= n) silently excludes those docs
-    exploded = docs.filter(F.size(words) >= n).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(words) - F.lit(n)),
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-            )
-        ).alias("_g"),
-    )
-    # hash BEFORE the distinct: the projection fuses into the explode's
-    # codegen stage, so the distinct's exchange (and everything after it)
-    # shuffles (doc_id, int64) rows instead of n-word strings
-    grams = exploded.select(
-        "doc_id",
-        (F.xxhash64("_g") if hash_grams else F.col("_g")).alias("gram"),
-    ).distinct()
+    grams = distinct_grams(docs, n, hash_grams=hash_grams)
     from ..cache import cached
 
     # persist: the exploded-distinct gram table feeds the per-doc sizes, the
@@ -376,6 +393,66 @@ def ngram_pairs(
         .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
     )
     return out
+
+
+def benchmark_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    min_hits: int = 2,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    hash_grams: bool = True,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Training-set decontamination: flag training documents whose word
+    n-grams overlap an evaluation/benchmark document — the standard
+    "n-gram collision" contamination test run before training on scraped
+    corpora (GPT-3 appendix C / The Pile style: a training doc is
+    contaminated when it shares ≥ min_hits distinct n-grams with any
+    benchmark doc; with long n (13) a single hit suffices, with short n
+    the threshold absorbs incidental phrase collisions).
+
+    Returns (doc_id, bench_id, hits, n_grams, overlap_frac) — one row per
+    (training doc, benchmark doc) pair clearing ``min_hits``, where
+    n_grams is the training doc's distinct-gram count and overlap_frac =
+    hits / n_grams (the "fraction of the training doc explained by the
+    benchmark" dedup-decision signal).
+
+    Scale shape: the benchmark side is SMALL by construction (eval suites
+    are thousands of docs; the training side is the 100 TB one), so the
+    gram join broadcasts the bench gram table (flag it off if a giant
+    bench set ever appears — the join degrades to the standard shuffle
+    equi-join on the int64 gram key, same as ngram_pairs). The training
+    side is never self-joined: cost is one explode + one broadcast probe
+    per training gram, linear in corpus size."""
+    tg = distinct_grams(train, n, id_col=id_col, hash_grams=hash_grams)
+    bg = distinct_grams(
+        bench, n, id_col=bench_id_col, hash_grams=hash_grams
+    ).withColumnRenamed(bench_id_col, "_bid")
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    from ..cache import cached
+
+    # the gram table feeds both the per-doc sizes and the probe join
+    tg = cached(tg)
+    sizes = tg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        tg.join(bg, "gram")
+        .groupBy(id_col, "_bid")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") >= min_hits)
+    )
+    return (
+        hits.join(sizes, id_col)
+        .select(
+            id_col,
+            F.col("_bid").alias(bench_id_col),
+            "hits",
+            "n_grams",
+            (F.col("hits") / F.col("n_grams")).alias("overlap_frac"),
+        )
+    )
 
 
 def doc_chunks(

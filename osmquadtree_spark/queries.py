@@ -3109,6 +3109,150 @@ SELECT query_id, vec_id, score, rank FROM (
 """.strip()
 
 
+NGRAM_EDGE_JACCARD = 0.2  # shared by dedup_components' spark edges + oracle
+DECON_BENCH_MOD = 41  # every 41st doc is the synthetic benchmark/eval set
+DECON_MIN_HITS = 2
+
+
+def q_dedup_components(spark, sf_dir):
+    """Near-dup cluster canonicalization — the pipeline step AFTER the pair
+    operators: edges = exact-dup edges (identical text → group min) ∪ word
+    3-gram jaccard ≥ 0.2 pairs (ngram_pairs), components via alternating
+    large-star/small-star (operators/components.py, Kiveris et al. SoCC'14),
+    output one row per document with its canonical representative, cluster
+    size and keep/drop flag. Oracle: DuckDB recursive-CTE min-label
+    propagation over the identical edge set."""
+    from .operators import components as ccm
+    from .operators import docs as dops
+
+    docs = _load_fanned(spark, sf_dir, "documents")
+    # exact-dup edges: one LINEAR edge (doc, group-min) per duplicated text
+    # (never all-pairs within a group); grouped on xxhash64(text) so the
+    # shuffle moves an int64, not the document — hash-invariant vs the
+    # oracle's GROUP BY text modulo 2^-64 collisions (ngram_pairs contract)
+    h = docs.select("doc_id", F.xxhash64("text").alias("_h"))
+    grp = h.groupBy("_h").agg(F.min("doc_id").alias("_rep"))
+    exact_edges = (
+        h.join(grp, "_h")
+        .filter(F.col("doc_id") != F.col("_rep"))
+        .select(F.col("doc_id").alias("doc_a"), F.col("_rep").alias("doc_b"))
+    )
+    ngram_edges = dops.ngram_pairs(
+        docs, n=3, min_jaccard=NGRAM_EDGE_JACCARD
+    ).select("doc_a", "doc_b")
+    return ccm.dup_clusters(docs, exact_edges.unionByName(ngram_edges))
+
+
+def _dedup_components_sql() -> str:
+    """Recursive-CTE twin of q_dedup_components: same edge set (identical
+    text groups + 3-gram jaccard pairs), min-label propagation to a
+    fixpoint (the `w.lbl < e.dst` guard keeps only labels that can still
+    win, so the walk state stays bounded), then per-component sizes."""
+    return f"""
+WITH RECURSIVE grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(len(string_split(text, ' ')) - 2),
+           i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS gram
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+), npairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), nedges AS (
+  SELECT doc_a, doc_b FROM npairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter_cnt >= (sa.n_grams + sb.n_grams - inter_cnt) * {NGRAM_EDGE_JACCARD}
+), eedges AS (
+  SELECT doc_id AS doc_a, MIN(doc_id) OVER (PARTITION BY text) AS doc_b
+  FROM documents
+), pairs AS (
+  SELECT doc_a, doc_b FROM nedges
+  UNION
+  SELECT doc_a, doc_b FROM eedges WHERE doc_a <> doc_b
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.lbl < e.dst
+), comp AS (
+  SELECT node AS doc_id, MIN(lbl) AS component_id FROM walk GROUP BY node
+), csize AS (
+  SELECT component_id, COUNT(*) AS component_size FROM comp GROUP BY component_id
+)
+SELECT c.doc_id, c.component_id, s.component_size,
+       c.doc_id = c.component_id AS is_representative
+FROM comp c JOIN csize s USING (component_id)
+""".strip()
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (docs.benchmark_overlap): the synthetic
+    eval set is every {DECON_BENCH_MOD}th document; a training doc is
+    contaminated when it shares ≥ {DECON_MIN_HITS} distinct word 3-grams
+    with a benchmark doc. Self-rows excluded (the bench set is drawn from
+    the corpus here; in production it is disjoint by construction)."""
+    from .operators import docs as dops
+
+    docs = _load_fanned(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    out = dops.benchmark_overlap(docs, bench, n=3, min_hits=DECON_MIN_HITS)
+    return out.filter(F.col("doc_id") != F.col("bench_id"))
+
+
+def _decontaminate_sql() -> str:
+    return f"""
+WITH tg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(len(string_split(text, ' ')) - 2),
+           i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS gram
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id
+), hits AS (
+  SELECT t.doc_id, b.doc_id AS bench_id, COUNT(*) AS hits
+  FROM tg t JOIN tg b USING (gram)
+  WHERE b.doc_id % {DECON_BENCH_MOD} = 0 AND t.doc_id <> b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {DECON_MIN_HITS}
+)
+SELECT h.doc_id, h.bench_id, h.hits, s.n_grams,
+       h.hits / s.n_grams AS overlap_frac
+FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+""".strip()
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic near-dup pairs (dedup.semantic_dup_pairs):
+    deterministic spherical-k-means codebook, within-cluster candidates
+    (nprobe=2 closes the Voronoi-boundary seam), exact-cosine rescore.
+    Values fully gated through the shared export-soundness surface: the
+    candidate set is committed to parquet and DuckDB re-scores it from the
+    raw embeddings (same oracle as dedup_embedding_lsh); recall is
+    pytest-gated vs the exact operator (tests/test_dedup.py)."""
+    from .operators import dedup as dd
+
+    return dd.semantic_dup_pairs(
+        _load_fanned(spark, sf_dir, "embeddings"), EMB_DUP_MIN_COS,
+        n_centroids=16, nprobe=2,
+        export_pairs_path=_scratch(sf_dir, "semantic_dedup_candidates"),
+        metrics_path=_scratch(sf_dir, "metrics"),
+    )
+
+
 def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3133,6 +3277,9 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_cells": q_geohash_cells,
         "doc_repetition": q_doc_repetition,
         "ann_sq8_topk": q_ann_sq8_topk,
+        "dedup_components": q_dedup_components,
+        "decontaminate": q_decontaminate,
+        "dedup_semantic": q_dedup_semantic,
     }
 
 
@@ -3162,4 +3309,9 @@ def sweep_oracle_sql() -> dict[str, str]:
         "geohash_cells": _geohash_cells_sql(),
         "doc_repetition": _doc_repetition_sql(),
         "ann_sq8_topk": _ann_sq8_sql(),
+        "dedup_components": _dedup_components_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "dedup_semantic": do.embedding_lsh_soundness_sql(
+            EMB_DUP_MIN_COS, _scratch(_ORACLE_SF_DIR(), "semantic_dedup_candidates")
+        ),
     }

@@ -1,0 +1,103 @@
+"""Connected-components (large-star/small-star) tests: exactness vs an
+in-test union-find on hand and random graphs, long-chain convergence (the
+multi-round case), cluster-table semantics, and empty inputs. The driver
+value gate is the dedup_components recursive-CTE oracle (queries.py)."""
+
+import random
+
+import pandas as pd
+import pytest
+
+from osmquadtree_spark.operators import components as cc
+
+
+def _union_find(n_edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in n_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min id per component
+    out = {}
+    for x in list(parent):
+        r = find(x)
+        out[x] = min(out.get(r, r), r)
+    return {x: find(x) for x in parent}
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(
+        pd.DataFrame(edges, columns=["id_a", "id_b"]).astype("int64")
+    )
+
+
+def _run(spark, edges):
+    got = cc.connected_components(_edges_df(spark, edges)).collect()
+    return {r.node: r.component_id for r in got}
+
+
+def test_chain_and_islands(spark):
+    # chain 1-2-3-4 (transitivity), island {10,11}, triangle {20,21,22}
+    edges = [(1, 2), (2, 3), (3, 4), (11, 10), (20, 21), (21, 22), (20, 22)]
+    got = _run(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_long_chain_needs_multiple_rounds(spark):
+    # a 64-node path is the worst case for naive min-propagation (diameter
+    # rounds); large-star/small-star must still converge quickly and exactly
+    edges = [(i, i + 1) for i in range(100, 164)]
+    got = _run(spark, edges)
+    assert set(got.values()) == {100}
+    assert len(got) == 65
+
+
+def test_duplicate_reversed_and_self_edges(spark):
+    edges = [(2, 1), (1, 2), (3, 3), (2, 3), (5, 4)]
+    got = _run(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 120
+        edges = [
+            (rng.randrange(n) * 7, rng.randrange(n) * 7) for _ in range(90)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        assert _run(spark, edges) == _union_find(edges)
+
+
+def test_empty_edges(spark):
+    got = cc.connected_components(
+        spark.createDataFrame([], "id_a bigint, id_b bigint")
+    )
+    assert got.collect() == []
+    assert [f.name for f in got.schema.fields] == ["node", "component_id"]
+
+
+def test_dup_clusters_covers_singletons(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 5]}).astype("int64")
+    )
+    edges = _edges_df(spark, [(1, 2), (2, 4)])
+    rows = {
+        r.doc_id: r
+        for r in cc.dup_clusters(docs, edges, id_a="id_a", id_b="id_b").collect()
+    }
+    assert {d: r.component_id for d, r in rows.items()} == {
+        1: 1, 2: 1, 4: 1, 3: 3, 5: 5,
+    }
+    assert {d: r.component_size for d, r in rows.items()} == {
+        1: 3, 2: 3, 4: 3, 3: 1, 5: 1,
+    }
+    assert {d for d, r in rows.items() if r.is_representative} == {1, 3, 5}

@@ -461,3 +461,72 @@ def test_sample_by_hash_deterministic_and_stratified(spark):
         ).collect()
     }
     assert got2 == set(got)
+
+
+def test_semantic_dup_pairs_recall_and_soundness(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b): r.cos for r in dd.embedding_dup_pairs(emb, 0.4).collect()}
+    sem = {
+        (r.id_a, r.id_b): r.cos
+        for r in dd.semantic_dup_pairs(emb, 0.4, n_centroids=8, nprobe=2).collect()
+    }
+    # exact re-score: every emitted pair is a true pair with the true cosine
+    assert set(sem) <= set(exact)
+    for k, c in sem.items():
+        assert abs(c - exact[k]) < 1e-12
+    # k-means buckets follow the data: within-cluster probing recalls most
+    # of the (weak-threshold) exact set even at tiny codebook size
+    assert len(sem) >= 0.5 * len(exact)
+    # determinism: same codebook + assignment regardless of partitioning
+    sem2 = {
+        (r.id_a, r.id_b): r.cos
+        for r in dd.semantic_dup_pairs(
+            emb.repartition(13), 0.4, n_centroids=8, nprobe=2
+        ).collect()
+    }
+    assert sem2 == sem
+
+
+def test_semantic_planted_duplicates_found(spark, sf_dir):
+    import pandas as pd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = emb.limit(20).toPandas()
+    dup = v.copy()
+    dup["vec_id"] = dup["vec_id"] + 100000
+    dup["embedding"] = dup["embedding"].map(
+        lambda e: [float(x) + 0.001 for x in e]
+    )
+    planted = spark.createDataFrame(pd.concat([v, dup], ignore_index=True))
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.semantic_dup_pairs(
+            planted, 0.999, n_centroids=4, nprobe=2
+        ).collect()
+    }
+    want = {(int(i), int(i) + 100000) for i in v["vec_id"]}
+    # a near-identical copy lands in the same nearest centroid by continuity
+    assert got >= want
+
+
+def test_benchmark_overlap_flags_contaminated(spark):
+    docs = _corpus(spark)  # ids 0..13: 4 bases × (orig, exact dup, near dup)
+    bench = docs.filter("doc_id = 0").selectExpr("doc_id AS bench_id", "text")
+    got = {
+        (r.doc_id, r.bench_id): (r.hits, r.n_grams)
+        for r in dd_docs.benchmark_overlap(docs, bench, n=3, min_hits=2).collect()
+    }
+    # the benchmark doc itself, its exact dup, and its near dup all flag
+    assert (0, 0) in got and (1, 0) in got and (2, 0) in got
+    h0, n0 = got[(0, 0)]
+    assert h0 == n0  # self-overlap is total
+    h2, n2 = got[(2, 0)]
+    assert 0 < h2 < n2  # near dup: partial overlap
+    # unrelated docs don't flag (other bases share no 3-grams with base 0)
+    assert {d for d, _ in got} == {0, 1, 2}
+    # empty benchmark: no rows, schema intact
+    empty = dd_docs.benchmark_overlap(
+        docs, bench.filter("bench_id < 0"), n=3, min_hits=1
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "bench_id", "hits", "n_grams", "overlap_frac"]
