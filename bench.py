@@ -85,7 +85,9 @@ def main() -> int | None:
 
     spark = build_spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    registry = Q.spark_queries()
+    # merge the repo-local sweep extension so --queries can time any
+    # value-gated operator, not just the external driver's capped 50
+    registry = {**Q.spark_queries(), **Q.sweep_queries()}
     names = args.queries.split(",") if args.queries else HEADLINE
     unknown = [n for n in names if n not in registry]
     if unknown:

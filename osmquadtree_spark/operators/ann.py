@@ -267,7 +267,8 @@ def train_centroids(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> np.ndarray:
+    shrink_to_sample: bool = False,
+) -> np.ndarray | None:
     """Deterministic spherical k-means codebook, (n_centroids, dim) unit rows.
 
     The sample is ``xxhash64(id) % sample_mod == 0`` — a fixed property of
@@ -275,17 +276,27 @@ def train_centroids(
     cluster size (``.sample()`` is partition-order-dependent; this is not).
     Size ``sample_mod`` so n/sample_mod is a few-MB driver collect; the
     k-means itself is numpy on that bounded sample. Empty clusters reseed
-    to the point farthest from its centroid (still deterministic)."""
+    to the point farthest from its centroid (still deterministic).
+
+    A sample smaller than ``n_centroids`` raises (misconfiguration) unless
+    ``shrink_to_sample`` — then the codebook shrinks to the sample size
+    (tiny corpora: every point its own cluster), and an EMPTY sample
+    returns None so callers can take their typed empty-result path (the
+    empty-diff/region contract, same as embedding_dup_pairs_lsh)."""
     s = vectors.select(id_col, vec_col)
     if sample_mod > 1:
         s = s.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
     pdf = s.toPandas().sort_values(id_col)
     X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     if X.shape[0] < n_centroids:
-        raise ValueError(
-            f"sample of {X.shape[0]} rows cannot seed {n_centroids} centroids "
-            "— lower sample_mod or n_centroids"
-        )
+        if not shrink_to_sample:
+            raise ValueError(
+                f"sample of {X.shape[0]} rows cannot seed {n_centroids} "
+                "centroids — lower sample_mod or n_centroids"
+            )
+        if X.shape[0] == 0:
+            return None
+        n_centroids = X.shape[0]
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     C = X[rng.choice(X.shape[0], n_centroids, replace=False)]

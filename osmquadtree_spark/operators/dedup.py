@@ -665,8 +665,19 @@ def semantic_dup_pairs(
 
     centroids = train_centroids(
         vectors, n_centroids, sample_mod, seed=seed,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, shrink_to_sample=True,
     )
+    if centroids is None and sample_mod > 1:
+        # the hash-sample missed every row of a tiny corpus — the corpus
+        # itself may be non-empty, so retrain unsampled before concluding
+        centroids = train_centroids(
+            vectors, n_centroids, 1, seed=seed,
+            id_col=id_col, vec_col=vec_col, shrink_to_sample=True,
+        )
+    if centroids is None:  # empty corpus (empty diff/region at scale)
+        spark = vectors.sparkSession
+        idt = vectors.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame([], f"id_a {idt}, id_b {idt}, cos double")
     from ..cache import cached
 
     assign = ivf_assign(vectors, centroids, [id_col], vec_col, nprobe=nprobe)

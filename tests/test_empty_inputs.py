@@ -49,6 +49,40 @@ def test_embedding_operators_on_empty(spark, empties):
     # an unseedable codebook is an explicit, actionable error — not a crash
     with pytest.raises(ValueError, match="cannot seed"):
         ann.train_centroids(emb, 4)
+    # ... unless the caller opts into shrink-to-sample (semantic dedup's
+    # empty-diff contract): empty sample → None, empty typed pair frame
+    assert ann.train_centroids(emb, 4, shrink_to_sample=True) is None
+    sem = dd.semantic_dup_pairs(emb, min_cos=0.9, n_centroids=4)
+    assert sem.count() == 0
+    assert set(sem.columns) == {"id_a", "id_b", "cos"}
+
+
+def test_components_and_decontaminate_on_empty(spark, empties):
+    from osmquadtree_spark.operators import components as cc
+    from osmquadtree_spark.operators import docs as do
+
+    docs = empties["docs"]
+    edges = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    out = cc.dup_clusters(docs, edges)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "doc_id", "component_id", "component_size", "is_representative"
+    }
+    bench = docs.selectExpr("doc_id AS bench_id", "text")
+    assert do.benchmark_overlap(docs, bench).count() == 0
+    # tiny non-empty corpus, shrink-to-sample: 2 points, 4 requested
+    import pandas as pd
+
+    two = spark.createDataFrame(
+        pd.DataFrame({
+            "vec_id": [1, 2],
+            "embedding": [[1.0, 0.0], [1.0, 0.001]],
+        })
+    )
+    from osmquadtree_spark.operators import dedup as dd
+
+    got = dd.semantic_dup_pairs(two, min_cos=0.99, n_centroids=4, nprobe=2)
+    assert {(r.id_a, r.id_b) for r in got.collect()} == {(1, 2)}
 
 
 def test_calcqts_on_empty(spark, empties):

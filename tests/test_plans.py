@@ -226,3 +226,46 @@ def test_sample_by_hash_is_scan_side_filter(spark, sf_dir):
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
     assert "isnotnull(doc_id" in plan.lower().replace(" ", "") or "isnotnull" in plan
+
+
+def test_decontaminate_broadcasts_bench_grams(spark, sf_dir):
+    """The bench side is small by construction; the gram probe must be a
+    BroadcastHashJoin (never a shuffle of the 100-TB training gram table
+    onto the gram key), and no join may degrade to nested-loop."""
+    plan = _plan(Q.q_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_semantic_candidate_join_is_slim_equi_join(spark, sf_dir):
+    """semantic_dup_pairs' candidate join runs on slim (id, cid int32)
+    rows — embeddings must re-attach only AFTER pair dedup, and every join
+    is a hash equi-join."""
+    from osmquadtree_spark.operators.dedup import semantic_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(semantic_dup_pairs(emb, 0.4, n_centroids=8, nprobe=2))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    n_hash = (
+        plan.count("SortMergeJoin")
+        + plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin")
+    )
+    # cid candidate join + two rescore re-attach joins
+    assert n_hash >= 3
+
+
+def test_components_round_is_two_shuffle_hash_aggs(spark):
+    """One large-star + small-star round = groupBy-min aggregates and hash
+    joins only — no cartesian, no UDF stage (pure JVM column algebra)."""
+    import pandas as pd
+
+    from osmquadtree_spark.operators import components as cc
+
+    e = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 3], "id_b": [2, 3, 4]}).astype("int64")
+    ).selectExpr("id_a AS u", "id_b AS v")
+    plan = _plan(cc._small_star(cc._large_star(e)))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "HashAggregate" in plan
