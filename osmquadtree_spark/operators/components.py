@@ -62,23 +62,18 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(
-    edges: DataFrame,
-    id_a: str = "id_a",
-    id_b: str = "id_b",
-    max_rounds: int = 30,
+def _converged_star(
+    edges: DataFrame, id_a: str, id_b: str, max_rounds: int
 ) -> DataFrame:
-    """(node, component_id) for every node appearing in ``edges``;
-    component_id = the smallest node id in the component (the canonical
-    "keep" representative of a duplicate cluster).
+    """Run the alternation to its fixpoint and return the star forest as
+    checkpointed (u=non-root node, v=component root) edges — exactly one
+    row per non-root node; roots carry no row (they label themselves).
 
-    Alternates large-star / small-star until the edge set is a fixpoint —
-    at that point the edge list IS the star forest (each non-root node has
-    exactly the edge (node, root)). Convergence is detected by a
-    (count, xxhash64-sum) checksum of the oriented edge set: one tiny
-    aggregate per round, the only driver-side state. ``max_rounds`` is a
-    runaway backstop far above the O(log² n) bound (n = 2^30 nodes needs
-    ~10 rounds); hitting it raises instead of returning a wrong answer."""
+    Convergence is detected by a (count, xxhash64-sum) checksum of the
+    oriented edge set: one tiny aggregate per round, the only driver-side
+    state. ``max_rounds`` is a runaway backstop far above the O(log² n)
+    bound (n = 2^30 nodes needs ~10 rounds); hitting it raises instead of
+    returning a wrong answer."""
     e = (
         edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -86,13 +81,6 @@ def connected_components(
         .distinct()
     )
     e = stage_checkpoint(e, eager=True)
-    # node set off the CHECKPOINTED edges: the final-join scan re-reads the
-    # truncated frame, not the upstream pair-operator lineage
-    nodes = cached(
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
-        .distinct()
-    )
     prev = None
     for _ in range(max_rounds):
         e = stage_checkpoint(_small_star(_large_star(e)), eager=True)
@@ -116,8 +104,33 @@ def connected_components(
             "edge set is oscillating, which the alternating algorithm "
             "excludes; treat as a bug, not a data property"
         )
-    # star fixpoint: every non-root node carries exactly (node, root)
-    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component_id"))
+    return e
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """(node, component_id) for every node appearing in ``edges``;
+    component_id = the smallest node id in the component (the canonical
+    "keep" representative of a duplicate cluster).
+
+    Alternates large-star / small-star until the edge set is a fixpoint —
+    at that point the edge list IS the star forest (each non-root node has
+    exactly the edge (node, root)); see _converged_star for the loop and
+    convergence machinery."""
+    star = _converged_star(edges, id_a, id_b, max_rounds)
+    # node set off the CHECKPOINTED star input is not enough — roots of
+    # singleton-free components appear only on the v side, isolated
+    # self-loop-only inputs were filtered; rebuild from the original edges
+    nodes = cached(
+        edges.select(F.col(id_a).alias("node"))
+        .unionByName(edges.select(F.col(id_b).alias("node")))
+        .distinct()
+    )
+    labels = star.select(F.col("u").alias("node"), F.col("v").alias("component_id"))
     return (
         nodes.join(labels, "node", "left")
         .select(
@@ -138,17 +151,31 @@ def dup_clusters(
     is_representative) — singletons (docs in no pair) map to themselves
     with size 1. The pipeline's keep/drop surface: keep
     ``is_representative``, drop the rest; component_size feeds dedup-rate
-    reporting. One left join + one windowless size aggregate."""
-    comp = connected_components(edges, id_a=id_a, id_b=id_b)
-    base = docs.select(F.col(id_col).alias("node")).join(comp, "node", "left")
-    base = base.select(
-        F.col("node").alias(id_col),
-        F.coalesce(F.col("component_id"), F.col("node")).alias("component_id"),
+    reporting.
+
+    Joins docs straight to the star forest (no separate node table — docs
+    IS the node universe here) and re-canonicalizes the representative to
+    the smallest doc PRESENT in docs inside the one size aggregate: if a
+    stale/superset pair table names ids absent from the corpus (including
+    a component's min), every cluster still keeps exactly one
+    is_representative row — "keep representatives, drop the rest" can
+    never silently delete a whole cluster. One left join + one
+    groupBy(min, count) + one re-join."""
+    star = _converged_star(edges, id_a, id_b, max_rounds=30)
+    labels = star.select(F.col("u").alias("node"), F.col("v").alias("_root"))
+    base = (
+        docs.select(F.col(id_col).alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("_root"), F.col("node")).alias("_root"),
+        )
     )
-    sizes = base.groupBy("component_id").agg(
-        F.count(F.lit(1)).alias("component_size")
+    sizes = base.groupBy("_root").agg(
+        F.count(F.lit(1)).alias("component_size"),
+        F.min(id_col).alias("component_id"),
     )
-    return base.join(sizes, "component_id").select(
+    return base.join(sizes, "_root").select(
         id_col,
         "component_id",
         "component_size",

@@ -667,9 +667,11 @@ def semantic_dup_pairs(
         vectors, n_centroids, sample_mod, seed=seed,
         id_col=id_col, vec_col=vec_col, shrink_to_sample=True,
     )
-    if centroids is None and sample_mod > 1:
-        # the hash-sample missed every row of a tiny corpus — the corpus
-        # itself may be non-empty, so retrain unsampled before concluding
+    if sample_mod > 1 and (centroids is None or centroids.shape[0] < n_centroids):
+        # the hash-sample under-covered a small corpus (0..n_centroids-1
+        # rows) — a shrunken codebook from a LARGE corpus would be a
+        # degenerate few-cluster clustering (one giant candidate bucket),
+        # so retrain unsampled before accepting any shrink
         centroids = train_centroids(
             vectors, n_centroids, 1, seed=seed,
             id_col=id_col, vec_col=vec_col, shrink_to_sample=True,

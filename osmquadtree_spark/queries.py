@@ -1854,7 +1854,7 @@ def _oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE inter_cnt >= (sa.n_grams + sb.n_grams - inter_cnt) * 0.2""",
+            WHERE inter_cnt >= (sa.n_grams + sb.n_grams - inter_cnt) * 0.2::DOUBLE""",
         "ann_cosine_topk": f"""
             WITH {do.norm_cte()}
             SELECT query_id, vec_id, rank FROM (
@@ -3167,7 +3167,7 @@ WITH RECURSIVE grams AS (
   SELECT doc_a, doc_b FROM npairs
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE inter_cnt >= (sa.n_grams + sb.n_grams - inter_cnt) * {NGRAM_EDGE_JACCARD}
+  WHERE inter_cnt >= (sa.n_grams + sb.n_grams - inter_cnt) * {NGRAM_EDGE_JACCARD!r}::DOUBLE
 ), eedges AS (
   SELECT doc_id AS doc_a, MIN(doc_id) OVER (PARTITION BY text) AS doc_b
   FROM documents

@@ -25,11 +25,8 @@ def _union_find(n_edges):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    # canonical = min id per component
-    out = {}
-    for x in list(parent):
-        r = find(x)
-        out[x] = min(out.get(r, r), r)
+    # union-by-min keeps every root the min id of its component, so
+    # find(x) IS the canonical representative
     return {x: find(x) for x in parent}
 
 
@@ -101,3 +98,29 @@ def test_dup_clusters_covers_singletons(spark):
         1: 3, 2: 3, 4: 3, 3: 1, 5: 1,
     }
     assert {d for d, r in rows.items() if r.is_representative} == {1, 3, 5}
+
+
+def test_self_loop_only_node_is_covered(spark):
+    # a node appearing ONLY in self-edges still gets a (node, node) row
+    got = _run(spark, [(9, 9), (1, 2)])
+    assert got == {1: 1, 2: 1, 9: 9}
+
+
+def test_dup_clusters_recanonicalizes_missing_root(spark):
+    """Edges from a stale/superset pair table may name ids absent from the
+    corpus — including a component's min. The cluster must re-anchor on
+    the smallest PRESENT doc so exactly one representative survives."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [5, 7, 9]}).astype("int64")
+    )
+    # component {1, 5, 7}: root 1 is not in docs
+    edges = _edges_df(spark, [(1, 5), (5, 7)])
+    rows = {
+        r.doc_id: r
+        for r in cc.dup_clusters(docs, edges, id_a="id_a", id_b="id_b").collect()
+    }
+    assert {d: r.component_id for d, r in rows.items()} == {5: 5, 7: 5, 9: 9}
+    assert {d: r.component_size for d, r in rows.items()} == {5: 2, 7: 2, 9: 1}
+    assert {d for d, r in rows.items() if r.is_representative} == {5, 9}

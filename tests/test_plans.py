@@ -231,10 +231,26 @@ def test_sample_by_hash_is_scan_side_filter(spark, sf_dir):
 def test_decontaminate_broadcasts_bench_grams(spark, sf_dir):
     """The bench side is small by construction; the gram probe must be a
     BroadcastHashJoin (never a shuffle of the 100-TB training gram table
-    onto the gram key), and no join may degrade to nested-loop."""
+    onto the gram key), and no join may degrade to nested-loop.
+    Differential assert: the unhinted plan is the control — a fixture-
+    scale stats-based broadcast elsewhere in the plan (e.g. the sizes
+    join) can't mask a dropped hint on the gram probe itself."""
+    from osmquadtree_spark.operators import docs as dops
+
     plan = _plan(Q.q_decontaminate(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.selectExpr("doc_id AS bench_id", "text").limit(5)
+    # control: kill stats-based broadcasts so ONLY the explicit hint can
+    # produce one — at fixture scale everything is "small" to the planner
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        on = _plan(dops.benchmark_overlap(docs, bench, broadcast_bench=True))
+        off = _plan(dops.benchmark_overlap(docs, bench, broadcast_bench=False))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert on.count("BroadcastHashJoin") > off.count("BroadcastHashJoin")
 
 
 def test_semantic_candidate_join_is_slim_equi_join(spark, sf_dir):
