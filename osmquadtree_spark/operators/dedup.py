@@ -323,6 +323,93 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    store_sigs: DataFrame,
+    store_bands: DataFrame,
+    n: int = 3,
+    min_matches: int = 8,
+    text_col: str = "text",
+    bucket_cap: int | None = 100_000,
+    metrics_path: str | None = None,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Daily-batch near-dup detection against a pre-mined corpus store
+    (sources/dedup_store.py): returns every (doc_a, doc_b, match_cnt) pair
+    with at least one side in ``new_docs`` — new↔stored and new↔new —
+    identical to what a full minhash_lsh_pairs run over (store ∪ new)
+    would emit for those pairs, WITHOUT re-running the signature kernel
+    over the corpus (the reference's ``-index.pbf`` prune applied to
+    dedup: update.cpp:217-254 reads a per-tile id index instead of
+    re-deriving the planet; here the store contributes pre-computed
+    (sig, band, bucket) rows at parquet-scan cost).
+
+    Scale shape: the candidate join is new_bands ⋈ (store ∪ new) bands on
+    (band, bucket) — old↔old pairs are never generated, and with
+    ``broadcast_new`` (daily batches are diff-scale) the store side is
+    probed in place with NO shuffle of the corpus band table. The
+    signature kernel runs over the new batch only. ``bucket_cap`` drops
+    degenerate buckets of the UNION (a bucket hot in the store is hot for
+    every future batch — drops committed to the metrics table).
+
+    Precondition: ``new_docs`` ids are disjoint from the store's (the
+    ingest contract — a re-submitted id would pair with its stored self
+    at full match count)."""
+    from ..cache import cached
+
+    new_sigs = cached(
+        minhash_signature(new_docs, n, text_col).filter(F.size("sig") > 0)
+    )
+    new_bands = band_rows(new_sigs)
+    all_bands = store_bands.select("doc_id", "band", "bucket").unionByName(
+        new_bands
+    )
+    all_bands = cached(
+        cap_hot_buckets(all_bands, ["band", "bucket"], bucket_cap,
+                        metrics_path, "dedup_incremental")
+    )
+    # the capped union feeds the probe side; the new side re-filters the
+    # cap via a semi-join on its own rows (a new doc in a dropped bucket
+    # must not pair through it from EITHER side)
+    nb = new_bands.select("doc_id", "band", "bucket")
+    if broadcast_new:
+        nb = F.broadcast(nb)
+    a = all_bands.join(nb, ["doc_id", "band", "bucket"], "left_semi").select(
+        F.col("doc_id").alias("_ida"), "band", "bucket"
+    )
+    if broadcast_new:
+        a = F.broadcast(a)
+    b = all_bands.select(F.col("doc_id").alias("_idb"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias("doc_a"),
+            F.greatest("_ida", "_idb").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    if metrics_path is not None:
+        register_pair_volume(
+            metrics_path, "dedup_incremental", all_bands, ["band", "bucket"]
+        )
+    sigs_all = store_sigs.select("doc_id", "sig").unionByName(
+        new_sigs.select("doc_id", "sig")
+    )
+    sa = sigs_all.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs_all.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    match_cnt = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    ).cast("bigint")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("match_cnt", match_cnt)
+        .filter(F.col("match_cnt") >= min_matches)
+        .select("doc_a", "doc_b", "match_cnt")
+    )
+
+
 def _word_hash(w):
     """Spread the 14-bit word code over 32 bits (Knuth multiplicative)."""
     return (_word_code(w) * F.lit(KNUTH)) % F.lit(1 << 32)

@@ -3253,6 +3253,36 @@ def q_dedup_semantic(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Daily-batch MinHash dedup against the pre-mined signature store
+    (sources/dedup_store.py — the dedup twin of the qts store / the
+    reference's -index.pbf prune): documents with doc_id % 5 == 0 are
+    "today's batch", the rest were mined at store-build time. Every run
+    pays a parquet SCAN of the store plus the signature kernel over the
+    batch only; the result equals the full-corpus minhash_lsh_pairs
+    restricted to pairs touching the batch (the oracle: the all-pairs
+    minhash SQL spec with that WHERE clause)."""
+    from .operators import dedup as dd
+    from .sources import dedup_store
+
+    sigs, bands = dedup_store.read_tables(spark, sf_dir)
+    docs = _load_fanned(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % dedup_store.INCR_NEW_MOD == 0)
+    return dd.minhash_lsh_pairs_incremental(
+        new, sigs, bands, metrics_path=_scratch(sf_dir, "metrics")
+    )
+
+
+def _dedup_incremental_sql() -> str:
+    from .sources.dedup_store import INCR_NEW_MOD
+
+    return f"""
+SELECT doc_a, doc_b, match_cnt
+FROM ({do.minhash_pairs_sql(n=3, min_matches=8)}) t
+WHERE doc_a % {INCR_NEW_MOD} = 0 OR doc_b % {INCR_NEW_MOD} = 0
+""".strip()
+
+
 def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3280,6 +3310,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "decontaminate": q_decontaminate,
         "dedup_semantic": q_dedup_semantic,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -3314,4 +3345,5 @@ def sweep_oracle_sql() -> dict[str, str]:
         "dedup_semantic": do.embedding_lsh_soundness_sql(
             EMB_DUP_MIN_COS, _scratch(_ORACLE_SF_DIR(), "semantic_dedup_candidates")
         ),
+        "dedup_incremental": _dedup_incremental_sql(),
     }

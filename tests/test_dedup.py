@@ -530,3 +530,50 @@ def test_benchmark_overlap_flags_contaminated(spark):
     )
     assert empty.count() == 0
     assert empty.columns == ["doc_id", "bench_id", "hits", "n_grams", "overlap_frac"]
+
+
+def test_incremental_equals_full_restricted(spark, sf_dir, tmp_path):
+    """Store-served incremental dedup must equal the full-corpus run
+    restricted to pairs touching the new batch — and the store must
+    rebuild when its fingerprint goes stale."""
+    import os
+
+    from osmquadtree_spark.sources import dedup_store as ds
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {
+        (r.doc_a, r.doc_b): r.match_cnt
+        for r in dd.minhash_lsh_pairs(docs).collect()
+    }
+    m = ds.INCR_NEW_MOD
+    want = {k: v for k, v in full.items() if k[0] % m == 0 or k[1] % m == 0}
+
+    base = str(tmp_path / "minhash")
+    sigs, bands = ds.read_tables(spark, sf_dir, base=base)
+    new = docs.filter(f"doc_id % {m} = 0")
+    got = {
+        (r.doc_a, r.doc_b): r.match_cnt
+        for r in dd.minhash_lsh_pairs_incremental(new, sigs, bands).collect()
+    }
+    assert got == want
+    # second ensure() is a fingerprint hit (no rebuild): meta mtime stable
+    meta = os.path.join(ds.store_dir(sf_dir, base), "_meta.json")
+    t0 = os.stat(meta).st_mtime_ns
+    ds.ensure(spark, sf_dir, base=base)
+    assert os.stat(meta).st_mtime_ns == t0
+    # stale fingerprint → rebuild
+    with open(meta, "w") as f:
+        f.write("{}")
+    ds.ensure(spark, sf_dir, base=base)
+    assert os.stat(meta).st_mtime_ns != t0
+
+
+def test_incremental_empty_batch(spark, sf_dir, tmp_path):
+    from osmquadtree_spark.sources import dedup_store as ds
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs, bands = ds.read_tables(spark, sf_dir, base=str(tmp_path / "mh"))
+    empty = docs.filter("doc_id < 0")
+    out = dd.minhash_lsh_pairs_incremental(empty, sigs, bands)
+    assert out.count() == 0
+    assert out.columns == ["doc_a", "doc_b", "match_cnt"]
