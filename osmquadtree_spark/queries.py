@@ -3283,6 +3283,77 @@ WHERE doc_a % {INCR_NEW_MOD} = 0 OR doc_b % {INCR_NEW_MOD} = 0
 """.strip()
 
 
+BM25_QUERY_MOD = 97  # every 97th doc's first 8 words are a search query
+BM25_K = 10
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Inverted-index BM25 top-k (operators/search.py): integer-scaled
+    scores built from exactly-rounded double ops only (no transcendentals,
+    no float sums), so Spark and DuckDB agree bit for bit — ranks AND
+    scores. Queries are the first 8 words of every {BM25_QUERY_MOD}th
+    document (deterministic, no external data)."""
+    from .operators import search as srch
+
+    docs = _load_fanned(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % BM25_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)).alias("text"),
+    )
+    return srch.bm25_topk(docs, queries, k=BM25_K)
+
+
+def _bm25_sql() -> str:
+    from .operators.search import SCALE
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT SUM(tf) FROM tf) AS total_len
+), q AS (
+  SELECT doc_id AS query_id,
+         array_to_string(string_split(text, ' ')[1:8], ' ') AS qtext
+  FROM documents WHERE doc_id % {BM25_QUERY_MOD} = 0
+), qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q
+  ) WHERE term <> ''
+), qdf AS (
+  SELECT term, COUNT(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+), hits AS (
+  SELECT qt.query_id, t.doc_id, t.tf, d.df, l.dl
+  FROM tf t
+  JOIN qterms qt USING (term)
+  JOIN qdf d USING (term)
+  JOIN dl l ON l.doc_id = t.doc_id
+), scored AS (
+  SELECT query_id, doc_id,
+         SUM(
+           CAST(FLOOR({SCALE:e} *
+                (((s.n_docs - df) + 0.5e0) / (df + 0.5e0))) AS BIGINT)
+           *
+           CAST(FLOOR(({SCALE:e} * tf) /
+                (tf + 1.2e0 * (1e0 - 0.75e0 +
+                 (0.75e0 * dl) / (s.total_len / s.n_docs)))) AS BIGINT)
+         ) AS score
+  FROM hits CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {BM25_K}
+""".strip()
+
+
 def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3311,6 +3382,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dedup_semantic": q_dedup_semantic,
         "dedup_incremental": q_dedup_incremental,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -3346,4 +3418,5 @@ def sweep_oracle_sql() -> dict[str, str]:
             EMB_DUP_MIN_COS, _scratch(_ORACLE_SF_DIR(), "semantic_dedup_candidates")
         ),
         "dedup_incremental": _dedup_incremental_sql(),
+        "bm25_topk": _bm25_sql(),
     }

@@ -285,3 +285,15 @@ def test_components_round_is_two_shuffle_hash_aggs(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
     assert "HashAggregate" in plan
+
+
+def test_bm25_probe_is_broadcast_inverted_index(spark, sf_dir):
+    """The postings probe must broadcast the diff-scale query-term side
+    (an inverted-index lookup, never a corpus shuffle onto term); the only
+    nested-loop allowed is the 1-row corpus-stats crossJoin."""
+    plan = _plan(Q.q_bm25_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only BNLJs are the 1-row corpus-stats constants (n_docs x
+    # total_len, then stats onto the hits) — any other BNLJ is a regression
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
