@@ -63,7 +63,11 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _converged_star(
-    edges: DataFrame, id_a: str, id_b: str, max_rounds: int
+    edges: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_rounds: int,
+    metrics_path: str | None = None,
 ) -> DataFrame:
     """Run the alternation to its fixpoint and return the star forest as
     checkpointed (u=non-root node, v=component root) edges — exactly one
@@ -82,6 +86,8 @@ def _converged_star(
     )
     e = stage_checkpoint(e, eager=True)
     prev = None
+    rounds = 0
+    edge_counts: list[int] = []
     for _ in range(max_rounds):
         e = stage_checkpoint(_small_star(_large_star(e)), eager=True)
         # decimal(38,0) accumulator: an int64 sum of xxhash64 terms overflows
@@ -93,6 +99,8 @@ def _converged_star(
                 F.lit(0).cast("decimal(38,0)"),
             ).alias("h"),
         ).first()
+        rounds += 1
+        edge_counts.append(row["n"])
         sig = (row["n"], row["h"])
         if sig == prev:
             break
@@ -104,6 +112,25 @@ def _converged_star(
             "edge set is oscillating, which the alternating algorithm "
             "excludes; treat as a bug, not a data property"
         )
+    if metrics_path is not None:
+        # convergence observability (the "no silent caps" discipline):
+        # rounds-to-fixpoint and the per-round edge counts go to the
+        # metrics table — a production run whose round count creeps toward
+        # max_rounds is visible before it ever raises
+        from .. import metrics
+
+        spark = e.sparkSession
+        rows = [("rounds", rounds)] + [
+            (f"edges_round_{i}", c) for i, c in enumerate(edge_counts)
+        ]
+        frame = spark.createDataFrame(rows, "k string, v bigint").select(
+            *metrics.metric_frame(
+                "connected_components", "convergence", F.col("k"), F.col("v")
+            )
+        )
+        metrics.register(
+            metrics_path, frame, key=("connected_components", "convergence")
+        )
     return e
 
 
@@ -112,6 +139,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 30,
+    metrics_path: str | None = None,
 ) -> DataFrame:
     """(node, component_id) for every node appearing in ``edges``;
     component_id = the smallest node id in the component (the canonical
@@ -121,7 +149,7 @@ def connected_components(
     at that point the edge list IS the star forest (each non-root node has
     exactly the edge (node, root)); see _converged_star for the loop and
     convergence machinery."""
-    star = _converged_star(edges, id_a, id_b, max_rounds)
+    star = _converged_star(edges, id_a, id_b, max_rounds, metrics_path)
     # node set off the CHECKPOINTED star input is not enough — roots of
     # singleton-free components appear only on the v side, isolated
     # self-loop-only inputs were filtered; rebuild from the original edges
@@ -146,6 +174,7 @@ def dup_clusters(
     id_col: str = "doc_id",
     id_a: str = "doc_a",
     id_b: str = "doc_b",
+    metrics_path: str | None = None,
 ) -> DataFrame:
     """Full-corpus cluster table: (doc_id, component_id, component_size,
     is_representative) — singletons (docs in no pair) map to themselves
@@ -161,7 +190,8 @@ def dup_clusters(
     is_representative row — "keep representatives, drop the rest" can
     never silently delete a whole cluster. One left join + one
     groupBy(min, count) + one re-join."""
-    star = _converged_star(edges, id_a, id_b, max_rounds=30)
+    star = _converged_star(edges, id_a, id_b, max_rounds=30,
+                           metrics_path=metrics_path)
     labels = star.select(F.col("u").alias("node"), F.col("v").alias("_root"))
     base = (
         docs.select(F.col(id_col).alias("node"))

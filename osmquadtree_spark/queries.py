@@ -3140,7 +3140,10 @@ def q_dedup_components(spark, sf_dir):
     ngram_edges = dops.ngram_pairs(
         docs, n=3, min_jaccard=NGRAM_EDGE_JACCARD
     ).select("doc_a", "doc_b")
-    return ccm.dup_clusters(docs, exact_edges.unionByName(ngram_edges))
+    return ccm.dup_clusters(
+        docs, exact_edges.unionByName(ngram_edges),
+        metrics_path=_scratch(sf_dir, "metrics"),
+    )
 
 
 def _dedup_components_sql() -> str:

@@ -124,3 +124,20 @@ def test_dup_clusters_recanonicalizes_missing_root(spark):
     assert {d: r.component_id for d, r in rows.items()} == {5: 5, 7: 5, 9: 9}
     assert {d: r.component_size for d, r in rows.items()} == {5: 2, 7: 2, 9: 1}
     assert {d for d, r in rows.items() if r.is_representative} == {5, 9}
+
+
+def test_convergence_metrics_committed(spark, tmp_path):
+    from osmquadtree_spark import metrics
+
+    mp = str(tmp_path / "metrics")
+    edges = _edges_df(spark, [(i, i + 1) for i in range(100, 116)])
+    cc.connected_components(edges, metrics_path=mp).collect()
+    metrics.commit_pending()
+    rows = {
+        r.bucket_key: r.value
+        for r in metrics.read_metrics(spark, mp).collect()
+        if r.operator == "connected_components"
+    }
+    assert rows["rounds"] >= 2  # a 16-node chain needs >1 alternation
+    # final round's edge count = 16 non-root nodes of the one component
+    assert rows[f"edges_round_{rows['rounds'] - 1}"] == 16
