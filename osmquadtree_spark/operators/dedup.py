@@ -264,6 +264,27 @@ def hot_bucket_stats(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
     )
 
 
+def _minhash_rescore(
+    cand: DataFrame, sigs: DataFrame, min_matches: int
+) -> DataFrame:
+    """Shared exact-rescore back stage of the batch and incremental LSH
+    paths: re-attach the 16-hash signatures to the surviving candidate
+    pairs only, count equal positions (one zip_with fold), threshold.
+    ``sigs`` is any (doc_id, sig) frame covering both pair sides."""
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    match_cnt = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    ).cast("bigint")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("match_cnt", match_cnt)
+        .filter(F.col("match_cnt") >= min_matches)
+        .select("doc_a", "doc_b", "match_cnt")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -309,18 +330,7 @@ def minhash_lsh_pairs(
     )
     if metrics_path is not None:
         register_pair_volume(metrics_path, "dedup_minhash", bands, ["band", "bucket"])
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    match_cnt = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
-    ).cast("bigint")
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("match_cnt", match_cnt)
-        .filter(F.col("match_cnt") >= min_matches)
-        .select("doc_a", "doc_b", "match_cnt")
-    )
+    return _minhash_rescore(cand, sigs, min_matches)
 
 
 def minhash_lsh_pairs_incremental(
@@ -354,7 +364,9 @@ def minhash_lsh_pairs_incremental(
 
     Precondition: ``new_docs`` ids are disjoint from the store's (the
     ingest contract — a re-submitted id would pair with its stored self
-    at full match count)."""
+    at full match count). ``broadcast_new`` assumes a true diff-scale
+    batch (fits the broadcast limit ×N_BANDS band rows); pass False for
+    backfills — the join degrades to the standard shuffled equi-join."""
     from ..cache import cached
 
     new_sigs = cached(
@@ -390,24 +402,34 @@ def minhash_lsh_pairs_incremental(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     if metrics_path is not None:
-        register_pair_volume(
-            metrics_path, "dedup_incremental", all_bands, ["band", "bucket"]
+        # recall proxy: the join's ACTUAL pre-dedup candidate volume,
+        # Σ_buckets n_new·(n_all − 1) — NOT the union's C(n,2), which is
+        # dominated by stored×stored pairs this join never generates and
+        # would mask a collapsing new-side volume
+        from .. import metrics
+
+        na = a.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_nn"))
+        nu = all_bands.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_nu")
+        )
+        vol = (
+            na.join(nu, ["band", "bucket"])
+            .groupBy()
+            .agg(F.sum(F.col("_nn") * (F.col("_nu") - 1)).alias("_v"))
+            .select(
+                *metrics.metric_frame(
+                    "dedup_incremental", "candidate_pair_volume",
+                    F.lit(""), F.coalesce("_v", F.lit(0)),
+                )
+            )
+        )
+        metrics.register(
+            metrics_path, vol, key=("dedup_incremental", "candidate_pair_volume")
         )
     sigs_all = store_sigs.select("doc_id", "sig").unionByName(
         new_sigs.select("doc_id", "sig")
     )
-    sa = sigs_all.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs_all.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    match_cnt = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
-    ).cast("bigint")
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("match_cnt", match_cnt)
-        .filter(F.col("match_cnt") >= min_matches)
-        .select("doc_a", "doc_b", "match_cnt")
-    )
+    return _minhash_rescore(cand, sigs_all, min_matches)
 
 
 def _word_hash(w):

@@ -33,6 +33,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000  # integer scaling of idf / tfnorm (≈6 decimal digits)
+# idf winsorization: the rational idf explodes as n_docs/df grows (where the
+# classic ln compresses), and an unbounded idf_int overflows the int64 score
+# product once n_docs > ~1.4e7. Capping the scaled idf at 1e9 (idf ratio
+# 1000 — only terms rarer than one-in-a-thousand docs saturate, and saturated
+# rarity is closer to ln's compression than the raw ratio) bounds
+# idf_int·tfnorm_int ≤ 1e15, so even 1000-term queries sum < 2^63 exactly —
+# in BOTH engines (Spark would wrap silently, DuckDB would raise; neither
+# can happen under the cap).
+IDF_INT_MAX = 1_000_000_000
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -82,9 +91,14 @@ def bm25_topk(
         if metrics_path is not None:
             from .. import metrics
 
+            # distinct (term, df): probe carries query_id, and a hot term
+            # shared by many queries must commit ONE drop row, not one per
+            # query (downstream sums would double-count)
             metrics.register(
                 metrics_path,
-                probe.filter(F.col("df") > df_cap).select(
+                probe.filter(F.col("df") > df_cap)
+                .select("term", "df").distinct()
+                .select(
                     *metrics.metric_frame(
                         "bm25", "query_term_df_dropped",
                         F.col("term"), F.col("df"),
@@ -97,9 +111,12 @@ def bm25_topk(
     # candidate hits: postings ⋈ broadcast(query terms + df) — the
     # inverted-index probe; dl re-attaches per candidate doc
     hits = tf.join(probe, "term").join(dl, id_col)
-    idf_int = F.floor(
-        F.lit(float(SCALE))
-        * (((F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    idf_int = F.least(
+        F.floor(
+            F.lit(float(SCALE))
+            * (((F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+        ),
+        F.lit(IDF_INT_MAX),
     )
     avgdl = F.col("total_len") / F.col("n_docs")
     den = F.col("tf") + F.lit(k1) * (

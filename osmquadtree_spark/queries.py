@@ -3271,8 +3271,12 @@ def q_dedup_incremental(spark, sf_dir):
     sigs, bands = dedup_store.read_tables(spark, sf_dir)
     docs = _load_fanned(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % dedup_store.INCR_NEW_MOD == 0)
+    # broadcast_new=False: this fixture's "batch" is 20% of the corpus —
+    # a backfill, not a diff; the broadcast fast path is for true
+    # diff-scale batches (see the operator docstring)
     return dd.minhash_lsh_pairs_incremental(
-        new, sigs, bands, metrics_path=_scratch(sf_dir, "metrics")
+        new, sigs, bands, metrics_path=_scratch(sf_dir, "metrics"),
+        broadcast_new=False,
     )
 
 
@@ -3307,7 +3311,7 @@ def q_bm25_topk(spark, sf_dir):
 
 
 def _bm25_sql() -> str:
-    from .operators.search import SCALE
+    from .operators.search import IDF_INT_MAX, SCALE
 
     return f"""
 WITH toks AS (
@@ -3339,8 +3343,9 @@ WITH toks AS (
 ), scored AS (
   SELECT query_id, doc_id,
          SUM(
-           CAST(FLOOR({SCALE:e} *
-                (((s.n_docs - df) + 0.5e0) / (df + 0.5e0))) AS BIGINT)
+           LEAST(CAST(FLOOR({SCALE:e} *
+                (((s.n_docs - df) + 0.5e0) / (df + 0.5e0))) AS BIGINT),
+                 {IDF_INT_MAX})
            *
            CAST(FLOOR(({SCALE:e} * tf) /
                 (tf + 1.2e0 * (1e0 - 0.75e0 +

@@ -45,23 +45,25 @@ def default_store_base() -> str:
 
 
 def _code_fingerprint() -> str:
-    """Hash of the functions whose semantics the stored tables bake in:
-    the signature kernel, the banding definition, and this module."""
+    """Hash of the MODULES whose semantics the stored tables bake in —
+    whole files, like qts_store._code_fingerprint, because the signature
+    path reaches beyond named functions (band-key fold, hash-param
+    constants, the wordcodes kernel): a selective function hash would
+    silently serve a stale store after editing any of those. Rebuild cost
+    is seconds; correctness wins over thrash."""
     import hashlib
-    import inspect
 
-    from ..operators import dedup as dd
-
+    pkg = os.path.dirname(os.path.dirname(__file__))
     h = hashlib.sha256()
-    for fn in (dd.minhash_signature, dd.band_rows, dd._hash_params,
-               dd._word_code, dd._gram_codes):
-        h.update(inspect.getsource(fn).encode())
+    for rel in ("operators/dedup.py", "kernels/wordcodes.py"):
+        with open(os.path.join(pkg, rel), "rb") as f:
+            h.update(f.read())
     with open(__file__, "rb") as f:
         h.update(f.read())
     return h.hexdigest()[:16]
 
 
-def _fingerprint(sf_dir: str) -> dict:
+def _fingerprint(sf_dir: str, n: int) -> dict:
     p = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(p)
     return {
@@ -69,6 +71,7 @@ def _fingerprint(sf_dir: str) -> dict:
         "code": _code_fingerprint(),
         "documents": [st.st_size, st.st_mtime_ns],
         "new_mod": INCR_NEW_MOD,
+        "n": n,  # gram size is baked into the stored signatures
     }
 
 
@@ -86,7 +89,7 @@ def ensure(
     never the corpus signature kernel."""
     d = store_dir(sf_dir, base)
     meta_path = os.path.join(d, "_meta.json")
-    fp = _fingerprint(sf_dir)
+    fp = _fingerprint(sf_dir, n)
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             if json.load(f) == fp:

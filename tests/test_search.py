@@ -41,7 +41,10 @@ def _brute(docs, queries, k=10, k1=1.2, b=0.75, S=srch.SCALE):
         for w in set(x for x in qt.split(" ") if x):
             if w not in df:
                 continue
-            idf_i = math.floor(S * (((n - df[w]) + 0.5) / (df[w] + 0.5)))
+            idf_i = min(
+                math.floor(S * (((n - df[w]) + 0.5) / (df[w] + 0.5))),
+                srch.IDF_INT_MAX,
+            )
             for d in dl:
                 if (d, w) in tf:
                     t = tf[(d, w)]
@@ -118,3 +121,22 @@ def test_bm25_empty_inputs(spark):
     out = srch.bm25_topk(docs, queries)
     assert out.count() == 0
     assert out.columns == ["query_id", "doc_id", "score", "rank"]
+
+
+def test_bm25_idf_winsorization_binds(spark):
+    """2001 docs, one containing a unique term: the raw scaled idf ratio
+    exceeds IDF_INT_MAX (2000.5/1.5 > 1000) and must saturate identically
+    to the python twin — the int64-overflow guard for giant corpora."""
+    rows = [(i, "filler words only") for i in range(2000)]
+    rows.append((2000, "rareterm appears once"))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    queries = spark.createDataFrame(
+        pd.DataFrame([(1, "rareterm")], columns=["query_id", "text"])
+    )
+    got = [(r.doc_id, r.score) for r in srch.bm25_topk(docs, queries).collect()]
+    want = _brute([(d, t) for d, t in rows], [(1, "rareterm")])[1]
+    assert got == [(d, s) for d, s, _ in want]
+    # the cap actually bound: raw ratio floor(S*(1200.5-... )) > IDF_INT_MAX
+    import math as m
+    raw = m.floor(srch.SCALE * (((2001 - 1) + 0.5) / 1.5))
+    assert raw > srch.IDF_INT_MAX
