@@ -241,6 +241,117 @@ def run_dedup_job(
     return {"rows": n_rows, "pairs": int(n_pairs), "phases": {"dedup": elapsed}}
 
 
+GRAPH_CHAIN = 32  # component shape: disjoint 32-node paths
+
+
+def edge_table(spark, n: int, partitions: int):
+    """Deterministic edge list for the graph scaling job: node i links to
+    i-1 except at chain boundaries (i % GRAPH_CHAIN == 0), giving n/32
+    disjoint 32-node PATHS — the worst component shape per node count for
+    min-label propagation (diameter 31), so the alternating algorithm's
+    O(log² n) round behavior is actually exercised. Endpoint order is
+    scrambled by splitmix parity so the input arrives unoriented. Pure
+    function of the row index: identical table at any parallelism."""
+    import numpy as np
+    import pandas as pd
+
+    from osmquadtree_spark.sources.images import splitmix64
+
+    def gen(batches):
+        for pdf in batches:
+            i = pdf["id"].to_numpy("int64")
+            keep = i % GRAPH_CHAIN != 0
+            a = i[keep]
+            b = a - 1
+            swap = (splitmix64(a.astype(np.uint64)) & np.uint64(1)).astype(bool)
+            yield pd.DataFrame({
+                "id_a": np.where(swap, b, a),
+                "id_b": np.where(swap, a, b),
+            })
+
+    return spark.range(0, n, 1, partitions).mapInPandas(
+        gen, "id_a bigint, id_b bigint"
+    )
+
+
+def run_graph_job(
+    spark, n_rows: int, partitions: int, edges_path: str | None = None
+) -> dict:
+    """Connected components end to end over ~n edges: orient/distinct →
+    alternating large-star/small-star to the fixpoint (each round two
+    groupBy-min shuffles + a checkpoint + one tiny convergence aggregate)
+    → full label table. Self-verifying: the chain construction fixes the
+    component count (n/32), the total label rows (every node), and every
+    component id ≡ 0 (mod 32) with value 32·c summed in closed form."""
+    from pyspark.sql import functions as F
+
+    from osmquadtree_spark.operators.components import connected_components
+
+    t0 = time.time()
+    if edges_path is not None:
+        edges = spark.read.parquet(edges_path)
+    else:
+        edges = edge_table(spark, n_rows, partitions)
+    comp = connected_components(edges)
+    agg = comp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("component_id").alias("c"),
+        F.sum(F.col("component_id").cast("decimal(38,0)")).alias("s"),
+    ).first()
+    elapsed = round(time.time() - t0, 3)
+    n_chains = n_rows // GRAPH_CHAIN
+    want_sum = GRAPH_CHAIN * GRAPH_CHAIN * (n_chains * (n_chains - 1) // 2)
+    if not (
+        agg["n"] == n_rows
+        and agg["c"] == n_chains
+        and int(agg["s"]) == want_sum
+    ):
+        raise AssertionError(
+            f"graph scaling self-check: rows={agg['n']} comps={agg['c']} "
+            f"sum={agg['s']} vs n={n_rows} chains={n_chains} sum={want_sum}"
+        )
+    return {
+        "rows": n_rows,
+        "components": int(agg["c"]),
+        "phases": {"graph": elapsed},
+    }
+
+
+def _edges_gen_fingerprint() -> str:
+    import hashlib
+    import inspect
+
+    blob = "|".join([inspect.getsource(edge_table), str(GRAPH_CHAIN)])
+    return hashlib.sha256(blob.encode()).hexdigest()[:12]
+
+
+def edges_parquet_path(n_rows: int) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"oqt_scaling_edges_{n_rows}_{_edges_gen_fingerprint()}.parquet",
+    )
+
+
+def prepare_edges(cpus: int, n_rows: int) -> None:
+    """Materialize the graph job's edge table ONCE (own JVM, outside every
+    timed window), 64 files for identical splits at both levels."""
+    path = edges_parquet_path(n_rows)
+    if os.path.isdir(path) and os.path.isfile(os.path.join(path, "_SUCCESS")):
+        return
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("oqt-scaling-edges-prep")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    edge_table(spark, n_rows, 64).write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
 def _docs_gen_fingerprint() -> str:
     """Hash of everything the generated table depends on (doc_table's
     source, the stride/width constants, the vocab word list) — baked into
@@ -327,6 +438,13 @@ def worker(cpus: int, n_rows: int, out_path: str, job: str = "tiling") -> None:
         from osmquadtree_spark.cache import release_all
 
         release_all()  # drop the warmup's persisted signature/band blocks
+    elif job == "graph":
+        from osmquadtree_spark.operators.components import connected_components
+
+        connected_components(edge_table(spark, 64 * GRAPH_CHAIN, cpus)).count()
+        from osmquadtree_spark.cache import release_all
+
+        release_all()
     else:
         footprint_elements(spark, 10 * cpus, cpus).write.format("noop").mode("overwrite").save()
 
@@ -334,6 +452,10 @@ def worker(cpus: int, n_rows: int, out_path: str, job: str = "tiling") -> None:
     if job == "dedup":
         counters = run_dedup_job(
             spark, n_rows, partitions=4 * cpus, docs_path=docs_parquet_path(n_rows)
+        )
+    elif job == "graph":
+        counters = run_graph_job(
+            spark, n_rows, partitions=4 * cpus, edges_path=edges_parquet_path(n_rows)
         )
     else:
         counters = run_job(spark, n_rows, partitions=4 * cpus)
@@ -425,7 +547,7 @@ def main() -> None:
     ap.add_argument("--out", default=None, help=argparse.SUPPRESS)
     ap.add_argument(
         "--job",
-        choices=("tiling", "dedup"),
+        choices=("tiling", "dedup", "graph"),
         default="tiling",
         help="tiling = the flagship quadtree-assignment pipeline (north "
         "rule); dedup = the MinHash-LSH near-dup pipeline over a "
@@ -442,6 +564,8 @@ def main() -> None:
     if args.job == "dedup":
         # one-off input materialization, outside every timed window
         prepare_docs(max(levels), args.rows)
+    elif args.job == "graph":
+        prepare_edges(max(levels), args.rows)
     results = {}
     attempts: dict[int, list] = {c: [] for c in levels}
     for _rep in range(args.repeats):

@@ -56,3 +56,34 @@ def test_docs_cache_path_tracks_generator_params(monkeypatch):
     assert bs.docs_parquet_path(1000) == p1  # deterministic
     monkeypatch.setattr(bs, "DOC_WORDS", bs.DOC_WORDS + 1)
     assert bs.docs_parquet_path(1000) != p1
+
+
+def test_edge_table_partition_invariant(spark):
+    """The graph job's edge list is a pure function of the row index —
+    identical at any parallelism — and the chain construction is right:
+    node i links to i-1 except at chain starts."""
+    from bench_scaling import GRAPH_CHAIN, edge_table
+
+    a = {tuple(sorted((r.id_a, r.id_b))) for r in edge_table(spark, 256, 2).collect()}
+    b = {tuple(sorted((r.id_a, r.id_b))) for r in edge_table(spark, 256, 7).collect()}
+    assert a == b
+    want = {(i - 1, i) for i in range(256) if i % GRAPH_CHAIN != 0}
+    assert a == want
+
+
+def test_graph_job_self_check(spark, tmp_path):
+    """run_graph_job's closed-form verification passes at test scale AND
+    fails loudly when the input does not match the claimed row count (the
+    guard that stops a stale/mismatched cached edge table from producing a
+    plausible-looking throughput number)."""
+    import pytest
+
+    from bench_scaling import GRAPH_CHAIN, edge_table, run_graph_job
+
+    out = run_graph_job(spark, 4 * GRAPH_CHAIN * GRAPH_CHAIN, partitions=4)
+    assert out["components"] == 4 * GRAPH_CHAIN
+    # edges for 128 nodes, claimed as 256 → component count/sum mismatch
+    p = str(tmp_path / "edges.parquet")
+    edge_table(spark, 4 * GRAPH_CHAIN, 2).write.parquet(p)
+    with pytest.raises(AssertionError, match="self-check"):
+        run_graph_job(spark, 8 * GRAPH_CHAIN, partitions=2, edges_path=p)
