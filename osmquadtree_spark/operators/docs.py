@@ -615,3 +615,44 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             F.when(F.col("text").isNotNull(), F.lit(0).cast("bigint"))
         ).alias("top_bigram_x10000"),
     )
+
+
+# PII redaction patterns. Each is valid (and means the same thing) in BOTH
+# regex engines this repo pairs: java.util.regex (Spark's regexp_replace /
+# regexp_count run JVM-side inside whole-stage codegen) and RE2 (DuckDB's
+# regexp_* twins) — the shared subset avoids lookaround, backreferences and
+# possessive quantifiers, none of which RE2 supports. Order matters and is
+# part of the operator's definition: emails are redacted first (their
+# local/domain parts may contain digit-dot runs an IP pattern could nibble),
+# then phones, then IPs; each count is taken on the text as it stands at
+# that step, so the counts are "what this stage actually redacted".
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, clean_text, n_emails, n_phones, n_ips): regex PII redaction
+    — the standard "scrub before training" pass over a text corpus.
+
+    Entirely JVM-side (`regexp_count` + `regexp_replace` in one projection,
+    no Python, no shuffle): at 10^12 docs this is a pure map over the scan,
+    exactly like the reference's per-element tag fixing
+    (/root/reference/src/geometry/fixstrs.cpp style: row-local string
+    surgery, embarrassingly parallel). NULL text propagates NULL outputs on
+    every column (regexp_count(NULL) is NULL in both engines).
+    """
+    cur = F.col(text_col)
+    counts = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[name] = F.regexp_count(cur, F.lit(pat)).cast("bigint")
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select(
+        "doc_id",
+        cur.alias("clean_text"),
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ip"].alias("n_ips"),
+    )

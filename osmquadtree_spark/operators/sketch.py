@@ -1,0 +1,204 @@
+"""Mergeable frequency sketches: Misra-Gries heavy hitters over a token
+stream.
+
+The 100-TB problem this solves: "top tokens / domains / n-grams by count"
+over a corpus whose DISTINCT key set is itself too large to shuffle
+comfortably. An exact groupBy ships every distinct key through one hash
+exchange; Misra-Gries instead keeps at most ``cap`` counters per input
+partition (a map-side-only pass), then merges the ≤ partitions×cap
+survivor rows — shuffle volume is bounded by the sketch size, independent
+of both corpus size and vocabulary size.
+
+Guarantees (classic MG, and the mergeable-summaries merge rule of
+Agarwal et al., PODS'12 — public literature):
+
+- underestimate only: ``est ≤ true`` for every reported token;
+- bounded error: ``true − est ≤ err_bound`` where ``err_bound`` is the
+  total decrement mass (every trim subtracts the (cap+1)-th largest
+  counter value from all counters and drops the non-positive ones);
+- no false negatives above the bound: any token with
+  ``true > err_bound`` survives to the merged sketch.
+
+When ``cap`` ≥ the number of distinct tokens no trim ever fires,
+``err_bound`` is 0 and the sketch IS the exact count table — that regime
+is what the DuckDB value-parity oracle pins (the synthetic corpus has a
+31-word vocabulary); the lossy regime's bounds are property-tested in
+tests/test_sketch.py.
+
+Both stages are vectorized: per-batch pandas ``value_counts`` + aligned
+``Series.add`` (no per-row Python), trims are ``nlargest`` + one vector
+subtract. The final cross-partition merge is a Spark groupBy over the
+survivor rows; the closing top-k window runs over ≤ partitions×cap rows
+(sketch-bounded, NOT data-bounded — the single-partition window is safe
+by construction and documented at the call site).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    from .docs import balanced
+
+    return balanced(docs).filter(F.col(text_col).isNotNull()).select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+
+
+def mg_sketch(docs: DataFrame, cap: int, text_col: str = "text") -> DataFrame:
+    """Merged Misra-Gries sketch: (token, est_count, err_bound) — one row
+    per surviving token, ``err_bound`` identical on every row (the global
+    decrement mass, including the final cross-partition trim).
+
+    Plan shape: explode → mapInPandas (one Arrow stage, at most cap+1
+    output rows per partition) → groupBy(token) over sketch-bounded rows →
+    one trim over the merged table. No full-vocabulary shuffle anywhere.
+    """
+    if cap < 1:
+        raise ValueError(f"mg_sketch cap must be >= 1, got {cap}")
+
+    def gen(batches):
+        acc = None  # pandas Series: token -> counter
+        dec = 0
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > cap:
+                # batched MG trim: subtract the (cap+1)-th largest counter
+                # from everything, drop the non-positives. Equivalent to
+                # `t` rounds of the textbook decrement-all step.
+                t = int(acc.nlargest(cap + 1).iloc[-1])
+                acc = acc[acc > t] - t
+                dec += t
+        if acc is not None and len(acc):
+            yield pd.DataFrame(
+                {
+                    "token": acc.index.astype(str),
+                    "cnt": acc.to_numpy("int64"),
+                    "dec": 0,
+                }
+            )
+        # decrement carrier row (token NULL): summed across partitions in
+        # the merge; emitted even when 0 so an empty partition still
+        # contributes a well-formed sketch
+        yield pd.DataFrame({"token": [None], "cnt": [0], "dec": [dec]})
+
+    partials = _tokens(docs, text_col).mapInPandas(
+        gen, "token string, cnt bigint, dec bigint"
+    )
+    # mergeable-summaries union: sum counters per token, sum decrements.
+    # Input is ≤ partitions×(cap+1) rows — sketch-bounded.
+    merged = partials.groupBy("token").agg(
+        F.sum("cnt").alias("cnt"), F.sum("dec").alias("dec")
+    )
+    dec_total = F.sum("dec").over(Window.partitionBy())
+    over = merged.select(
+        "token", "cnt", dec_total.alias("dec_total")
+    ).filter(F.col("token").isNotNull())
+    # final trim to cap (the union of per-partition sketches can hold up to
+    # partitions×cap tokens): subtract the (cap+1)-th largest merged
+    # counter. Window over ≤ partitions×cap rows — sketch-bounded, so the
+    # unpartitioned windows here are safe at any corpus size.
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("cnt").desc(), F.col("token").asc())
+    )
+    ranked = over.select("token", "cnt", "dec_total", rank.alias("rk"))
+    trim_t = F.max(
+        F.when(F.col("rk") == cap + 1, F.col("cnt")).otherwise(F.lit(0))
+    ).over(Window.partitionBy())
+    return (
+        ranked.select("token", "cnt", "dec_total", trim_t.alias("trim_t"))
+        .filter(F.col("cnt") > F.col("trim_t"))
+        .select(
+            "token",
+            (F.col("cnt") - F.col("trim_t")).alias("est_count"),
+            (F.col("dec_total") + F.col("trim_t")).alias("err_bound"),
+        )
+    )
+
+
+def mg_token_topk(
+    docs: DataFrame, cap: int, topk: int, text_col: str = "text"
+) -> DataFrame:
+    """Top-k tokens from the merged MG sketch: (token, est_count,
+    err_bound, rank), rank by (est_count desc, token asc) — the
+    deterministic tiebreak every ranked operator in this repo uses."""
+    sk = mg_sketch(docs, cap, text_col=text_col)
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("est_count").desc(), F.col("token").asc())
+    )
+    return (
+        sk.select("token", "est_count", "err_bound", rank.cast("bigint").alias("rank"))
+        .filter(F.col("rank") <= topk)
+    )
+
+
+KMV_DOMAIN_MAX = (1 << 63) - 1  # h = splitmix64(fp) >> 1 lives in [0, 2^63)
+
+
+def kmv_distinct(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over document content
+    fingerprints: ONE row (n_sketch, kth_min, est_distinct).
+
+    The 100-TB shape: estimating "how many distinct documents" for dedup
+    planning without a global distinct. Each partition keeps only its k
+    smallest DISTINCT hash values (numpy unique inside one Arrow stage —
+    the hash is splitmix64 over the row-local content fingerprint, so the
+    whole sketch input is a pure map over the scan); the merge shuffles
+    ≤ partitions×k int64 rows. Estimator (Bar-Yossef et al. / Beyer et
+    al., public): with R = kth_min / DOMAIN, D̂ = (k−1)/R — computed as
+    the EXACT integer ((k−1)·DOMAIN_MAX) // kth_min (arbitrary-precision
+    Python on the one merged row; DuckDB HUGEINT in the oracle — both
+    sides bit-identical, which is what makes a sketch value-gateable).
+    When fewer than k distinct hashes exist the sketch IS the exact
+    distinct count (n_sketch < k ⇒ est_distinct = n_sketch exactly).
+
+    Distinctness is BY FINGERPRINT (docs.fingerprint's rolling hash):
+    fp collisions merge documents, the operator's stated spec.
+    """
+    import numpy as np
+
+    from ..sources.images import splitmix64
+    from .docs import balanced, fingerprint
+
+    if k < 2:
+        raise ValueError(f"kmv_distinct k must be >= 2, got {k}")
+    fps = fingerprint(
+        balanced(docs).filter(F.col(text_col).isNotNull())
+    ).select("fp")
+
+    def gen(batches):
+        cur = np.empty(0, np.int64)
+        for pdf in batches:
+            u = pdf["fp"].to_numpy("int64").astype(np.uint64)
+            h = (splitmix64(u) >> np.uint64(1)).astype(np.int64)
+            cur = np.unique(np.concatenate([cur, h]))[:k]
+        yield pd.DataFrame({"h": cur})
+
+    mins = fps.mapInPandas(gen, "h bigint")
+    # cross-partition dedup + global k smallest: ≤ partitions×k input rows
+    sk = mins.dropDuplicates(["h"]).orderBy("h").limit(k)
+    agg = sk.agg(
+        F.count(F.lit(1)).alias("m"), F.max("h").alias("kth")
+    )
+
+    @F.pandas_udf("long")
+    def est_udf(kth: pd.Series) -> pd.Series:
+        out = []
+        for v in kth:
+            if pd.isna(v) or int(v) <= 0:
+                out.append(0)
+            else:
+                out.append(((k - 1) * KMV_DOMAIN_MAX) // int(v))
+        return pd.Series(out, dtype="int64")
+
+    return agg.select(
+        F.col("m").cast("bigint").alias("n_sketch"),
+        F.col("kth").alias("kth_min"),
+        F.when(F.col("m") < k, F.col("m").cast("bigint"))
+        .otherwise(est_udf(F.col("kth")))
+        .alias("est_distinct"),
+    )

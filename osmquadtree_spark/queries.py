@@ -2493,17 +2493,19 @@ def q_dedup_stream(spark, sf_dir):
     )
 
 
-def _event_order_batches(spark, sf_dir):
+def _event_order_batches(spark, sf_dir, with_user: bool = False):
     """The events table replayed IN EVENT ORDER as 3 micro-batches plus a
     far-future flush sentinel — the shared scaffold of every event-time
-    stream gate (windowed + session). event_id-range split preserves
-    event-time order (ts is monotone in event_id in this corpus, verified
-    at all three scales); the sentinel sits 100 days past the corpus at
-    00:30 of its day so its own window/session stays ahead of the
-    watermark and never emits."""
-    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "ts", "event_type"
-    )
+    stream gate (windowed + session + stream-stream join). event_id-range
+    split preserves event-time order (ts is monotone in event_id in this
+    corpus, verified at all three scales); the sentinel sits 100 days past
+    the corpus at 00:30 of its day so its own window/session stays ahead
+    of the watermark and never emits. ``with_user`` adds the user_id
+    column (the stream-stream join key); the sentinel carries user_id -1,
+    which matches no real user and is filtered by the join's type
+    predicates anyway."""
+    cols = ["event_id", "ts"] + (["user_id"] if with_user else []) + ["event_type"]
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(*cols)
     n = base.count()
     cuts = [0, n // 3, 2 * n // 3, n]
     batches = [
@@ -2512,10 +2514,12 @@ def _event_order_batches(spark, sf_dir):
         )
         for i in range(3)
     ]
+    user_col = "CAST(-1 AS BIGINT) AS user_id, " if with_user else ""
     batches.append(
         spark.sql(
             "SELECT CAST(-1 AS BIGINT) AS event_id, "
             "timestamp'2024-05-10 00:30:00' AS ts, "
+            f"{user_col}"
             "CAST('__flush__' AS STRING) AS event_type"
         )
     )
@@ -3362,6 +3366,209 @@ SELECT query_id, doc_id, score, rank FROM (
 """.strip()
 
 
+def _pii_injected(docs: DataFrame) -> DataFrame:
+    """Deterministic PII fixture: the synthetic corpus is word salad with
+    no emails/phones/IPs, so the scrub gate would trivially pass on zero
+    matches. Inject doc_id-derived PII (every doc an email, every 3rd a
+    phone, every 2nd an IP) so the redaction counts are non-trivial and
+    the whole injection is restatable in SQL — same pattern as the
+    media-stub waveform fixtures. Spark `concat` and DuckDB `||` both
+    propagate NULL text."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d.cast("string"), F.lit("@example.com"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad(((d * 7) % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 2 == 0,
+                F.concat(
+                    F.lit(" host 10."), (d % 256).cast("string"),
+                    F.lit("."), (F.shiftright(d, 8) % 256).cast("string"),
+                    F.lit("."), (d % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (docs.pii_scrub): sequential email → phone → IP
+    regex scrub with per-stage counts, all JVM-side regexp_count /
+    regexp_replace in one codegen projection — zero shuffles, zero
+    Python. The regex subset is chosen to mean the same thing in
+    java.util.regex and RE2 so the DuckDB twin is exact (clean_text
+    compared byte-for-byte)."""
+    from .operators.docs import pii_scrub
+
+    return pii_scrub(
+        _pii_injected(_load(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from .operators.docs import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    repl = {name: r for name, _, r in PII_PATTERNS}
+    inj = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-' ||"
+        " lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' host 10.' ||"
+        " CAST(doc_id % 256 AS VARCHAR) || '.' ||"
+        " CAST((doc_id >> 8) % 256 AS VARCHAR) || '.' ||"
+        " CAST(doc_id % 100 AS VARCHAR) ELSE '' END"
+    )
+    sql = "WITH inj AS (SELECT doc_id, " + inj + " AS t FROM documents)"
+    prev, names = "inj", []
+    for name, _, _ in PII_PATTERNS:
+        cte = "s_" + name
+        carried = ", ".join(f"n_{n}s" for n in names)
+        carried = (carried + ", ") if carried else ""
+        sql += (
+            f", {cte} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all(t, '{pats[name]}')) AS n_{name}s, "
+            f"regexp_replace(t, '{pats[name]}', '{repl[name]}', 'g') AS t "
+            f"FROM {prev})"
+        )
+        prev = cte
+        names.append(name)
+    sql += (
+        " SELECT doc_id, t AS clean_text, CAST(n_emails AS BIGINT) AS n_emails,"
+        " CAST(n_phones AS BIGINT) AS n_phones, CAST(n_ips AS BIGINT) AS n_ips"
+        f" FROM {prev}"
+    )
+    return sql
+
+
+SJOIN_HORIZON_MIN = 240  # stream-stream join: click within 4 h of the view
+
+
+def q_events_stream_join(spark, sf_dir):
+    """Time-bounded stream-stream inner join (streaming/joins.py): every
+    click paired with the same user's views from the preceding 4 hours,
+    both sides of the self-join watermarked, state bounded by
+    watermark + horizon per Spark's range-condition eviction. In-order
+    replay + inner semantics mean every match present in the data is
+    emitted, so the result must equal the batch range join — the DuckDB
+    oracle states exactly that."""
+    from .streaming.joins import time_bounded_join_stream
+
+    return _replay_stream(
+        spark,
+        _event_order_batches(spark, sf_dir, with_user=True),
+        "event_id bigint, ts timestamp, user_id bigint, event_type string",
+        lambda stream: time_bounded_join_stream(
+            stream, "view", "click", key="user_id",
+            horizon=f"{SJOIN_HORIZON_MIN} minutes", watermark="1 hour",
+        ),
+        "append",
+        "left_id bigint, right_id bigint, user_id bigint, "
+        "left_ts bigint, right_ts bigint",
+        "oqt_sjoin_",
+        pin_mtimes=True,
+    )
+
+
+def _events_stream_join_sql() -> str:
+    return f"""
+SELECT v.event_id AS left_id, c.event_id AS right_id, v.user_id,
+       epoch_us(v.ts) AS left_ts, epoch_us(c.ts) AS right_ts
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL {SJOIN_HORIZON_MIN} MINUTE
+""".strip()
+
+
+KMV_K = 32
+
+
+def q_distinct_kmv(spark, sf_dir):
+    """KMV distinct-count sketch (operators/sketch.kmv_distinct): one-row
+    estimate of the number of distinct document fingerprints. The whole
+    pipeline is deterministic (splitmix64 over the rolling-hash fp), so
+    even the ESTIMATE is value-gated exactly — the DuckDB twin computes
+    the identical k-minima and the identical HUGEINT-exact estimator."""
+    from .operators.sketch import kmv_distinct
+
+    return kmv_distinct(
+        _load(spark, sf_dir, "documents").select("doc_id", "text"), k=KMV_K
+    )
+
+
+def _distinct_kmv_sql() -> str:
+    from .operators.sketch import KMV_DOMAIN_MAX
+
+    code = (
+        "(length(w) * 97 + ascii(substr(w, 1, 1))"
+        " + ascii(substr(w, length(w), 1)) * 31)"
+    )
+    fp = (
+        "list_reduce(list_prepend(0::BIGINT, list_transform("
+        f"string_split(text, ' '), w -> {code}::BIGINT)), "
+        f"(a, b) -> (a * 131 + b) % {doc_ops.MOD})"
+    )
+    h = so.splitmix64_sql("fp")
+    return f"""
+WITH fp_t AS (
+  SELECT {fp} AS fp FROM documents WHERE text IS NOT NULL
+),
+hs AS (SELECT DISTINCT CAST(({h}) >> 1 AS BIGINT) AS h FROM fp_t),
+km AS (SELECT h FROM hs ORDER BY h LIMIT {KMV_K}),
+agg AS (SELECT COUNT(*) AS m, MAX(h) AS kth FROM km)
+SELECT CAST(m AS BIGINT) AS n_sketch, kth AS kth_min,
+       CAST(CASE WHEN m < {KMV_K} THEN m
+            ELSE ({KMV_K - 1}::HUGEINT * {KMV_DOMAIN_MAX}::HUGEINT) // kth::HUGEINT
+       END AS BIGINT) AS est_distinct
+FROM agg
+""".strip()
+
+
+MG_CAP = 64  # ≥ the 31-word synthetic vocab → the sketch is provably exact
+MG_TOPK = 15
+
+
+def q_token_topk(spark, sf_dir):
+    """Misra-Gries heavy hitters (operators/sketch.mg_token_topk): top-15
+    tokens by count via a mergeable cap-64 MG sketch — shuffle volume
+    bounded by partitions×cap, independent of corpus AND vocabulary size.
+    The oracle pins the exact regime (cap ≥ the 31-word vocab ⇒ the MG
+    guarantee forces est=true, err_bound=0); the lossy regime's
+    underestimate/error-bound/no-false-negative guarantees are
+    property-tested in tests/test_sketch.py."""
+    from .operators.sketch import mg_token_topk
+
+    return mg_token_topk(
+        _load(spark, sf_dir, "documents").select("doc_id", "text"),
+        cap=MG_CAP, topk=MG_TOPK,
+    )
+
+
+def _token_topk_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (SELECT token, COUNT(*) AS est_count FROM toks GROUP BY 1)
+SELECT token, CAST(est_count AS BIGINT) AS est_count,
+       CAST(0 AS BIGINT) AS err_bound, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY est_count DESC, token ASC) AS rank
+  FROM c
+) WHERE rank <= {MG_TOPK}
+""".strip()
+
+
 def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3391,6 +3598,10 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "dedup_incremental": q_dedup_incremental,
         "bm25_topk": q_bm25_topk,
+        "pii_scrub": q_pii_scrub,
+        "token_topk": q_token_topk,
+        "distinct_kmv": q_distinct_kmv,
+        "events_stream_join": q_events_stream_join,
     }
 
 
@@ -3427,4 +3638,8 @@ def sweep_oracle_sql() -> dict[str, str]:
         ),
         "dedup_incremental": _dedup_incremental_sql(),
         "bm25_topk": _bm25_sql(),
+        "pii_scrub": _pii_scrub_sql(),
+        "token_topk": _token_topk_sql(),
+        "distinct_kmv": _distinct_kmv_sql(),
+        "events_stream_join": _events_stream_join_sql(),
     }

@@ -540,3 +540,74 @@ def _run_session_merge_case(spark, tmp_path):
     ]
     # exactly ONE row: the fused session, union bounds, all 3 events
     assert got == [(0, 35, "k", 3)]
+
+
+def test_stream_stream_join_semantics(spark, tmp_path):
+    """Time-bounded stream-stream inner join (streaming/joins.py) under
+    controlled arrival order: the horizon's upper bound is EXCLUSIVE
+    (click at exactly view+horizon never matches), equal timestamps match
+    (>= lower bound), an out-of-order view arriving a batch AFTER its
+    click still matches (right-side state held), and a too-late view is
+    NOT retained in state once the watermark has passed its horizon — a
+    click for it arriving in a LATER batch finds nothing. (Two late rows
+    arriving in the SAME batch still match each other — Spark's lateness
+    guarantee for joins, like windows, is one-sided: eviction happens at
+    batch boundaries, verified here by splitting the late pair.)"""
+    import os
+
+    from osmquadtree_spark.streaming.joins import time_bounded_join_stream
+
+    tz_prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        src, chk = str(tmp_path / "src"), str(tmp_path / "chk")
+        batches = [
+            # (event_id, hh:mm, user, type)
+            [(100, "00:00", 2, "view"), (101, "00:30", 2, "click"),  # == bound: excluded
+             (102, "00:05", 3, "view"), (103, "00:05", 3, "click"),  # equal ts: included
+             (104, "00:20", 1, "click")],                            # right before left
+            [(105, "00:12", 1, "view"),                              # out-of-order match
+             (106, "03:00", 9, "view")],                             # heartbeat -> wm 02:00
+            [(107, "00:30", 5, "view")],                             # too late for state
+            [(108, "00:40", 5, "click")],                            # next batch: no match
+        ]
+        for i, rows in enumerate(batches):
+            vals = ", ".join(
+                f"(CAST({e} AS BIGINT), timestamp'2024-01-01 {t}:00', "
+                f"CAST({u} AS BIGINT), '{k}')"
+                for e, t, u, k in rows
+            )
+            spark.sql(
+                f"SELECT * FROM (VALUES {vals}) AS v(event_id, ts, user_id, event_type)"
+            ).coalesce(1).write.parquet(f"{src}/b{i}")
+            d = f"{src}/b{i}"
+            for f_ in os.listdir(d):
+                os.utime(os.path.join(d, f_), (1_700_000_000 + i * 10,) * 2)
+
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, event_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        q = (
+            time_bounded_join_stream(
+                stream, "view", "click", key="user_id",
+                horizon="30 minutes", watermark="1 hour",
+            )
+            .writeStream.format("memory")
+            .queryName("sjoin_sem")
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        got = {
+            (r.left_id, r.right_id)
+            for r in spark.sql("SELECT * FROM sjoin_sem").collect()
+        }
+        assert got == {(102, 103), (105, 104)}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_prev)
