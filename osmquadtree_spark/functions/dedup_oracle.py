@@ -179,3 +179,15 @@ def ann_lsh_soundness_sql(k: int, candidates_path: str) -> str:
           JOIN n q ON q.vec_id = c.query_id
         ) WHERE rank <= {k}
     """
+
+
+def fingerprint_sql(text: str = "text") -> str:
+    """DuckDB twin of docs.fingerprint's rolling hash over ``text``'s
+    words — the ONE definition shared by the text_analysis and
+    distinct_kmv oracles (word code via _word_code_sql, fold base 131
+    mod P; P == docs.MOD)."""
+    return (
+        "list_reduce(list_prepend(0::BIGINT, list_transform("
+        f"string_split({text}, ' '), w -> {_word_code_sql('w')})), "
+        f"(a, b) -> (a * 131 + b) % {P})"
+    )

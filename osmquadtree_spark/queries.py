@@ -1543,9 +1543,6 @@ def _bbox_extract_sql() -> str:
 def _oracle_sql() -> dict[str, str]:
     a, b, c, d = BOX
     x_expr, y_expr = so.xyz_sql(so.round_sql("qt", 8), 8)
-    code = (
-        "(length(w) * 97 + ascii(substr(w, 1, 1)) + ascii(substr(w, length(w), 1)) * 31)"
-    )
     knn_q = " UNION ALL ".join(
         f"SELECT {qid} AS query_id, {lon} AS qlon, {lat} AS qlat" for qid, lon, lat in KNN_QUERIES
     )
@@ -1811,10 +1808,7 @@ def _oracle_sql() -> dict[str, str]:
                      (length(text)::BIGINT * 100) // len(string_split(text, ' '))::BIGINT
                          AS mean_word_len_x100,
                      {', '.join(f"{lang_score[lang]}::BIGINT AS s_{lang}" for lang in langs)},
-                     list_reduce(
-                       list_prepend(0::BIGINT,
-                         list_transform(string_split(text, ' '), w -> {code}::BIGINT)),
-                       (a, b) -> (a * 131 + b) % {doc_ops.MOD}) AS fp
+                     {do.fingerprint_sql("text")} AS fp
               FROM documents
             )""",
         "dedup_exact": """
@@ -3508,15 +3502,7 @@ def q_distinct_kmv(spark, sf_dir):
 def _distinct_kmv_sql() -> str:
     from .operators.sketch import KMV_DOMAIN_MAX
 
-    code = (
-        "(length(w) * 97 + ascii(substr(w, 1, 1))"
-        " + ascii(substr(w, length(w), 1)) * 31)"
-    )
-    fp = (
-        "list_reduce(list_prepend(0::BIGINT, list_transform("
-        f"string_split(text, ' '), w -> {code}::BIGINT)), "
-        f"(a, b) -> (a * 131 + b) % {doc_ops.MOD})"
-    )
+    fp = do.fingerprint_sql("text")  # shared with the text_analysis oracle
     h = so.splitmix64_sql("fp")
     return f"""
 WITH fp_t AS (

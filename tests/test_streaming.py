@@ -552,15 +552,17 @@ def test_stream_stream_join_semantics(spark, tmp_path):
     click for it arriving in a LATER batch finds nothing. (Two late rows
     arriving in the SAME batch still match each other — Spark's lateness
     guarantee for joins, like windows, is one-sided: eviction happens at
-    batch boundaries, verified here by splitting the late pair.)"""
-    import os
+    batch boundaries, verified here by splitting the late pair.)
 
+    Replay plumbing reuses queries._replay_stream(pin_mtimes=True) — the
+    SAME scaffold the production value gate runs on — so this test pins
+    the semantics of the gate's actual delivery mechanism."""
+    from osmquadtree_spark.queries import _replay_stream
     from osmquadtree_spark.streaming.joins import time_bounded_join_stream
 
     tz_prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
-        src, chk = str(tmp_path / "src"), str(tmp_path / "chk")
         batches = [
             # (event_id, hh:mm, user, type)
             [(100, "00:00", 2, "view"), (101, "00:30", 2, "click"),  # == bound: excluded
@@ -571,43 +573,33 @@ def test_stream_stream_join_semantics(spark, tmp_path):
             [(107, "00:30", 5, "view")],                             # too late for state
             [(108, "00:40", 5, "click")],                            # next batch: no match
         ]
-        for i, rows in enumerate(batches):
-            vals = ", ".join(
-                f"(CAST({e} AS BIGINT), timestamp'2024-01-01 {t}:00', "
-                f"CAST({u} AS BIGINT), '{k}')"
-                for e, t, u, k in rows
-            )
+        dfs = [
             spark.sql(
-                f"SELECT * FROM (VALUES {vals}) AS v(event_id, ts, user_id, event_type)"
-            ).coalesce(1).write.parquet(f"{src}/b{i}")
-            d = f"{src}/b{i}"
-            for f_ in os.listdir(d):
-                os.utime(os.path.join(d, f_), (1_700_000_000 + i * 10,) * 2)
-
-        stream = (
-            spark.readStream.schema(
-                "event_id bigint, ts timestamp, user_id bigint, event_type string"
+                "SELECT * FROM (VALUES "
+                + ", ".join(
+                    f"(CAST({e} AS BIGINT), timestamp'2024-01-01 {t}:00', "
+                    f"CAST({u} AS BIGINT), '{k}')"
+                    for e, t, u, k in rows
+                )
+                + ") AS v(event_id, ts, user_id, event_type)"
             )
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src + "/*")
-        )
-        q = (
-            time_bounded_join_stream(
+            for rows in batches
+        ]
+        res = _replay_stream(
+            spark,
+            dfs,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string",
+            lambda stream: time_bounded_join_stream(
                 stream, "view", "click", key="user_id",
                 horizon="30 minutes", watermark="1 hour",
-            )
-            .writeStream.format("memory")
-            .queryName("sjoin_sem")
-            .outputMode("append")
-            .option("checkpointLocation", chk)
-            .trigger(availableNow=True)
-            .start()
+            ),
+            "append",
+            "left_id bigint, right_id bigint, user_id bigint, "
+            "left_ts bigint, right_ts bigint",
+            "oqt_sjoin_sem_",
+            pin_mtimes=True,
         )
-        assert q.awaitTermination(180)
-        got = {
-            (r.left_id, r.right_id)
-            for r in spark.sql("SELECT * FROM sjoin_sem").collect()
-        }
+        got = {(r.left_id, r.right_id) for r in res.collect()}
         assert got == {(102, 103), (105, 104)}
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz_prev)
