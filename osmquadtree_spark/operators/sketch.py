@@ -1,5 +1,5 @@
-"""Mergeable frequency sketches: Misra-Gries heavy hitters over a token
-stream.
+"""Mergeable sketches: Misra-Gries heavy hitters, KMV distinct count,
+and a deterministic MRL-style quantile summary.
 
 The 100-TB problem this solves: "top tokens / domains / n-grams by count"
 over a corpus whose DISTINCT key set is itself too large to shuffle
@@ -202,3 +202,139 @@ def kmv_distinct(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
         .otherwise(est_udf(F.col("kth")))
         .alias("est_distinct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quantile summary (deterministic MRL-style weighted sample)
+# --------------------------------------------------------------------------
+#
+# The 100-TB shape: "give me the p1/p50/p99 document length" for
+# length-filter cutoffs without a global sort. Each partition sorts its
+# OWN values once (the same memory envelope as sortWithinPartitions: one
+# int64 column) and collapses them to at most ``k`` weighted rows by rank
+# striding — segment j of the rank space [j·m/k, (j+1)·m/k) is represented
+# by its midpoint element carrying the segment's weight (the
+# Manku–Rajagopalan–Lindsay collapse step, SIGMOD'98 — public literature).
+# The merge is a plain union of weighted rows (mergeable summary), so the
+# query phase sees ≤ partitions×k rows — sketch-bounded, never data-bounded.
+#
+# Guarantees (deterministic, no randomness anywhere):
+# - a value reported for target rank r has true rank within
+#   Σ_p ceil(m_p/k) of r (one collapse per partition, each displacing a
+#   rank by at most its segment width ceil(m_p/k));
+# - when EVERY partition holds ≤ k values no collapse fires, every sample
+#   has weight 1 and the reported quantiles are EXACT rank statistics —
+#   the regime the DuckDB value-parity oracle pins at driver scale;
+# - `compact_summary` (for recursive merges) adds ≤ ceil(W/k) more
+#   displacement per application, W = total weight at that compaction.
+
+
+def _stride_collapse(vals, wts, k: int):
+    """Collapse sorted weighted samples (vals ascending, wts ≥ 1 aligned)
+    to ≤ k rows by rank striding. Weights are conserved exactly
+    (Σ out = Σ in); each output row is the element covering its segment's
+    midpoint rank."""
+    import numpy as np
+
+    total = int(wts.sum())
+    if len(vals) <= k:
+        return vals, wts
+    bounds = (np.arange(k + 1, dtype=np.int64) * total) // k
+    seg_w = np.diff(bounds)
+    mid_rank = (bounds[:-1] + bounds[1:] + 1) // 2  # 1-indexed midpoint
+    cum = np.cumsum(wts)
+    idx = np.searchsorted(cum, mid_rank, side="left")
+    keep = seg_w > 0
+    return vals[idx[keep]], seg_w[keep]
+
+
+def quantile_summary(values: DataFrame, k: int, value_col: str = "val") -> DataFrame:
+    """Per-partition quantile summaries: (value bigint, weight bigint),
+    ≤ k rows per input partition. One Arrow stage, no shuffle — the
+    summary is a pure map over the scan."""
+    import numpy as np
+
+    if k < 2:
+        raise ValueError(f"quantile_summary k must be >= 2, got {k}")
+
+    def gen(batches):
+        chunks = []
+        for pdf in batches:
+            chunks.append(pdf[value_col].to_numpy("int64"))
+        if not chunks:
+            return
+        vals = np.sort(np.concatenate(chunks))
+        out_v, out_w = _stride_collapse(vals, np.ones(len(vals), np.int64), k)
+        yield pd.DataFrame({"value": out_v, "weight": out_w})
+
+    return values.select(F.col(value_col).alias(value_col)).mapInPandas(
+        gen, "value bigint, weight bigint"
+    )
+
+
+def compact_summary(summary: DataFrame, k: int) -> DataFrame:
+    """Re-collapse a (possibly merged) weighted summary to ≤ k rows — the
+    recursive-merge step. Input is sketch-bounded by construction, so the
+    single-partition pass is safe at any corpus size."""
+    import numpy as np
+
+    def gen(batches):
+        vs, ws = [], []
+        for pdf in batches:
+            vs.append(pdf["value"].to_numpy("int64"))
+            ws.append(pdf["weight"].to_numpy("int64"))
+        if not vs:
+            return
+        v = np.concatenate(vs)
+        w = np.concatenate(ws)
+        order = np.argsort(v, kind="stable")
+        out_v, out_w = _stride_collapse(v[order], w[order], k)
+        yield pd.DataFrame({"value": out_v, "weight": out_w})
+
+    return summary.repartition(1).mapInPandas(gen, "value bigint, weight bigint")
+
+
+def quantile_values(summary: DataFrame, phis_x1000) -> DataFrame:
+    """Query a weighted summary for the given quantiles: (phi_x1000 int,
+    q_value bigint), q_value = the summary element covering target rank
+    r = max(1, ceil(phi·W/1000)), W = total weight. The unpartitioned
+    windows and the broadcast cross join run over ≤ partitions×k summary
+    rows — sketch-bounded, documented safe like the MG trim above."""
+    spark = summary.sparkSession
+    cum_w = Window.orderBy("value", "weight").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = summary.select(
+        "value",
+        F.sum("weight").over(cum_w).alias("cum"),
+        F.sum("weight").over(Window.partitionBy()).alias("w_total"),
+    )
+    phis = spark.createDataFrame(
+        [(int(p),) for p in phis_x1000], "phi_x1000 int"
+    )
+    target = F.greatest(
+        F.expr("(cast(phi_x1000 as bigint) * w_total + 999) div 1000"),
+        F.lit(1).cast("bigint"),
+    )
+    return (
+        cum.join(F.broadcast(phis))
+        .filter(F.col("cum") >= target)
+        .groupBy("phi_x1000")
+        .agg(F.min("value").alias("q_value"))
+    )
+
+
+def doc_length_quantiles(
+    docs: DataFrame, phis_x1000, k: int, text_col: str = "text"
+) -> DataFrame:
+    """Document-length quantiles via the mergeable summary: the
+    length-cutoff planning query a training pipeline runs before setting
+    min/max length filters. NULL text is excluded (it has no length)."""
+    from .docs import balanced
+
+    values = (
+        balanced(docs)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.length(text_col).cast("bigint").alias("val"))
+    )
+    return quantile_values(quantile_summary(values, k), phis_x1000)

@@ -3519,6 +3519,41 @@ FROM agg
 """.strip()
 
 
+QUANTILE_PHIS = (10, 50, 250, 500, 750, 950, 990)  # phi × 1000
+QUANTILE_K = 4096  # ≥ any per-partition row count at driver scales ⇒ exact
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    """Document-length quantiles via the deterministic MRL-style weighted
+    summary (operators/sketch.quantile_summary): per-partition sort +
+    rank-stride collapse in one Arrow stage, sketch-bounded merge + window
+    rank query. With k ≥ every partition's row count no collapse fires and
+    the reported values are EXACT rank statistics — the regime the DuckDB
+    twin pins (rank r = max(1, ceil(phi·n/1000)), identical integer
+    formula both sides). The lossy regime's displacement bound is
+    property-tested in tests/test_sketch.py."""
+    from .operators.sketch import doc_length_quantiles
+
+    return doc_length_quantiles(
+        _load(spark, sf_dir, "documents").select("doc_id", "text"),
+        phis_x1000=QUANTILE_PHIS,
+        k=QUANTILE_K,
+    )
+
+
+def _doc_length_quantiles_sql() -> str:
+    phis = ", ".join(f"({p})" for p in QUANTILE_PHIS)
+    return f"""
+WITH v AS (SELECT length(text)::BIGINT AS val FROM documents WHERE text IS NOT NULL),
+n AS (SELECT COUNT(*)::BIGINT AS c FROM v),
+ranked AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM v),
+phis(phi_x1000) AS (VALUES {phis})
+SELECT CAST(p.phi_x1000 AS INT) AS phi_x1000, r.val AS q_value
+FROM phis p CROSS JOIN n
+JOIN ranked r ON r.rn = GREATEST((CAST(p.phi_x1000 AS BIGINT) * n.c + 999) // 1000, 1)
+""".strip()
+
+
 MG_CAP = 64  # ≥ the 31-word synthetic vocab → the sketch is provably exact
 MG_TOPK = 15
 
@@ -3587,6 +3622,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "token_topk": q_token_topk,
         "distinct_kmv": q_distinct_kmv,
+        "doc_length_quantiles": q_doc_length_quantiles,
         "events_stream_join": q_events_stream_join,
     }
 
@@ -3627,5 +3663,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_sql(),
         "token_topk": _token_topk_sql(),
         "distinct_kmv": _distinct_kmv_sql(),
+        "doc_length_quantiles": _doc_length_quantiles_sql(),
         "events_stream_join": _events_stream_join_sql(),
     }

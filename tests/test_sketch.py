@@ -212,3 +212,139 @@ def test_kmv_empty_corpus(spark):
     row = kmv_distinct(empty, k=8).collect()[0]
     assert row["n_sketch"] == 0 and row["est_distinct"] == 0
     assert row["kth_min"] is None
+
+
+# ---------------------------------------------------------------------------
+# quantile summary
+# ---------------------------------------------------------------------------
+
+PHIS = (10, 50, 250, 500, 750, 950, 990)
+
+
+def _vals_df(spark, vals, partitions):
+    return spark.createDataFrame(
+        pd.DataFrame({"val": vals}), "val bigint"
+    ).repartition(partitions)
+
+
+def _exact_rank_values(vals_sorted, phis):
+    n = len(vals_sorted)
+    return {p: int(vals_sorted[max(1, -(-p * n // 1000)) - 1]) for p in phis}
+
+
+def test_quantile_exact_regime(spark):
+    """Every partition ≤ k ⇒ no collapse, weight-1 samples, EXACT rank
+    statistics — the regime the driver oracle pins."""
+    import numpy as np
+
+    from osmquadtree_spark.operators.sketch import (
+        quantile_summary,
+        quantile_values,
+    )
+
+    vals = [(i * 2654435761) % 997 for i in range(500)]
+    df = _vals_df(spark, vals, 4)
+    got = {
+        r["phi_x1000"]: r["q_value"]
+        for r in quantile_values(quantile_summary(df, k=1024), PHIS).collect()
+    }
+    assert got == _exact_rank_values(np.sort(np.array(vals)), PHIS)
+
+
+def test_quantile_exact_regime_partition_invariant(spark):
+    from osmquadtree_spark.operators.sketch import (
+        quantile_summary,
+        quantile_values,
+    )
+
+    vals = [(i * 48271) % 1201 for i in range(800)]
+    outs = []
+    for parts in (1, 3, 16):
+        df = _vals_df(spark, vals, parts)
+        outs.append(
+            sorted(
+                tuple(r)
+                for r in quantile_values(
+                    quantile_summary(df, k=2048), PHIS
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_quantile_lossy_regime_displacement_bound(spark):
+    """k ≪ partition sizes: the reported value's true rank range must lie
+    within Σ_p ceil(m_p/k) of the target rank (one collapse per partition,
+    ≤ one segment width of displacement each). Bound used: P + n//k ≥
+    Σ ceil(m_p/k)."""
+    import numpy as np
+
+    from osmquadtree_spark.operators.sketch import (
+        quantile_summary,
+        quantile_values,
+    )
+
+    n, parts, k = 60_000, 12, 64
+    vals = np.array([(i * 2654435761) % 1_000_003 for i in range(n)], np.int64)
+    df = _vals_df(spark, vals.tolist(), parts)
+    rows = quantile_values(quantile_summary(df, k=k), PHIS).collect()
+    assert len(rows) == len(PHIS)
+    s = np.sort(vals)
+    bound = parts + n // k
+    for r in rows:
+        target = max(1, -(-r["phi_x1000"] * n // 1000))
+        lo = int(np.searchsorted(s, r["q_value"], side="left")) + 1
+        hi = int(np.searchsorted(s, r["q_value"], side="right"))
+        assert lo - bound <= target <= hi + bound, (r, target, lo, hi, bound)
+
+
+def test_quantile_merge_and_compact(spark):
+    """Mergeability: union of two halves' summaries answers exactly in the
+    exact regime; compact_summary conserves total weight and adds at most
+    ceil(W/k) displacement."""
+    import numpy as np
+
+    from osmquadtree_spark.operators.sketch import (
+        compact_summary,
+        quantile_summary,
+        quantile_values,
+    )
+
+    vals = [(i * 69621) % 4099 for i in range(2000)]
+    a = quantile_summary(_vals_df(spark, vals[:1000], 2), k=4096)
+    b = quantile_summary(_vals_df(spark, vals[1000:], 2), k=4096)
+    merged = a.unionByName(b)
+    got = {
+        r["phi_x1000"]: r["q_value"]
+        for r in quantile_values(merged, PHIS).collect()
+    }
+    s = np.sort(np.array(vals))
+    assert got == _exact_rank_values(s, PHIS)
+
+    k2 = 128
+    compacted = compact_summary(merged, k2)
+    crows = compacted.collect()
+    assert len(crows) <= k2
+    assert sum(r["weight"] for r in crows) == len(vals)  # weight conserved
+    bound = -(-len(vals) // k2)
+    for r in quantile_values(compacted, PHIS).collect():
+        target = max(1, -(-r["phi_x1000"] * len(vals) // 1000))
+        lo = int(np.searchsorted(s, r["q_value"], side="left")) + 1
+        hi = int(np.searchsorted(s, r["q_value"], side="right"))
+        assert lo - bound <= target <= hi + bound
+
+
+def test_quantile_empty_and_null_text(spark):
+    from osmquadtree_spark.operators.sketch import (
+        doc_length_quantiles,
+        quantile_summary,
+    )
+
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id bigint, text string"
+    )
+    assert doc_length_quantiles(all_null, PHIS, k=64).count() == 0
+    empty = spark.createDataFrame([], "val bigint")
+    assert quantile_summary(empty, k=64).count() == 0
+    with pytest.raises(ValueError):
+        quantile_summary(empty, k=1)
