@@ -656,3 +656,53 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         counts["phone"].alias("n_phones"),
         counts["ip"].alias("n_ips"),
     )
+
+
+# BPE-style pre-tokenizer split pattern (the GPT-2 pre-tokenizer shape —
+# public: contractions, space-prefixed letter runs, digit runs, punctuation
+# runs, whitespace — restricted to the java.util.regex ∩ RE2 dialect subset
+# like PII_PATTERNS above: no lookahead, so the trailing-space refinement
+# `\s+(?!\S)` of the original is dropped; both engines scan leftmost-first
+# with in-order alternation, so non-overlapping match COUNTS agree exactly).
+BPE_SPLIT_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?[A-Za-z]+"
+    "| ?[0-9]+"
+    "| ?[^A-Za-z0-9\\s]+"
+    "|\\s+"
+)
+
+
+def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens_ws, n_tokens_bpe, chars_per_tok_x100): token
+    counting under BOTH conventions a training pipeline budgets with — the
+    whitespace split and a BPE-style pre-tokenizer regex — plus the
+    integer chars-per-token ratio (the standard "≈4 chars/token" budgeting
+    statistic, ×100).
+
+    Entirely JVM-side like pii_scrub (one `regexp_count` + `split`
+    projection inside whole-stage codegen, no Python, no shuffle — a pure
+    map over the scan at 10^12 docs). NULL text propagates NULL on every
+    column; a zero BPE count (empty text) yields NULL ratio.
+    """
+    txt = F.col(text_col)
+    n_ws = F.size(F.split(txt, " ")).cast("bigint")
+    n_bpe = F.regexp_count(txt, F.lit(BPE_SPLIT_PATTERN)).cast("bigint")
+    base = docs.select(
+        "doc_id",
+        n_ws.alias("n_tokens_ws"),
+        n_bpe.alias("n_tokens_bpe"),
+        F.length(txt).cast("bigint").alias("_nc"),
+    )
+    # integer `div` (not float /) so the ratio is bit-identical to the
+    # DuckDB twin's `//`; Catalyst collapses the two projections into one
+    ratio = F.when(
+        F.col("n_tokens_bpe") > 0,
+        F.expr("(_nc * cast(100 as bigint)) div n_tokens_bpe"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        ratio.alias("chars_per_tok_x100"),
+    )

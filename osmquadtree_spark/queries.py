@@ -3519,6 +3519,49 @@ FROM agg
 """.strip()
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    """Token counting under both budgeting conventions (docs.
+    bpe_token_stats): whitespace tokens and a BPE-style pre-tokenizer
+    regex count (GPT-2 pre-tokenizer shape, restricted to the
+    java.util.regex ∩ RE2 dialect subset), plus the integer
+    chars-per-token ratio. The corpus is word salad, so a doc_id-derived
+    decoration (contraction + digits + punctuation) is appended — same
+    fixture pattern as the PII gate — to exercise every alternation
+    branch; one codegen projection, zero shuffles (plan-gated)."""
+    from .operators.docs import bpe_token_stats
+
+    d = F.col("doc_id")
+    injected = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" it's v"),
+            d.cast("string"),
+            F.lit(".0; end"),
+        ).alias("text"),
+    )
+    return bpe_token_stats(injected)
+
+
+def _bpe_token_stats_sql() -> str:
+    from .operators.docs import BPE_SPLIT_PATTERN
+
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    n_bpe = f"len(regexp_extract_all(t, '{pat}'))::BIGINT"
+    return f"""
+WITH inj AS (
+  SELECT doc_id, text || ' it''s v' || CAST(doc_id AS VARCHAR) || '.0; end' AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(string_split(t, ' '))::BIGINT AS n_tokens_ws,
+       {n_bpe} AS n_tokens_bpe,
+       CASE WHEN {n_bpe} > 0
+            THEN (length(t)::BIGINT * 100) // {n_bpe} END AS chars_per_tok_x100
+FROM inj
+""".strip()
+
+
 QUANTILE_PHIS = (10, 50, 250, 500, 750, 950, 990)  # phi × 1000
 QUANTILE_K = 4096  # ≥ any per-partition row count at driver scales ⇒ exact
 
@@ -3623,6 +3666,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": q_token_topk,
         "distinct_kmv": q_distinct_kmv,
         "doc_length_quantiles": q_doc_length_quantiles,
+        "bpe_token_stats": q_bpe_token_stats,
         "events_stream_join": q_events_stream_join,
     }
 
@@ -3664,5 +3708,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "token_topk": _token_topk_sql(),
         "distinct_kmv": _distinct_kmv_sql(),
         "doc_length_quantiles": _doc_length_quantiles_sql(),
+        "bpe_token_stats": _bpe_token_stats_sql(),
         "events_stream_join": _events_stream_join_sql(),
     }

@@ -153,6 +153,62 @@ def test_pii_scrub_regex_dialect_parity():
             assert py == dk, (pat, s, py, dk)
 
 
+def test_bpe_regex_dialect_parity():
+    """BPE_SPLIT_PATTERN must count identically in Python re (superset of
+    java.util.regex here) and DuckDB's RE2 on probes covering every
+    alternation branch, including the leftmost-first tie cases
+    (contraction vs punctuation at an apostrophe, double spaces)."""
+    import re
+
+    import duckdb
+
+    from osmquadtree_spark.operators.docs import BPE_SPLIT_PATTERN
+
+    probes = [
+        "it's done", "don't-stop", "a  b", "v1.2; x", "hello world",
+        "42", " leading", "trailing ", "a'x", "''", "a,b.c!d", "",
+        "mixed42text", "tabs\tand\nnewlines",
+    ]
+    con = duckdb.connect()
+    for s in probes:
+        py = len(re.findall(BPE_SPLIT_PATTERN, s))
+        dk = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [s, BPE_SPLIT_PATTERN]
+        ).fetchone()[0]
+        assert py == dk, (s, py, dk)
+
+
+def test_bpe_token_stats_values_and_nulls(spark):
+    """Hand-checked counts on a tiny corpus + NULL propagation (NULL text
+    ⇒ every derived column NULL; empty text ⇒ zero counts, NULL ratio)."""
+    from osmquadtree_spark.operators.docs import bpe_token_stats
+
+    docs = spark.createDataFrame(
+        [(1, "it's a test"), (2, None), (3, ""), (4, "abc12!")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in bpe_token_stats(docs).collect()}
+    # "it's a test": [it]["'s"][ a][ test] = 4 BPE tokens, 3 ws tokens
+    assert got[1]["n_tokens_ws"] == 3 and got[1]["n_tokens_bpe"] == 4
+    assert got[1]["chars_per_tok_x100"] == 11 * 100 // 4
+    assert all(got[2][c] is None for c in
+               ("n_tokens_ws", "n_tokens_bpe", "chars_per_tok_x100"))
+    # split("") yields one empty token in both engines; zero BPE matches
+    assert got[3]["n_tokens_ws"] == 1 and got[3]["n_tokens_bpe"] == 0
+    assert got[3]["chars_per_tok_x100"] is None
+    # "abc12!": [abc][12][!] = 3 BPE tokens
+    assert got[4]["n_tokens_bpe"] == 3
+
+
+def test_bpe_plan_is_pure_projection(spark, sf_dir):
+    """One codegen'd projection over the scan: no Exchange, no Python."""
+    plan = _plan(Q.q_bpe_token_stats(spark, sf_dir))
+    assert "Exchange" not in plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "*(1) Project" in plan
+
+
 def test_pii_plan_is_pure_projection(spark, sf_dir):
     """The scrub (fixture injection included) must stay one codegen'd
     projection over the scan: no Exchange, no Python stage of any kind."""
