@@ -324,6 +324,88 @@ def quantile_values(summary: DataFrame, phis_x1000) -> DataFrame:
     )
 
 
+def grouped_quantile_summary(
+    values: DataFrame, k: int, key_col: str = "key", value_col: str = "val"
+) -> DataFrame:
+    """Per-key quantile summaries: (key string, value bigint,
+    weight bigint), ≤ k rows per key per input partition. Still ONE
+    shuffle-free Arrow stage — each partition sorts its rows by
+    (key, value) and stride-collapses every key's run independently;
+    the merge stays a plain union. NULL keys are excluded (no group).
+    Exact when every (partition, key) run holds ≤ k values."""
+    import numpy as np
+
+    if k < 2:
+        raise ValueError(f"grouped_quantile_summary k must be >= 2, got {k}")
+
+    def gen(batches):
+        kc, vc = [], []
+        for pdf in batches:
+            kc.append(pdf[key_col].to_numpy(dtype="str"))
+            vc.append(pdf[value_col].to_numpy("int64"))
+        if not kc:
+            return
+        keys = np.concatenate(kc)
+        vals = np.concatenate(vc)
+        order = np.lexsort((vals, keys))
+        keys, vals = keys[order], vals[order]
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        out_k, out_v, out_w = [], [], []
+        for s, e in zip(starts, ends):
+            v, w = _stride_collapse(
+                vals[s:e], np.ones(e - s, np.int64), k
+            )
+            out_k.append(np.full(len(v), keys[s]))
+            out_v.append(v)
+            out_w.append(w)
+        if out_k:
+            yield pd.DataFrame(
+                {
+                    "key": np.concatenate(out_k),
+                    "value": np.concatenate(out_v),
+                    "weight": np.concatenate(out_w),
+                }
+            )
+
+    return (
+        values.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias(key_col), F.col(value_col).alias(value_col))
+        .mapInPandas(gen, "key string, value bigint, weight bigint")
+    )
+
+
+def grouped_quantile_values(summary: DataFrame, phis_x1000) -> DataFrame:
+    """Query a grouped summary: (key, phi_x1000, q_value) — the windows
+    partition by key, so the rank query parallelizes across keys and each
+    key's window spans ≤ partitions×k summary rows."""
+    spark = summary.sparkSession
+    cum_w = (
+        Window.partitionBy("key")
+        .orderBy("value", "weight")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = summary.select(
+        "key",
+        "value",
+        F.sum("weight").over(cum_w).alias("cum"),
+        F.sum("weight").over(Window.partitionBy("key")).alias("w_total"),
+    )
+    phis = spark.createDataFrame(
+        [(int(p),) for p in phis_x1000], "phi_x1000 int"
+    )
+    target = F.greatest(
+        F.expr("(cast(phi_x1000 as bigint) * w_total + 999) div 1000"),
+        F.lit(1).cast("bigint"),
+    )
+    return (
+        cum.join(F.broadcast(phis))
+        .filter(F.col("cum") >= target)
+        .groupBy("key", "phi_x1000")
+        .agg(F.min("value").alias("q_value"))
+    )
+
+
 def doc_length_quantiles(
     docs: DataFrame, phis_x1000, k: int, text_col: str = "text"
 ) -> DataFrame:

@@ -3597,6 +3597,49 @@ JOIN ranked r ON r.rn = GREATEST((CAST(p.phi_x1000 AS BIGINT) * n.c + 999) // 10
 """.strip()
 
 
+def q_doc_length_quantiles_by_lang(spark, sf_dir):
+    """Per-language document-length quantiles via the grouped summary
+    (operators/sketch.grouped_quantile_summary): each partition collapses
+    every language's run independently inside the same single Arrow
+    stage; the rank query windows partition BY key, so it parallelizes
+    across languages. Same exact-regime contract as the ungrouped gate
+    (k ≥ every per-partition per-key run)."""
+    from .operators.sketch import grouped_quantile_summary, grouped_quantile_values
+
+    values = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("lang").alias("key"),
+            F.length("text").cast("bigint").alias("val"),
+        )
+    )
+    return grouped_quantile_values(
+        grouped_quantile_summary(values, QUANTILE_K), QUANTILE_PHIS
+    ).withColumnRenamed("key", "lang")
+
+
+def _doc_length_quantiles_by_lang_sql() -> str:
+    phis = ", ".join(f"({p})" for p in QUANTILE_PHIS)
+    return f"""
+WITH v AS (
+  SELECT lang, length(text)::BIGINT AS val FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+n AS (SELECT lang, COUNT(*)::BIGINT AS c FROM v GROUP BY lang),
+ranked AS (
+  SELECT lang, val, row_number() OVER (PARTITION BY lang ORDER BY val) AS rn
+  FROM v
+),
+phis(phi_x1000) AS (VALUES {phis})
+SELECT r.lang, CAST(p.phi_x1000 AS INT) AS phi_x1000, r.val AS q_value
+FROM phis p
+CROSS JOIN n
+JOIN ranked r ON r.lang = n.lang
+ AND r.rn = GREATEST((CAST(p.phi_x1000 AS BIGINT) * n.c + 999) // 1000, 1)
+""".strip()
+
+
 MG_CAP = 64  # ≥ the 31-word synthetic vocab → the sketch is provably exact
 MG_TOPK = 15
 
@@ -3666,6 +3709,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": q_token_topk,
         "distinct_kmv": q_distinct_kmv,
         "doc_length_quantiles": q_doc_length_quantiles,
+        "doc_length_quantiles_by_lang": q_doc_length_quantiles_by_lang,
         "bpe_token_stats": q_bpe_token_stats,
         "events_stream_join": q_events_stream_join,
     }
@@ -3708,6 +3752,7 @@ def sweep_oracle_sql() -> dict[str, str]:
         "token_topk": _token_topk_sql(),
         "distinct_kmv": _distinct_kmv_sql(),
         "doc_length_quantiles": _doc_length_quantiles_sql(),
+        "doc_length_quantiles_by_lang": _doc_length_quantiles_by_lang_sql(),
         "bpe_token_stats": _bpe_token_stats_sql(),
         "events_stream_join": _events_stream_join_sql(),
     }

@@ -390,6 +390,62 @@ def test_quantile_merge_and_compact(spark):
         assert lo - bound <= target <= hi + bound
 
 
+def test_grouped_quantile_exact_regime_and_null_keys(spark):
+    """Per-key exact-regime parity vs the ungrouped sketch run key by key;
+    NULL keys are excluded entirely."""
+    import numpy as np
+
+    from osmquadtree_spark.operators.sketch import (
+        grouped_quantile_summary,
+        grouped_quantile_values,
+    )
+
+    rows = [("k%d" % (i % 3), (i * 2654435761) % 1009) for i in range(600)]
+    rows += [(None, 10**9)] * 5  # must not appear in any group
+    df = spark.createDataFrame(rows, "key string, val bigint").repartition(4)
+    got = {
+        (r["key"], r["phi_x1000"]): r["q_value"]
+        for r in grouped_quantile_values(
+            grouped_quantile_summary(df, k=1024), PHIS
+        ).collect()
+    }
+    assert set(k for k, _ in got) == {"k0", "k1", "k2"}
+    for key in ("k0", "k1", "k2"):
+        vals = np.sort(np.array([v for k, v in rows[:600] if k == key]))
+        exact = _exact_rank_values(vals, PHIS)
+        for p in PHIS:
+            assert got[(key, p)] == exact[p], (key, p)
+
+
+def test_grouped_quantile_lossy_bound_per_key(spark):
+    import numpy as np
+
+    from osmquadtree_spark.operators.sketch import (
+        grouped_quantile_summary,
+        grouped_quantile_values,
+    )
+
+    n, parts, k = 40_000, 8, 32
+    rows = [("g%d" % (i % 2), (i * 48271) % 999_983) for i in range(n)]
+    df = spark.createDataFrame(rows, "key string, val bigint").repartition(parts)
+    out = grouped_quantile_values(
+        grouped_quantile_summary(df, k=k), PHIS
+    ).collect()
+    assert len(out) == 2 * len(PHIS)
+    per_key = {
+        key: np.sort(np.array([v for kk, v in rows if kk == key]))
+        for key in ("g0", "g1")
+    }
+    for r in out:
+        s = per_key[r["key"]]
+        m = len(s)
+        bound = parts + m // k
+        target = max(1, -(-r["phi_x1000"] * m // 1000))
+        lo = int(np.searchsorted(s, r["q_value"], side="left")) + 1
+        hi = int(np.searchsorted(s, r["q_value"], side="right"))
+        assert lo - bound <= target <= hi + bound, (r, target, lo, hi, bound)
+
+
 def test_quantile_empty_and_null_text(spark):
     from osmquadtree_spark.operators.sketch import (
         doc_length_quantiles,
