@@ -40,12 +40,21 @@ LANG_MARKERS = {
 }
 
 
+def ws_token_count(col) -> "F.Column":
+    """THE whitespace token-count convention (single-space split; NULL
+    text ⇒ NULL count), defined once — token_count, text_quality,
+    text_analysis and bpe_token_stats all derive from it."""
+    return F.size(F.split(F.col(col) if isinstance(col, str) else col, " ")).cast(
+        "bigint"
+    )
+
+
 def token_count(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, n_chars): whitespace tokenization (single-space
     corpus) — the baseline token-counting stage."""
     return docs.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        ws_token_count("text").alias("n_tokens"),
         F.length("text").cast("bigint").alias("n_chars_computed"),
     )
 
@@ -686,7 +695,7 @@ def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     column; a zero BPE count (empty text) yields NULL ratio.
     """
     txt = F.col(text_col)
-    n_ws = F.size(F.split(txt, " ")).cast("bigint")
+    n_ws = ws_token_count(txt)
     n_bpe = F.regexp_count(txt, F.lit(BPE_SPLIT_PATTERN)).cast("bigint")
     base = docs.select(
         "doc_id",

@@ -209,24 +209,31 @@ def kmv_distinct(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
 # --------------------------------------------------------------------------
 #
 # The 100-TB shape: "give me the p1/p50/p99 document length" for
-# length-filter cutoffs without a global sort. Each partition sorts its
-# OWN values once (the same memory envelope as sortWithinPartitions: one
-# int64 column) and collapses them to at most ``k`` weighted rows by rank
-# striding — segment j of the rank space [j·m/k, (j+1)·m/k) is represented
-# by its midpoint element carrying the segment's weight (the
-# Manku–Rajagopalan–Lindsay collapse step, SIGMOD'98 — public literature).
-# The merge is a plain union of weighted rows (mergeable summary), so the
-# query phase sees ≤ partitions×k rows — sketch-bounded, never data-bounded.
+# length-filter cutoffs without a global sort. Each partition buffers at
+# most ``chunk`` raw values (8·chunk transient bytes in the Python worker
+# — bounded state like the MG/KMV gens above, NOT the whole partition),
+# sorts each full buffer once and collapses it to at most ``k`` weighted
+# rows by rank striding — segment j of the rank space
+# [j·m/k, (j+1)·m/k) is represented by its midpoint element carrying the
+# segment's weight (the Manku–Rajagopalan–Lindsay collapse step,
+# SIGMOD'98 — public literature). Chunks are emitted independently, so
+# the merge stays a plain union of weighted rows (mergeable summary) and
+# the query phase sees ≤ Σ_p k·ceil(m_p/chunk) rows — bounded by
+# N·k/chunk, never by N itself (compact_summary shrinks it further when
+# a recursive merge wants a fixed-size summary).
 #
 # Guarantees (deterministic, no randomness anywhere):
 # - a value reported for target rank r has true rank within
-#   Σ_p ceil(m_p/k) of r (one collapse per partition, each displacing a
-#   rank by at most its segment width ceil(m_p/k));
+#   Σ_c ceil(m_c/k) ≤ N/k + #chunks of r — stride displacement is
+#   additive across DISJOINT chunks exactly as across partitions, so
+#   chunking changes the memory envelope, not the bound;
 # - when EVERY partition holds ≤ k values no collapse fires, every sample
 #   has weight 1 and the reported quantiles are EXACT rank statistics —
 #   the regime the DuckDB value-parity oracle pins at driver scale;
 # - `compact_summary` (for recursive merges) adds ≤ ceil(W/k) more
-#   displacement per application, W = total weight at that compaction.
+#   displacement per application, W = total weight at that compaction;
+# - NULL values carry no rank and are excluded (filtered before the
+#   Arrow stage, like every sketch input in this module).
 
 
 def _stride_collapse(vals, wts, k: int):
@@ -248,27 +255,49 @@ def _stride_collapse(vals, wts, k: int):
     return vals[idx[keep]], seg_w[keep]
 
 
-def quantile_summary(values: DataFrame, k: int, value_col: str = "val") -> DataFrame:
+QUANTILE_CHUNK = 1 << 22  # 4M values ≈ 32 MB buffered per worker
+
+
+def quantile_summary(
+    values: DataFrame, k: int, value_col: str = "val", chunk: int = QUANTILE_CHUNK
+) -> DataFrame:
     """Per-partition quantile summaries: (value bigint, weight bigint),
-    ≤ k rows per input partition. One Arrow stage, no shuffle — the
-    summary is a pure map over the scan."""
+    ≤ k·ceil(m_p/chunk) rows per input partition. One Arrow stage, no
+    shuffle — the summary is a pure map over the scan with O(chunk)
+    worker memory. NULL values are excluded (no rank)."""
     import numpy as np
 
     if k < 2:
         raise ValueError(f"quantile_summary k must be >= 2, got {k}")
+    if chunk < k:
+        raise ValueError(f"chunk ({chunk}) must be >= k ({k})")
 
     def gen(batches):
-        chunks = []
-        for pdf in batches:
-            chunks.append(pdf[value_col].to_numpy("int64"))
-        if not chunks:
-            return
-        vals = np.sort(np.concatenate(chunks))
-        out_v, out_w = _stride_collapse(vals, np.ones(len(vals), np.int64), k)
-        yield pd.DataFrame({"value": out_v, "weight": out_w})
+        buf, size = [], 0
 
-    return values.select(F.col(value_col).alias(value_col)).mapInPandas(
-        gen, "value bigint, weight bigint"
+        def flush():
+            nonlocal buf, size
+            vals = np.sort(np.concatenate(buf) if len(buf) > 1 else buf[0])
+            buf, size = [], 0
+            out_v, out_w = _stride_collapse(
+                vals, np.ones(len(vals), np.int64), k
+            )
+            return pd.DataFrame({"value": out_v, "weight": out_w})
+
+        for pdf in batches:
+            a = pdf[value_col].to_numpy("int64")
+            if len(a):
+                buf.append(a)
+                size += len(a)
+            if size >= chunk:
+                yield flush()
+        if size:
+            yield flush()
+
+    return (
+        values.filter(F.col(value_col).isNotNull())
+        .select(value_col)
+        .mapInPandas(gen, "value bigint, weight bigint")
     )
 
 
@@ -294,20 +323,24 @@ def compact_summary(summary: DataFrame, k: int) -> DataFrame:
     return summary.repartition(1).mapInPandas(gen, "value bigint, weight bigint")
 
 
-def quantile_values(summary: DataFrame, phis_x1000) -> DataFrame:
-    """Query a weighted summary for the given quantiles: (phi_x1000 int,
-    q_value bigint), q_value = the summary element covering target rank
-    r = max(1, ceil(phi·W/1000)), W = total weight. The unpartitioned
-    windows and the broadcast cross join run over ≤ partitions×k summary
-    rows — sketch-bounded, documented safe like the MG trim above."""
+def _rank_query(summary: DataFrame, phis_x1000, key_cols=()) -> DataFrame:
+    """THE rank-query definition, shared by the grouped and ungrouped
+    variants so the ceil-rank convention r = max(1, ceil(phi·W/1000))
+    exists exactly once: cumulative-weight windows (partitioned by
+    ``key_cols``, summary-bounded), broadcast phi probe, min value with
+    cum ≥ r."""
     spark = summary.sparkSession
-    cum_w = Window.orderBy("value", "weight").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    keys = list(key_cols)
+    cum_w = (
+        Window.partitionBy(*keys)
+        .orderBy("value", "weight")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = summary.select(
+        *keys,
         "value",
         F.sum("weight").over(cum_w).alias("cum"),
-        F.sum("weight").over(Window.partitionBy()).alias("w_total"),
+        F.sum("weight").over(Window.partitionBy(*keys)).alias("w_total"),
     )
     phis = spark.createDataFrame(
         [(int(p),) for p in phis_x1000], "phi_x1000 int"
@@ -319,48 +352,61 @@ def quantile_values(summary: DataFrame, phis_x1000) -> DataFrame:
     return (
         cum.join(F.broadcast(phis))
         .filter(F.col("cum") >= target)
-        .groupBy("phi_x1000")
+        .groupBy(*keys, "phi_x1000")
         .agg(F.min("value").alias("q_value"))
     )
 
 
+def quantile_values(summary: DataFrame, phis_x1000) -> DataFrame:
+    """Query a weighted summary for the given quantiles: (phi_x1000 int,
+    q_value bigint), q_value = the summary element covering target rank
+    r = max(1, ceil(phi·W/1000)), W = total weight. The unpartitioned
+    windows and the broadcast cross join run over summary rows only —
+    sketch-bounded, documented safe like the MG trim above."""
+    return _rank_query(summary, phis_x1000)
+
+
 def grouped_quantile_summary(
-    values: DataFrame, k: int, key_col: str = "key", value_col: str = "val"
+    values: DataFrame,
+    k: int,
+    key_col: str = "key",
+    value_col: str = "val",
+    chunk: int = QUANTILE_CHUNK,
 ) -> DataFrame:
     """Per-key quantile summaries: (key string, value bigint,
-    weight bigint), ≤ k rows per key per input partition. Still ONE
-    shuffle-free Arrow stage — each partition sorts its rows by
-    (key, value) and stride-collapses every key's run independently;
-    the merge stays a plain union. NULL keys are excluded (no group).
-    Exact when every (partition, key) run holds ≤ k values."""
+    weight bigint). Still ONE shuffle-free Arrow stage with O(chunk)
+    worker memory — each full buffer sorts by (key, value) and
+    stride-collapses every key's run independently; runs of one key split
+    across chunks add displacement additively, same as across partitions,
+    so the per-key bound stays Σ ceil(m_c/k). NULL keys and NULL values
+    are excluded. Exact when every (partition, key) run holds ≤ k
+    values."""
     import numpy as np
 
     if k < 2:
         raise ValueError(f"grouped_quantile_summary k must be >= 2, got {k}")
+    if chunk < k:
+        raise ValueError(f"chunk ({chunk}) must be >= k ({k})")
 
     def gen(batches):
-        kc, vc = [], []
-        for pdf in batches:
-            kc.append(pdf[key_col].to_numpy(dtype="str"))
-            vc.append(pdf[value_col].to_numpy("int64"))
-        if not kc:
-            return
-        keys = np.concatenate(kc)
-        vals = np.concatenate(vc)
-        order = np.lexsort((vals, keys))
-        keys, vals = keys[order], vals[order]
-        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-        ends = np.r_[starts[1:], len(keys)]
-        out_k, out_v, out_w = [], [], []
-        for s, e in zip(starts, ends):
-            v, w = _stride_collapse(
-                vals[s:e], np.ones(e - s, np.int64), k
-            )
-            out_k.append(np.full(len(v), keys[s]))
-            out_v.append(v)
-            out_w.append(w)
-        if out_k:
-            yield pd.DataFrame(
+        kc, vc, size = [], [], 0
+
+        def flush():
+            nonlocal kc, vc, size
+            keys = np.concatenate(kc) if len(kc) > 1 else kc[0]
+            vals = np.concatenate(vc) if len(vc) > 1 else vc[0]
+            kc, vc, size = [], [], 0
+            order = np.lexsort((vals, keys))
+            keys, vals = keys[order], vals[order]
+            starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+            ends = np.r_[starts[1:], len(keys)]
+            out_k, out_v, out_w = [], [], []
+            for s, e in zip(starts, ends):
+                v, w = _stride_collapse(vals[s:e], np.ones(e - s, np.int64), k)
+                out_k.append(np.full(len(v), keys[s]))
+                out_v.append(v)
+                out_w.append(w)
+            return pd.DataFrame(
                 {
                     "key": np.concatenate(out_k),
                     "value": np.concatenate(out_v),
@@ -368,42 +414,29 @@ def grouped_quantile_summary(
                 }
             )
 
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            kc.append(pdf[key_col].to_numpy(dtype="str"))
+            vc.append(pdf[value_col].to_numpy("int64"))
+            size += len(pdf)
+            if size >= chunk:
+                yield flush()
+        if size:
+            yield flush()
+
     return (
-        values.filter(F.col(key_col).isNotNull())
+        values.filter(F.col(key_col).isNotNull() & F.col(value_col).isNotNull())
         .select(F.col(key_col).alias(key_col), F.col(value_col).alias(value_col))
         .mapInPandas(gen, "key string, value bigint, weight bigint")
     )
 
 
 def grouped_quantile_values(summary: DataFrame, phis_x1000) -> DataFrame:
-    """Query a grouped summary: (key, phi_x1000, q_value) — the windows
-    partition by key, so the rank query parallelizes across keys and each
-    key's window spans ≤ partitions×k summary rows."""
-    spark = summary.sparkSession
-    cum_w = (
-        Window.partitionBy("key")
-        .orderBy("value", "weight")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = summary.select(
-        "key",
-        "value",
-        F.sum("weight").over(cum_w).alias("cum"),
-        F.sum("weight").over(Window.partitionBy("key")).alias("w_total"),
-    )
-    phis = spark.createDataFrame(
-        [(int(p),) for p in phis_x1000], "phi_x1000 int"
-    )
-    target = F.greatest(
-        F.expr("(cast(phi_x1000 as bigint) * w_total + 999) div 1000"),
-        F.lit(1).cast("bigint"),
-    )
-    return (
-        cum.join(F.broadcast(phis))
-        .filter(F.col("cum") >= target)
-        .groupBy("key", "phi_x1000")
-        .agg(F.min("value").alias("q_value"))
-    )
+    """Query a grouped summary: (key, phi_x1000, q_value) — the shared
+    rank query with windows partitioned by key, so it parallelizes across
+    keys and each key's window spans only that key's summary rows."""
+    return _rank_query(summary, phis_x1000, key_cols=("key",))
 
 
 def doc_length_quantiles(

@@ -3563,7 +3563,11 @@ FROM inj
 
 
 QUANTILE_PHIS = (10, 50, 250, 500, 750, 950, 990)  # phi × 1000
-QUANTILE_K = 4096  # ≥ any per-partition row count at driver scales ⇒ exact
+# ≥ any per-partition (even single-core local[1]) row count at every
+# driver/fixture scale through sf0.1 — with a wide margin, so fixture
+# growth or a low-core sweep host cannot silently flip the gate out of
+# the exact regime the oracle pins (summaries stay tiny either way)
+QUANTILE_K = 65536
 
 
 def q_doc_length_quantiles(spark, sf_dir):
@@ -3604,10 +3608,11 @@ def q_doc_length_quantiles_by_lang(spark, sf_dir):
     stage; the rank query windows partition BY key, so it parallelizes
     across languages. Same exact-regime contract as the ungrouped gate
     (k ≥ every per-partition per-key run)."""
+    from .operators.docs import balanced
     from .operators.sketch import grouped_quantile_summary, grouped_quantile_values
 
     values = (
-        _load(spark, sf_dir, "documents")
+        balanced(_load(spark, sf_dir, "documents"))
         .filter(F.col("text").isNotNull())
         .select(
             F.col("lang").alias("key"),

@@ -390,6 +390,40 @@ def test_quantile_merge_and_compact(spark):
         assert lo - bound <= target <= hi + bound
 
 
+def test_quantile_chunked_collapse_bound_and_null_values(spark):
+    """A small ``chunk`` forces multiple flushes per partition: total
+    weight must still equal the non-NULL count (NULL values are excluded,
+    not cast — the INT64_MIN NaN-cast trap), and the displacement bound
+    gains only #chunks (stride error is additive across disjoint
+    chunks)."""
+    import numpy as np
+
+    from osmquadtree_spark.operators.sketch import (
+        quantile_summary,
+        quantile_values,
+    )
+
+    n, parts, k, chunk = 30_000, 4, 64, 2048
+    vals = [(i * 48271) % 999_983 for i in range(n)]
+    rows = [(v,) for v in vals] + [(None,)] * 7
+    df = spark.createDataFrame(rows, "val bigint").repartition(parts)
+    summary = quantile_summary(df, k=k, chunk=chunk)
+    srows = summary.collect()
+    assert sum(r["weight"] for r in srows) == n  # NULLs carried no weight
+    # every flush emits ≤ k rows; #flushes ≤ parts * ceil(per-part/chunk)+parts
+    max_flushes = parts * (-(-(n // parts + 1) // chunk) + 1)
+    assert len(srows) <= max_flushes * k
+    s = np.sort(np.array(vals))
+    bound = n // k + max_flushes  # Σ ceil(m_c/k) ≤ n/k + #chunks
+    for r in quantile_values(summary, PHIS).collect():
+        target = max(1, -(-r["phi_x1000"] * n // 1000))
+        lo = int(np.searchsorted(s, r["q_value"], side="left")) + 1
+        hi = int(np.searchsorted(s, r["q_value"], side="right"))
+        assert lo - bound <= target <= hi + bound, (r, target, lo, hi, bound)
+    with pytest.raises(ValueError):
+        quantile_summary(df, k=64, chunk=32)  # chunk < k
+
+
 def test_grouped_quantile_exact_regime_and_null_keys(spark):
     """Per-key exact-regime parity vs the ungrouped sketch run key by key;
     NULL keys are excluded entirely."""
