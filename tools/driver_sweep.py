@@ -7,7 +7,7 @@ row counts, column names and full sorted values.
 This is the repo-local twin of the per-round CORRECTNESS_r{N}.json gate —
 run it after touching any operator the registry exercises:
 
-    python tools/driver_sweep.py                       # all 50, sf0.01
+    python tools/driver_sweep.py                       # all gates, sf0.01
     python tools/driver_sweep.py --queries geom_ways   # subset
     python tools/driver_sweep.py --sf /root/testdata/sf0.001   # cross-scale
 
