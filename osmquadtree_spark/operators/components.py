@@ -24,6 +24,7 @@ aggregate action per round (count + xxhash64 checksum of the edge set).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..cache import cached, stage_checkpoint
@@ -217,4 +218,49 @@ def dup_clusters(
         "component_id",
         "component_size",
         (F.col(id_col) == F.col("component_id")).alias("is_representative"),
+    )
+
+
+def cluster_split(
+    clusters: DataFrame, train_per_mille: int = 800, val_per_mille: int = 100
+) -> DataFrame:
+    """(doc_id, component_id, split): leakage-safe train/val/test
+    assignment — the bucket is a pure function of ``component_id``, so
+    every member of a near-dup cluster lands in the SAME split and a
+    near-duplicate of a test document can never leak into train (the
+    standard contamination failure of per-document hash splits).
+
+    bucket = splitmix64(component_id) mod 1000 (the repo's one mixing
+    function, bit-identical in numpy and the DuckDB HUGEINT oracle);
+    split = train if bucket < train_per_mille, val if
+    < train_per_mille + val_per_mille, else test. One Arrow projection
+    over the cluster table — no shuffle beyond what produced it."""
+    import numpy as np
+
+    from ..sources.images import splitmix64
+
+    if not (0 < train_per_mille and 0 <= val_per_mille
+            and train_per_mille + val_per_mille < 1000):
+        raise ValueError(
+            f"per-mille weights out of range: {train_per_mille}, {val_per_mille}"
+        )
+
+    @F.pandas_udf("int")
+    def bucket_udf(cid: pd.Series) -> pd.Series:
+        u = cid.to_numpy("int64").astype(np.uint64)
+        return pd.Series((splitmix64(u) % np.uint64(1000)).astype(np.int32))
+
+    b = F.col("_bucket")
+    return (
+        clusters.select(
+            "doc_id", "component_id", bucket_udf("component_id").alias("_bucket")
+        )
+        .select(
+            "doc_id",
+            "component_id",
+            F.when(b < train_per_mille, F.lit("train"))
+            .when(b < train_per_mille + val_per_mille, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
     )

@@ -3112,14 +3112,10 @@ DECON_BENCH_MOD = 41  # every 41st doc is the synthetic benchmark/eval set
 DECON_MIN_HITS = 2
 
 
-def q_dedup_components(spark, sf_dir):
-    """Near-dup cluster canonicalization — the pipeline step AFTER the pair
-    operators: edges = exact-dup edges (identical text → group min) ∪ word
-    3-gram jaccard ≥ 0.2 pairs (ngram_pairs), components via alternating
-    large-star/small-star (operators/components.py, Kiveris et al. SoCC'14),
-    output one row per document with its canonical representative, cluster
-    size and keep/drop flag. Oracle: DuckDB recursive-CTE min-label
-    propagation over the identical edge set."""
+def _doc_cluster_frame(spark, sf_dir):
+    """Shared near-dup cluster table (exact-dup ∪ 3-gram-jaccard edges →
+    large-star/small-star components) feeding BOTH the dedup_components
+    gate and the leakage-safe split gate."""
     from .operators import components as ccm
     from .operators import docs as dops
 
@@ -3144,13 +3140,23 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
-def _dedup_components_sql() -> str:
-    """Recursive-CTE twin of q_dedup_components: same edge set (identical
-    text groups + 3-gram jaccard pairs), min-label propagation to a
-    fixpoint (the `w.lbl < e.dst` guard keeps only labels that can still
-    win, so the walk state stays bounded), then per-component sizes."""
-    return f"""
-WITH RECURSIVE grams AS (
+def q_dedup_components(spark, sf_dir):
+    """Near-dup cluster canonicalization — the pipeline step AFTER the pair
+    operators: edges = exact-dup edges (identical text → group min) ∪ word
+    3-gram jaccard ≥ 0.2 pairs (ngram_pairs), components via alternating
+    large-star/small-star (operators/components.py, Kiveris et al. SoCC'14),
+    output one row per document with its canonical representative, cluster
+    size and keep/drop flag. Oracle: DuckDB recursive-CTE min-label
+    propagation over the identical edge set."""
+    return _doc_cluster_frame(spark, sf_dir)
+
+
+def _components_cte() -> str:
+    """The recursive min-label-propagation CTE chain ending in ``comp``
+    (doc_id, component_id) — shared by the dedup_components and
+    split_by_cluster oracles so the edge-set + fixpoint definition exists
+    once."""
+    return f"""grams AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(
            range(len(string_split(text, ' ')) - 2),
@@ -3187,12 +3193,56 @@ WITH RECURSIVE grams AS (
   WHERE w.lbl < e.dst
 ), comp AS (
   SELECT node AS doc_id, MIN(lbl) AS component_id FROM walk GROUP BY node
-), csize AS (
+)""".strip()
+
+
+def _dedup_components_sql() -> str:
+    """Recursive-CTE twin of q_dedup_components: same edge set (identical
+    text groups + 3-gram jaccard pairs), min-label propagation to a
+    fixpoint (the `w.lbl < e.dst` guard keeps only labels that can still
+    win, so the walk state stays bounded), then per-component sizes."""
+    return f"""
+WITH RECURSIVE {_components_cte()}, csize AS (
   SELECT component_id, COUNT(*) AS component_size FROM comp GROUP BY component_id
 )
 SELECT c.doc_id, c.component_id, s.component_size,
        c.doc_id = c.component_id AS is_representative
 FROM comp c JOIN csize s USING (component_id)
+""".strip()
+
+
+SPLIT_TRAIN_PM, SPLIT_VAL_PM = 800, 100  # per-mille; rest = test
+
+
+def q_split_by_cluster(spark, sf_dir):
+    """Leakage-safe train/val/test split (components.cluster_split over
+    the shared near-dup cluster table): the bucket is
+    splitmix64(component_id) mod 1000, so every member of a near-dup
+    cluster lands in the same split — a near-duplicate of a test document
+    can never leak into train. The oracle recomputes the identical
+    components AND the identical HUGEINT splitmix64 bucket."""
+    from .operators.components import cluster_split
+
+    return cluster_split(
+        _doc_cluster_frame(spark, sf_dir),
+        train_per_mille=SPLIT_TRAIN_PM,
+        val_per_mille=SPLIT_VAL_PM,
+    )
+
+
+def _split_by_cluster_sql() -> str:
+    sm = so.splitmix64_sql("component_id")
+    return f"""
+WITH RECURSIVE {_components_cte()}, bkt AS (
+  SELECT doc_id, component_id,
+         CAST(({sm}) % 1000 AS BIGINT) AS b
+  FROM comp
+)
+SELECT doc_id, component_id,
+       CASE WHEN b < {SPLIT_TRAIN_PM} THEN 'train'
+            WHEN b < {SPLIT_TRAIN_PM + SPLIT_VAL_PM} THEN 'val'
+            ELSE 'test' END AS split
+FROM bkt
 """.strip()
 
 
@@ -3706,6 +3756,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "ann_sq8_topk": q_ann_sq8_topk,
         "dedup_components": q_dedup_components,
+        "split_by_cluster": q_split_by_cluster,
         "decontaminate": q_decontaminate,
         "dedup_semantic": q_dedup_semantic,
         "dedup_incremental": q_dedup_incremental,
@@ -3747,6 +3798,7 @@ def sweep_oracle_sql() -> dict[str, str]:
         "doc_repetition": _doc_repetition_sql(),
         "ann_sq8_topk": _ann_sq8_sql(),
         "dedup_components": _dedup_components_sql(),
+        "split_by_cluster": _split_by_cluster_sql(),
         "decontaminate": _decontaminate_sql(),
         "dedup_semantic": do.embedding_lsh_soundness_sql(
             EMB_DUP_MIN_COS, _scratch(_ORACLE_SF_DIR(), "semantic_dedup_candidates")

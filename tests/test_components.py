@@ -141,3 +141,39 @@ def test_convergence_metrics_committed(spark, tmp_path):
     assert rows["rounds"] >= 2  # a 16-node chain needs >1 alternation
     # final round's edge count = 16 non-root nodes of the one component
     assert rows[f"edges_round_{rows['rounds'] - 1}"] == 16
+
+
+def test_cluster_split_leakage_safety_and_determinism(spark):
+    """Every edge's endpoints land in the SAME split (the operator's whole
+    point), all three splits appear on enough singleton clusters, the
+    bucket matches a direct splitmix64 recomputation, and bad weights
+    raise."""
+    import numpy as np
+
+    from osmquadtree_spark.sources.images import splitmix64
+
+    edges = [(i, i + 1) for i in range(0, 60, 3)]  # 20 two-doc chains...
+    edges += [(1000, 1001), (1001, 1002)]          # ...one 3-doc chain
+    docs = spark.createDataFrame(
+        [(i,) for i in range(0, 62)] + [(1000,), (1001,), (1002,)]
+        + [(j,) for j in range(2000, 2300)],       # singletons
+        "doc_id bigint",
+    )
+    clusters = cc.dup_clusters(
+        docs, _edges_df(spark, edges), id_a="id_a", id_b="id_b"
+    )
+    out = cc.cluster_split(clusters).collect()
+    split_of = {r.doc_id: r.split for r in out}
+    comp_of = {r.doc_id: r.component_id for r in out}
+    assert len(out) == docs.count()
+    for a, b in edges:
+        assert split_of[a] == split_of[b], (a, b)
+    # bucket is exactly splitmix64(component_id) % 1000 with the 800/100 cut
+    for r in out:
+        bkt = int(splitmix64(np.uint64(np.int64(comp_of[r.doc_id]))) % np.uint64(1000))
+        want = "train" if bkt < 800 else ("val" if bkt < 900 else "test")
+        assert r.split == want, (r, bkt)
+    # 300+ singleton clusters: all three splits must be populated
+    assert {r.split for r in out} == {"train", "val", "test"}
+    with pytest.raises(ValueError):
+        cc.cluster_split(clusters, train_per_mille=950, val_per_mille=100)
