@@ -32,6 +32,25 @@ def make_qt_calculate(buffer: float = qtk.BUFFER_DEFAULT, max_depth: int = qtk.M
     return qt_calculate
 
 
+def make_splitmix64_mod(mod: int):
+    """pandas UDF factory: splitmix64(key) % mod — THE cross-engine
+    deterministic mixing mark (DuckDB twin: functions/sql_oracle.
+    splitmix64_sql over HUGEINT, bit-identical). Shared by
+    docs.sample_by_hash and components.cluster_split so the
+    parity-critical kernel exists once. Callers must exclude NULL keys
+    first (a NaN batch would cast to INT64_MIN silently)."""
+    import numpy as np
+
+    from ..sources.images import splitmix64
+
+    @pandas_udf("bigint")
+    def mark(keys: pd.Series) -> pd.Series:
+        u = splitmix64(keys.to_numpy("int64").astype(np.uint64))
+        return pd.Series((u % np.uint64(mod)).astype(np.int64))
+
+    return mark
+
+
 def make_qt_common():
     """pandas UDF factory: LCA of two cell ids (null-safe: null → -1).
 

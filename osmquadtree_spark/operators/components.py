@@ -24,7 +24,6 @@ aggregate action per round (count + xxhash64 checksum of the edge set).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..cache import cached, stage_checkpoint
@@ -230,29 +229,31 @@ def cluster_split(
     near-duplicate of a test document can never leak into train (the
     standard contamination failure of per-document hash splits).
 
-    bucket = splitmix64(component_id) mod 1000 (the repo's one mixing
-    function, bit-identical in numpy and the DuckDB HUGEINT oracle);
-    split = train if bucket < train_per_mille, val if
+    bucket = splitmix64(component_id) mod 1000 (the shared
+    make_splitmix64_mod kernel, bit-identical in numpy and the DuckDB
+    HUGEINT oracle); split = train if bucket < train_per_mille, val if
     < train_per_mille + val_per_mille, else test. One Arrow projection
-    over the cluster table — no shuffle beyond what produced it."""
-    import numpy as np
+    over the cluster table — no shuffle beyond what produced it. NULL
+    component ids are excluded up front (no meaningful hash — the
+    sample_by_hash convention; dup_clusters never emits one)."""
+    from ..functions.udfs import make_splitmix64_mod
 
-    from ..sources.images import splitmix64
-
+    if not (isinstance(train_per_mille, int) and isinstance(val_per_mille, int)):
+        raise ValueError(
+            "per-mille weights must be ints (fractions like 0.8 would "
+            f"silently select ~nothing): {train_per_mille!r}, {val_per_mille!r}"
+        )
     if not (0 < train_per_mille and 0 <= val_per_mille
             and train_per_mille + val_per_mille < 1000):
         raise ValueError(
             f"per-mille weights out of range: {train_per_mille}, {val_per_mille}"
         )
 
-    @F.pandas_udf("int")
-    def bucket_udf(cid: pd.Series) -> pd.Series:
-        u = cid.to_numpy("int64").astype(np.uint64)
-        return pd.Series((splitmix64(u) % np.uint64(1000)).astype(np.int32))
-
+    bucket_udf = make_splitmix64_mod(1000)
     b = F.col("_bucket")
     return (
-        clusters.select(
+        clusters.filter(F.col("component_id").isNotNull())
+        .select(
             "doc_id", "component_id", bucket_udf("component_id").alias("_bucket")
         )
         .select(

@@ -527,16 +527,10 @@ def sample_by_hash(
     side projection with no shuffle. NULL keys are excluded up front —
     they have no meaningful hash (and the SQL twin's splitmix64(NULL)
     mark is NULL, which every threshold comparison rejects)."""
-    from pyspark.sql.functions import pandas_udf
+    from ..functions.udfs import make_splitmix64_mod
 
     df = df.filter(F.col(key_col).isNotNull())
-
-    from ..sources.images import splitmix64
-
-    @pandas_udf("bigint")
-    def mark(keys: pd.Series) -> pd.Series:
-        u = splitmix64(keys.to_numpy("int64").astype(np.uint64))
-        return pd.Series((u % np.uint64(mod)).astype(np.int64))
+    mark = make_splitmix64_mod(mod)
 
     thresh = F.lit(default_rate)
     for stratum, rate in sorted(rates.items()):

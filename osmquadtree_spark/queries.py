@@ -1878,7 +1878,7 @@ def clear_session_caches(keep_input_stores: bool = False) -> None:
     calcqts queries) clears on every sweep like any other computation."""
     always = (
         _RESOLVED_CACHE, _EXTRACT_CACHE, _WAY_COORDS_CACHE, _ELEMENTS_QT_CACHE,
-        _OLD_QTS_CACHE,
+        _OLD_QTS_CACHE, _CLUSTERS_CACHE,
     )
     stores = (_FIXTURE_CACHE,)
     for cache in always:
@@ -3112,10 +3112,19 @@ DECON_BENCH_MOD = 41  # every 41st doc is the synthetic benchmark/eval set
 DECON_MIN_HITS = 2
 
 
+_CLUSTERS_CACHE: dict = {}
+
+
 def _doc_cluster_frame(spark, sf_dir):
     """Shared near-dup cluster table (exact-dup ∪ 3-gram-jaccard edges →
     large-star/small-star components) feeding BOTH the dedup_components
-    gate and the leakage-safe split gate."""
+    gate and the leakage-safe split gate — memoized per (session, sf) and
+    persisted via the cache registry so the multi-round star fixpoint and
+    the 3-gram self-join run once per sweep, not once per gate (cleared
+    by clear_session_caches like every derived memo)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _CLUSTERS_CACHE:
+        return _CLUSTERS_CACHE[key]
     from .operators import components as ccm
     from .operators import docs as dops
 
@@ -3134,10 +3143,15 @@ def _doc_cluster_frame(spark, sf_dir):
     ngram_edges = dops.ngram_pairs(
         docs, n=3, min_jaccard=NGRAM_EDGE_JACCARD
     ).select("doc_a", "doc_b")
-    return ccm.dup_clusters(
-        docs, exact_edges.unionByName(ngram_edges),
-        metrics_path=_scratch(sf_dir, "metrics"),
+    from .cache import cached
+
+    _CLUSTERS_CACHE[key] = cached(
+        ccm.dup_clusters(
+            docs, exact_edges.unionByName(ngram_edges),
+            metrics_path=_scratch(sf_dir, "metrics"),
+        )
     )
+    return _CLUSTERS_CACHE[key]
 
 
 def q_dedup_components(spark, sf_dir):
