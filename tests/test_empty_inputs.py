@@ -189,3 +189,35 @@ def test_temporal_and_phash_operators_on_empty(spark, empties):
     )
     [row] = asof_join(one, refs, on=["k"]).collect()
     assert (row.ref_event_id, row.ref_ts) == (None, None)
+
+
+def test_sketch_and_split_operators_on_empty(spark, empties):
+    """Round-4 close additions: BPE token stats, quantile summaries (flat,
+    grouped, compacted) and the cluster split all return schema-stable
+    empty results on empty inputs (the quantile gens must not hit
+    np.concatenate([]) or lexsort on zero rows)."""
+    from osmquadtree_spark.operators import docs as do
+    from osmquadtree_spark.operators.components import cluster_split
+    from osmquadtree_spark.operators.sketch import (
+        compact_summary,
+        doc_length_quantiles,
+        grouped_quantile_summary,
+        grouped_quantile_values,
+        quantile_values,
+    )
+
+    assert do.bpe_token_stats(empties["docs"]).count() == 0
+    assert doc_length_quantiles(empties["docs"], (500,), k=16).count() == 0
+    gsum = grouped_quantile_summary(
+        spark.createDataFrame([], "key string, val bigint"), k=16
+    )
+    assert gsum.count() == 0
+    assert grouped_quantile_values(gsum, (500,)).count() == 0
+    empty_summary = spark.createDataFrame([], "value bigint, weight bigint")
+    assert compact_summary(empty_summary, k=16).count() == 0
+    assert quantile_values(empty_summary, (500,)).count() == 0
+    clusters = spark.createDataFrame(
+        [], "doc_id bigint, component_id bigint, component_size bigint, "
+        "is_representative boolean"
+    )
+    assert cluster_split(clusters).count() == 0
