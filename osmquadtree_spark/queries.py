@@ -3583,6 +3583,49 @@ FROM agg
 """.strip()
 
 
+def q_image_dim_quantiles(spark, sf_dir):
+    """Per-format image pixel-count quantiles over the north-rule image
+    table — the sketch applied to the engine's PRIMARY input shape (the
+    decode-budget planning query an image pipeline runs before sizing
+    batch shapes): grouped quantile summary of w·h keyed by fmt. The
+    oracle re-derives the deterministic w/h/fmt cycles from the row index
+    (FIXTURES.md §1) and selects exact per-format ranks."""
+    from .operators.sketch import grouped_quantile_summary, grouped_quantile_values
+
+    _load(spark, sf_dir, "part")  # register the view for the oracle
+    values = _images(spark, sf_dir).select(
+        F.col("fmt").alias("key"),
+        (F.col("w").cast("bigint") * F.col("h").cast("bigint")).alias("val"),
+    )
+    return grouped_quantile_values(
+        grouped_quantile_summary(values, QUANTILE_K), QUANTILE_PHIS
+    ).withColumnRenamed("key", "fmt")
+
+
+def _image_dim_quantiles_sql() -> str:
+    phis = ", ".join(f"({p})" for p in QUANTILE_PHIS)
+    return f"""
+WITH idx AS (SELECT p_partkey AS i FROM part),
+v AS (
+  SELECT CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'ppm' END AS fmt,
+         (CASE i % 4 WHEN 0 THEN 16 WHEN 1 THEN 32 WHEN 2 THEN 64 ELSE 128 END)::BIGINT
+         * (CASE (i // 4) % 4 WHEN 0 THEN 16 WHEN 1 THEN 24 WHEN 2 THEN 48 ELSE 96 END)::BIGINT
+           AS val
+  FROM idx
+),
+n AS (SELECT fmt, COUNT(*)::BIGINT AS c FROM v GROUP BY fmt),
+ranked AS (
+  SELECT fmt, val, row_number() OVER (PARTITION BY fmt ORDER BY val) AS rn FROM v
+),
+phis(phi_x1000) AS (VALUES {phis})
+SELECT r.fmt, CAST(p.phi_x1000 AS INT) AS phi_x1000, r.val AS q_value
+FROM phis p
+CROSS JOIN n
+JOIN ranked r ON r.fmt = n.fmt
+ AND r.rn = GREATEST((CAST(p.phi_x1000 AS BIGINT) * n.c + 999) // 1000, 1)
+""".strip()
+
+
 def q_bpe_token_stats(spark, sf_dir):
     """Token counting under both budgeting conventions (docs.
     bpe_token_stats): whitespace tokens and a BPE-style pre-tokenizer
@@ -3780,6 +3823,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_kmv": q_distinct_kmv,
         "doc_length_quantiles": q_doc_length_quantiles,
         "doc_length_quantiles_by_lang": q_doc_length_quantiles_by_lang,
+        "image_dim_quantiles": q_image_dim_quantiles,
         "bpe_token_stats": q_bpe_token_stats,
         "events_stream_join": q_events_stream_join,
     }
@@ -3824,6 +3868,7 @@ def sweep_oracle_sql() -> dict[str, str]:
         "distinct_kmv": _distinct_kmv_sql(),
         "doc_length_quantiles": _doc_length_quantiles_sql(),
         "doc_length_quantiles_by_lang": _doc_length_quantiles_by_lang_sql(),
+        "image_dim_quantiles": _image_dim_quantiles_sql(),
         "bpe_token_stats": _bpe_token_stats_sql(),
         "events_stream_join": _events_stream_join_sql(),
     }
