@@ -709,3 +709,61 @@ def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "n_tokens_bpe",
         ratio.alias("chars_per_tok_x100"),
     )
+
+
+def token_rarity(docs: DataFrame, small_vocab: bool = False) -> DataFrame:
+    """(doc_id, n_tokens, min_freq, n_hapax, mean_freq_x100): corpus
+    unigram-frequency rarity screen — the standard "drop documents made of
+    tokens the corpus has never seen (OCR noise, mojibake) or of nothing
+    but ultra-common tokens (boilerplate)" quality pass. Per document:
+    whitespace-token count, the corpus frequency of its RAREST token, how
+    many of its tokens are corpus hapaxes (frequency 1), and the integer
+    mean corpus frequency of its token instances (×100).
+
+    Shape at 10^12 docs: one explode + groupBy(token) builds the vocab
+    (map-side partial aggregation makes the shuffle O(|vocab|) per task,
+    and Heaps' law keeps |vocab| ≪ corpus); the freq lookup is a
+    broadcast join when ``small_vocab`` (a planet-scale web corpus's
+    vocab is ~10^7-10^8 rows of (token, int64) — broadcastable at the
+    high end of executor memory, and the broadcast avoids shuffling the
+    exploded corpus on a key whose head is maximally skewed: "the" hits
+    one reducer otherwise). The un-broadcast path leaves skew to AQE's
+    skew-join split. The exploded frame is deliberately recomputed for
+    the two consumers (vocab agg, lookup join) instead of cached: it is
+    |corpus tokens| rows — re-splitting the text column twice is two
+    column scans; caching it is a corpus-sized memory footprint.
+
+    Integer arithmetic end to end (counts, min, `div`) so every value is
+    bit-reproducible against the SQL twin. NULL-text documents carry NULL
+    on every stat column (they have no tokens — the left join restores
+    them); an empty string splits to the single empty token in both
+    engines and is counted like any other token.
+    """
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    lookup = F.broadcast(vocab) if small_vocab else vocab
+    per_doc = (
+        toks.join(lookup, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("freq").alias("sum_freq"),
+            F.min("freq").alias("min_freq"),
+            F.sum((F.col("freq") == 1).cast("bigint")).alias("n_hapax"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "min_freq",
+            "n_hapax",
+            F.expr("sum_freq * cast(100 as bigint) div n_tokens").alias(
+                "mean_freq_x100"
+            ),
+        )
+    )

@@ -3669,6 +3669,54 @@ FROM inj
 """.strip()
 
 
+def q_token_rarity(spark, sf_dir):
+    """Corpus unigram-frequency rarity screen (docs.token_rarity):
+    rarest-token frequency, hapax count and integer mean corpus frequency
+    per document. The fixture corpus is word salad over a tiny vocabulary
+    (no hapaxes at any sf), so a doc_id-derived unique token is appended
+    — same injection pattern as the BPE/PII gates — making every document
+    carry exactly one hapax and min_freq 1; the oracle restates the
+    injection. small_vocab=True: the fixture vocab is tiny, and the
+    broadcast path is the 100-TB default for skew reasons (docstring)."""
+    from .operators.docs import token_rarity
+
+    injected = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" uniq"), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    return token_rarity(injected, small_vocab=True)
+
+
+def _token_rarity_sql() -> str:
+    return """
+WITH inj AS (
+  SELECT doc_id, text || ' uniq' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM inj WHERE text IS NOT NULL
+),
+vocab AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1),
+per_doc AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tokens,
+         SUM(v.freq) AS sum_freq,
+         MIN(v.freq) AS min_freq,
+         SUM(CASE WHEN v.freq = 1 THEN 1 ELSE 0 END) AS n_hapax
+  FROM toks t JOIN vocab v USING (token) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       CAST(p.min_freq AS BIGINT) AS min_freq,
+       CAST(p.n_hapax AS BIGINT) AS n_hapax,
+       CAST(p.sum_freq * 100 // p.n_tokens AS BIGINT) AS mean_freq_x100
+FROM inj d LEFT JOIN per_doc p USING (doc_id)
+""".strip()
+
+
 QUANTILE_PHIS = (10, 50, 250, 500, 750, 950, 990)  # phi × 1000
 # ≥ any per-partition (even single-core local[1]) row count at every
 # driver/fixture scale through sf0.1 — with a wide margin, so fixture
@@ -3825,6 +3873,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles_by_lang": q_doc_length_quantiles_by_lang,
         "image_dim_quantiles": q_image_dim_quantiles,
         "bpe_token_stats": q_bpe_token_stats,
+        "token_rarity": q_token_rarity,
         "events_stream_join": q_events_stream_join,
     }
 
@@ -3870,5 +3919,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "doc_length_quantiles_by_lang": _doc_length_quantiles_by_lang_sql(),
         "image_dim_quantiles": _image_dim_quantiles_sql(),
         "bpe_token_stats": _bpe_token_stats_sql(),
+        "token_rarity": _token_rarity_sql(),
         "events_stream_join": _events_stream_join_sql(),
     }

@@ -1,0 +1,72 @@
+"""token_rarity pins: independent python Counter reference, NULL/empty-text
+edge cases, and broadcast-vs-shuffle lookup parity. Full value parity vs
+DuckDB over the fixture corpus is gated by tools/driver_sweep.py
+(`token_rarity`)."""
+
+from collections import Counter
+
+from osmquadtree_spark.operators.docs import token_rarity
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog"),
+    (2, "zyxxyz"),              # corpus hapax-only doc
+    (3, ""),                    # empty string -> one '' token
+    (4, None),                  # NULL text -> NULL stats
+    (5, "the the the"),
+]
+
+
+def _reference(rows):
+    vocab = Counter()
+    for _, text in rows:
+        if text is not None:
+            vocab.update(text.split(" "))
+    out = {}
+    for doc_id, text in rows:
+        if text is None:
+            out[doc_id] = (None, None, None, None)
+            continue
+        toks = text.split(" ")
+        freqs = [vocab[t] for t in toks]
+        out[doc_id] = (
+            len(toks),
+            min(freqs),
+            sum(1 for f in freqs if f == 1),
+            sum(freqs) * 100 // len(toks),
+        )
+    return out
+
+
+def _run(spark, small_vocab):
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["min_freq"], r["n_hapax"], r["mean_freq_x100"])
+        for r in token_rarity(df, small_vocab=small_vocab).collect()
+    }
+    return got
+
+
+def test_token_rarity_matches_counter_reference(spark):
+    assert _run(spark, small_vocab=True) == _reference(DOCS)
+
+
+def test_token_rarity_lookup_path_invariant(spark):
+    # broadcast and shuffle lookup joins are plan variants of one operator
+    assert _run(spark, small_vocab=True) == _run(spark, small_vocab=False)
+
+
+def test_token_rarity_empty_corpus(spark):
+    df = spark.createDataFrame([], "doc_id bigint, text string")
+    assert token_rarity(df).collect() == []
+
+
+def test_token_rarity_hand_values(spark):
+    got = _run(spark, small_vocab=True)
+    # vocab: the=6 cat=1 sat=1 on=1 mat=1 dog=1 zyxxyz=1 ''=1
+    assert got[0] == (6, 1, 4, (6 + 1 + 1 + 1 + 6 + 1) * 100 // 6)
+    assert got[1] == (2, 1, 1, (6 + 1) * 100 // 2)
+    assert got[2] == (1, 1, 1, 100)
+    assert got[3] == (1, 1, 1, 100)   # '' is a token like any other
+    assert got[4] == (None, None, None, None)
+    assert got[5] == (3, 6, 0, 600)
