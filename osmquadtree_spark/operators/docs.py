@@ -767,3 +767,89 @@ def token_rarity(docs: DataFrame, small_vocab: bool = False) -> DataFrame:
             ),
         )
     )
+
+
+def source_quota_cap(
+    docs: DataFrame,
+    cap: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    oversample: float = 4.0,
+) -> DataFrame:
+    """(id, key, quota_rank ≤ cap): deterministic per-source document cap —
+    the "no single domain dominates the training mix" curation pass. The
+    kept set is EXACTLY the ``cap`` smallest (splitmix64(id), id) pairs per
+    key: a reproducible uniform pseudo-random sample that is stable across
+    runs, partitionings and cluster sizes (no rand(), no row order
+    dependence), with ``quota_rank`` the element's position in that order.
+
+    Scale shape: the naive form — one rank window over the corpus — sorts
+    ALL 10^12 rows inside per-key partitions whose sizes follow the web's
+    domain skew. Instead the mark's uniformity prunes first:
+
+    1. per-key counts (one map-side-combined agg, |keys| rows, broadcast);
+    2. keep rows with mark ≤ thr(key) where thr ≈ 2^63·oversample·cap/n —
+       the window's input shrinks to ~oversample·cap rows per key
+       regardless of domain size (the threshold uses double math: it only
+       PRUNES, exactness never depends on it);
+    3. rank the survivors; any key whose survivor count fell below
+       min(cap, n) — probability ≈ exp(-(oversample-1)²·cap/2/oversample),
+       ~1e-19 per key at the defaults — is re-ranked from its full row set
+       via the declarative fallback branch (semi-join + window), so the
+       result is exact even when the tail probability fires. The whole
+       operator stays lazy: no driver-side actions, the deficit check is a
+       broadcast anti-join in the plan.
+
+    The survivor-rank-≤-cap ⇒ true-rank-≤-cap argument: if a key keeps
+    ≥ min(cap, n) survivors, every true top-cap row has mark below at
+    least cap survivor marks, hence below thr, hence IS a survivor.
+
+    NULL ids are excluded (they have no mark — same rule as
+    sample_by_hash); NULL keys form their own quota group (struct-wrapped
+    join keys make the joins null-safe).
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    from pyspark.sql import Window
+
+    from ..functions.udfs import make_splitmix64_mod
+
+    m63 = 1 << 63
+    mark = make_splitmix64_mod(m63)
+    base = docs.filter(F.col(id_col).isNotNull()).select(
+        id_col,
+        key_col,
+        F.struct(F.col(key_col).alias("k")).alias("_k"),
+        mark(F.col(id_col)).alias("_mark"),
+    )
+    counts = base.groupBy("_k").agg(F.count("*").alias("_n"))
+    full = float(cap) * float(oversample)
+    thr = F.when(F.col("_n").cast("double") <= F.lit(full), F.lit(m63 - 1)).otherwise(
+        (F.lit(float(m63)) * F.lit(full) / F.col("_n").cast("double")).cast("bigint")
+    )
+    counts = counts.select("_k", "_n", thr.alias("_thr"))
+    with_thr = base.join(F.broadcast(counts), "_k")
+    surv = with_thr.filter(F.col("_mark") <= F.col("_thr"))
+    w = Window.partitionBy("_k").orderBy("_mark", id_col)
+    # keys whose survivor set fell below min(cap, n): left join so keys
+    # with ZERO survivors (absent from the survivor agg) are included
+    n_surv = surv.groupBy("_k").agg(F.count("*").alias("_ns"))
+    deficient = (
+        counts.join(n_surv, "_k", "left")
+        .filter(
+            F.coalesce(F.col("_ns"), F.lit(0))
+            < F.least(F.lit(cap).cast("bigint"), F.col("_n"))
+        )
+        .select("_k")
+    )
+    ok = surv.join(F.broadcast(deficient), "_k", "left_anti").withColumn(
+        "_rk", F.row_number().over(w)
+    )
+    fallback = with_thr.join(F.broadcast(deficient), "_k", "leftsemi").withColumn(
+        "_rk", F.row_number().over(w)
+    )
+    return (
+        ok.unionByName(fallback.select(*ok.columns))
+        .filter(F.col("_rk") <= cap)
+        .select(id_col, key_col, F.col("_rk").cast("bigint").alias("quota_rank"))
+    )

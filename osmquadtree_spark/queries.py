@@ -3717,6 +3717,44 @@ FROM inj d LEFT JOIN per_doc p USING (doc_id)
 """.strip()
 
 
+QUOTA_CAP = 20
+
+
+def q_source_quota(spark, sf_dir):
+    """Per-source document quota (docs.source_quota_cap): the cap smallest
+    (splitmix64(doc_id), doc_id) pairs per source with their quota rank —
+    deterministic domain-rebalancing sample. oversample=1.2 so the
+    uniform-mark prefilter is ACTIVE at every fixture scale (sources carry
+    25 docs at sf0.01, 250 at sf0.1 — both above cap·oversample=24), i.e.
+    the gate exercises the pruned path + exactness argument, not the
+    pass-everything degenerate case."""
+    from .operators.docs import source_quota_cap
+
+    return source_quota_cap(
+        _load(spark, sf_dir, "documents"), QUOTA_CAP, oversample=1.2
+    )
+
+
+def _source_quota_sql() -> str:
+    """DuckDB twin: the SPEC form — one full window rank per source over
+    the HUGEINT-restated splitmix64 mark (no prefilter: the oracle defines
+    the answer the pruned engine path must reproduce exactly)."""
+    return f"""
+WITH marked AS (
+  SELECT doc_id, source,
+         CAST(({so.splitmix64_sql('doc_id')}) % 9223372036854775808 AS BIGINT) AS mark
+  FROM documents WHERE doc_id IS NOT NULL
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY mark, doc_id) AS rk
+  FROM marked
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS quota_rank
+FROM ranked WHERE rk <= {QUOTA_CAP}
+""".strip()
+
+
 QUANTILE_PHIS = (10, 50, 250, 500, 750, 950, 990)  # phi × 1000
 # ≥ any per-partition (even single-core local[1]) row count at every
 # driver/fixture scale through sf0.1 — with a wide margin, so fixture
@@ -3874,6 +3912,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dim_quantiles": q_image_dim_quantiles,
         "bpe_token_stats": q_bpe_token_stats,
         "token_rarity": q_token_rarity,
+        "source_quota": q_source_quota,
         "events_stream_join": q_events_stream_join,
     }
 
@@ -3920,5 +3959,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "image_dim_quantiles": _image_dim_quantiles_sql(),
         "bpe_token_stats": _bpe_token_stats_sql(),
         "token_rarity": _token_rarity_sql(),
+        "source_quota": _source_quota_sql(),
         "events_stream_join": _events_stream_join_sql(),
     }
