@@ -485,3 +485,86 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, "score", "rank")
     )
+
+
+OUTLIER_SCALE = 1024          # quantization grid: q = floor(x·1024 + 0.5)
+OUTLIER_OFFSET = 1 << 20      # shift making every code nonnegative (|x| ≤ 1024)
+OUTLIER_FACTOR = 4            # flag when dist² > FACTOR · floor-mean dist²
+
+
+def label_outlier_stats(
+    vectors: DataFrame,
+    dim: int,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, label, dist2, mean_dist2, is_outlier): per-label centroid
+    distance — the standard embedding label-noise / mislabeled-example
+    screen ("a vector far from its class centroid is a labeling error or
+    an out-of-distribution sample"). dist2 is the squared L2 distance to
+    the INTEGER per-label centroid on a fixed quantization grid, so every
+    value (and the outlier flag) is bit-reproducible against the SQL twin
+    — no float aggregation order-dependence anywhere.
+
+    Exact-integer construction: q_i = floor(x_i·1024 + 0.5) + 2^20 (the
+    offset makes codes nonnegative, so the centroid's floor-division is
+    engine-independent — Spark's `div` truncates toward zero while SQL's
+    `//` floors, and they agree only on nonnegative operands; the offset
+    cancels in q_i − cm_i because floor((s + n·OFF)/n) = floor(s/n) + OFF
+    exactly). The flag compares dist² against FACTOR × the per-label
+    floor-mean dist² in pure int64 (headroom: for unit-scale embeddings
+    |x| ≤ 2, dist² ≤ dim·(4·1024)² ≈ 2^30 at dim 64, so per-label dist²
+    sums stay < 2^63 up to ~2^33 rows per label, and code sums to ~2^41).
+
+    Scale shape at 10^12 vectors: quantization is one JVM projection; the
+    centroid pass is ONE groupBy(label) with `dim` partially-aggregated
+    sums (no explode — the row count crossing the shuffle is |labels|·
+    tasks, not rows·dim); both stat lookups broadcast (|labels| rows).
+    Two scans of the input (centroid pass, distance pass) — caching the
+    quantized corpus is a corpus-sized footprint, recomputing the
+    projection is cheaper. NULL embeddings are excluded (no codes); NULL
+    labels form their own group (struct-wrapped join keys).
+    """
+    s = float(OUTLIER_SCALE)
+    q = [
+        (
+            F.floor(F.element_at(vec_col, i + 1).cast("double") * s + 0.5).cast("bigint")
+            + OUTLIER_OFFSET
+        ).alias(f"_q{i}")
+        for i in range(dim)
+    ]
+    base = vectors.filter(F.col(vec_col).isNotNull()).select(
+        id_col, label_col, F.struct(F.col(label_col).alias("k")).alias("_k"), *q
+    )
+    cent = base.groupBy("_k").agg(
+        F.count("*").alias("_cnt"),
+        *[F.sum(f"_q{i}").alias(f"_s{i}") for i in range(dim)],
+    )
+    cm = cent.select(
+        "_k",
+        *[
+            F.expr(f"_s{i} div _cnt").alias(f"_c{i}")  # nonneg ⇒ floor
+            for i in range(dim)
+        ],
+    )
+    diff2 = functools.reduce(
+        operator.add,
+        [
+            (F.col(f"_q{i}") - F.col(f"_c{i}")) * (F.col(f"_q{i}") - F.col(f"_c{i}"))
+            for i in range(dim)
+        ],
+    )
+    d = base.join(F.broadcast(cm), "_k").select(
+        id_col, label_col, "_k", diff2.cast("bigint").alias("dist2")
+    )
+    m = d.groupBy("_k").agg(
+        F.expr("sum(dist2) div count(*)").cast("bigint").alias("mean_dist2")
+    )
+    return d.join(F.broadcast(m), "_k").select(
+        id_col,
+        label_col,
+        "dist2",
+        "mean_dist2",
+        (F.col("dist2") > OUTLIER_FACTOR * F.col("mean_dist2")).alias("is_outlier"),
+    )

@@ -3755,6 +3755,45 @@ FROM ranked WHERE rk <= {QUOTA_CAP}
 """.strip()
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Per-label centroid-distance label-noise screen (ann.
+    label_outlier_stats): integer-grid quantization, one groupBy(label)
+    centroid pass with dim partially-aggregated sums, broadcast stat
+    lookups — every value and the outlier flag bit-reproducible."""
+    from .operators.ann import label_outlier_stats
+
+    return label_outlier_stats(_load_fanned(spark, sf_dir, "embeddings"), dim=EMB_DIM)
+
+
+def _embedding_outliers_sql() -> str:
+    """DuckDB twin: deliberately different formulation — explode to
+    (vec_id, pos, x) and aggregate per (label, pos), vs the engine's
+    per-column sums (no explode)."""
+    from .operators.ann import OUTLIER_FACTOR, OUTLIER_OFFSET, OUTLIER_SCALE
+
+    return f"""
+WITH q AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(unnest(embedding)::DOUBLE * {OUTLIER_SCALE} + 0.5) AS BIGINT)
+           + {OUTLIER_OFFSET} AS qi
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+cm AS (
+  SELECT label, pos, CAST(SUM(qi) // COUNT(*) AS BIGINT) AS cmi
+  FROM q GROUP BY 1, 2
+),
+d AS (
+  SELECT q.vec_id, q.label,
+         CAST(SUM((q.qi - cm.cmi) * (q.qi - cm.cmi)) AS BIGINT) AS dist2
+  FROM q JOIN cm USING (label, pos) GROUP BY 1, 2
+),
+m AS (SELECT label, CAST(SUM(dist2) // COUNT(*) AS BIGINT) AS mean_dist2 FROM d GROUP BY 1)
+SELECT d.vec_id, d.label, d.dist2, m.mean_dist2,
+       d.dist2 > {OUTLIER_FACTOR} * m.mean_dist2 AS is_outlier
+FROM d JOIN m USING (label)
+""".strip()
+
+
 QUANTILE_PHIS = (10, 50, 250, 500, 750, 950, 990)  # phi × 1000
 # ≥ any per-partition (even single-core local[1]) row count at every
 # driver/fixture scale through sf0.1 — with a wide margin, so fixture
@@ -3913,6 +3952,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "token_rarity": q_token_rarity,
         "source_quota": q_source_quota,
+        "embedding_outliers": q_embedding_outliers,
         "events_stream_join": q_events_stream_join,
     }
 
@@ -3960,5 +4000,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "bpe_token_stats": _bpe_token_stats_sql(),
         "token_rarity": _token_rarity_sql(),
         "source_quota": _source_quota_sql(),
+        "embedding_outliers": _embedding_outliers_sql(),
         "events_stream_join": _events_stream_join_sql(),
     }
