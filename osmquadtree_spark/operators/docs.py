@@ -853,3 +853,54 @@ def source_quota_cap(
         .filter(F.col("_rk") <= cap)
         .select(id_col, key_col, F.col("_rk").cast("bigint").alias("quota_rank"))
     )
+
+
+def corpus_mix(docs: DataFrame) -> DataFrame:
+    """(lang, source, n_docs, n_tokens, n_chars, share_docs_x10000,
+    share_tokens_x10000): the training-mixture report — how the corpus
+    divides across language × domain, by document count and token mass.
+    This is the table a data-mixing plan is written against (per-language
+    / per-source sampling weights), and the monitoring artifact that
+    catches a crawler or filter suddenly skewing the mix.
+
+    One groupBy(lang, source) with map-side partial aggregation — the
+    shuffle carries |langs × sources| rows per task, not documents. The
+    share denominators come from a second aggregate over the GROUPED
+    frame (|groups| rows, a driver-scale window with no partition key —
+    fine because its input is the tiny aggregate, never the corpus).
+    Integer shares (×10000, floor) so values are bit-reproducible; NULL
+    lang/source are their own groups (a real pipeline wants unlabeled
+    mass VISIBLE, not dropped); NULL text counts 0 tokens/chars toward
+    its group's mass but still counts as a document.
+    """
+    from pyspark.sql import Window
+
+    g = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.coalesce(ws_token_count(F.col("text")), F.lit(0).cast("bigint"))
+        ).alias("n_tokens"),
+        F.sum(F.coalesce(F.length("text").cast("bigint"), F.lit(0))).alias("n_chars"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.expr("n_docs * cast(10000 as bigint)").alias("_sd"),
+        F.expr("n_tokens * cast(10000 as bigint)").alias("_st"),
+        F.sum("n_docs").over(w).alias("_td"),
+        F.sum("n_tokens").over(w).alias("_tt"),
+    ).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.expr("_sd div _td").alias("share_docs_x10000"),
+        F.when(F.col("_tt") > 0, F.expr("_st div _tt"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("share_tokens_x10000"),
+    )

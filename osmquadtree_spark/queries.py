@@ -3794,6 +3794,36 @@ FROM d JOIN m USING (label)
 """.strip()
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Training-mixture report (docs.corpus_mix): document/token/char mass
+    per language × source with integer shares — one map-side-combined
+    aggregate; the share window runs over the |groups|-row aggregate."""
+    from .operators.docs import corpus_mix
+
+    return corpus_mix(_load(spark, sf_dir, "documents"))
+
+
+def _corpus_mix_sql() -> str:
+    return """
+WITH g AS (
+  SELECT lang, source,
+         COUNT(*) AS n_docs,
+         SUM(COALESCE(len(string_split(text, ' ')), 0)) AS n_tokens,
+         SUM(COALESCE(length(text), 0)) AS n_chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_docs * 10000 // SUM(n_docs) OVER () AS BIGINT) AS share_docs_x10000,
+       CAST(CASE WHEN SUM(n_tokens) OVER () > 0
+                 THEN n_tokens * 10000 // SUM(n_tokens) OVER ()
+                 ELSE 0 END AS BIGINT) AS share_tokens_x10000
+FROM g
+""".strip()
+
+
 QUANTILE_PHIS = (10, 50, 250, 500, 750, 950, 990)  # phi × 1000
 # ≥ any per-partition (even single-core local[1]) row count at every
 # driver/fixture scale through sf0.1 — with a wide margin, so fixture
@@ -3953,6 +3983,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity": q_token_rarity,
         "source_quota": q_source_quota,
         "embedding_outliers": q_embedding_outliers,
+        "corpus_mix": q_corpus_mix,
         "events_stream_join": q_events_stream_join,
     }
 
@@ -4001,5 +4032,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "token_rarity": _token_rarity_sql(),
         "source_quota": _source_quota_sql(),
         "embedding_outliers": _embedding_outliers_sql(),
+        "corpus_mix": _corpus_mix_sql(),
         "events_stream_join": _events_stream_join_sql(),
     }

@@ -70,3 +70,38 @@ def test_token_rarity_hand_values(spark):
     assert got[3] == (1, 1, 1, 100)   # '' is a token like any other
     assert got[4] == (None, None, None, None)
     assert got[5] == (3, 6, 0, 600)
+
+
+# --------------------------------------------------------------------------
+# corpus_mix (same module; sweep gate `corpus_mix` carries value parity)
+
+from osmquadtree_spark.operators.docs import corpus_mix  # noqa: E402
+
+MIX_DOCS = [
+    (0, "a b c", "en", "s0"),
+    (1, "d e", "en", "s0"),
+    (2, "f", "en", "s1"),
+    (3, None, "de", "s1"),     # NULL text: counts as a doc, 0 tokens
+    (4, "g h", None, None),    # NULL lang/source: visible group
+]
+
+
+def test_corpus_mix_hand_values(spark):
+    df = spark.createDataFrame(MIX_DOCS, "doc_id bigint, text string, lang string, source string")
+    got = {
+        (r["lang"], r["source"]): (
+            r["n_docs"], r["n_tokens"], r["n_chars"],
+            r["share_docs_x10000"], r["share_tokens_x10000"],
+        )
+        for r in corpus_mix(df).collect()
+    }
+    # totals: 5 docs, 8 tokens
+    assert got[("en", "s0")] == (2, 5, 8, 2 * 10000 // 5, 5 * 10000 // 8)
+    assert got[("en", "s1")] == (1, 1, 1, 2000, 1 * 10000 // 8)
+    assert got[("de", "s1")] == (1, 0, 0, 2000, 0)
+    assert got[(None, None)] == (1, 2, 3, 2000, 2 * 10000 // 8)
+
+
+def test_corpus_mix_empty(spark):
+    df = spark.createDataFrame([], "doc_id bigint, text string, lang string, source string")
+    assert corpus_mix(df).collect() == []
