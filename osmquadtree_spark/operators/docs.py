@@ -904,3 +904,109 @@ def corpus_mix(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit(0).cast("bigint"))
         .alias("share_tokens_x10000"),
     )
+
+
+def positional_grams(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """(id, pos, gram): word k-grams WITH their 0-based start position —
+    the positional twin of distinct_grams (which drops positions; span
+    detection needs them). Same guards (docs shorter than k have no
+    grams) and the same xxhash64-before-shuffle compression: every
+    downstream exchange moves (id, int, int64) instead of k-word strings.
+    """
+    words = F.split(F.col(text_col), " ")
+    ex = docs.filter(F.size(words) >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - F.lit(k)),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+            )
+        ).alias("pos", "_g"),
+    )
+    return ex.select(
+        id_col, "pos", (F.xxhash64("_g") if hash_grams else F.col("_g")).alias("gram")
+    )
+
+
+def shared_span_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    min_span: int = 8,
+    gram_cap: int | None = 100_000,
+    metrics_path: str | None = None,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """(doc_a, doc_b, max_span_tokens, n_runs): exact shared-substring
+    detection — for every document pair sharing a contiguous run of at
+    least ``min_span`` identical tokens, the LONGEST such run and how many
+    maximal shared runs exist. This is the "Deduplicating Training Data
+    Makes Language Models Better" (Lee et al. 2022, public) ExactSubstr
+    criterion re-expressed relationally: instead of a suffix array over
+    the concatenated corpus (a global sorted structure that fights the
+    shuffle model), matched positional k-grams are folded into diagonal
+    runs — a matched k-gram at positions (pa, pb) lies on diagonal
+    pa − pb, and r CONSECUTIVE matches on one diagonal certify a shared
+    span of exactly r + k − 1 tokens (each match extends the previous by
+    one token). Gaps-and-islands (pa − row_number over the diagonal)
+    turns runs into groups; two aggregates finish the job.
+
+    Scale shape: identical to ngram_pairs — the gram equi-join is the one
+    big shuffle, document-frequency-capped (``gram_cap`` drops boilerplate
+    grams BEFORE the self-join, drops committed to the metrics table) and
+    hash-compressed; the diagonal-run window partitions by (pair, diag),
+    whose groups are bounded by document length, never corpus size. The
+    min_span filter is applied at the LAST aggregate, where rows are
+    already pair-level. Spans shorter than k are invisible by
+    construction (k is the detection floor, the standard ExactSubstr
+    tradeoff); ``min_span`` must be ≥ k.
+
+    Like ngram_pairs, hashed grams can collide (odds ≈ g²/2^65): a
+    collision fabricates one matched position, which can only extend a
+    run if it ALSO lands on an existing pair's diagonal — vanishing at
+    fixture scale, ±1-token noise on a handful of pairs at planet scale.
+    """
+    if min_span < k:
+        raise ValueError(f"min_span ({min_span}) must be >= k ({k})")
+    from pyspark.sql import Window
+
+    from ..cache import cached
+    from .dedup import cap_hot_buckets
+
+    grams = cached(positional_grams(docs, k, hash_grams=hash_grams))
+    capped = cached(
+        cap_hot_buckets(grams, ["gram"], gram_cap, metrics_path, "shared_span")
+    )
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "gram"
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "gram"
+    )
+    hits = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    if metrics_path is not None:
+        from .dedup import register_pair_volume
+
+        register_pair_volume(metrics_path, "shared_span", capped, ["gram"])
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = hits.withColumn("_isl", F.col("pa") - F.row_number().over(w))
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "_isl").agg(
+        F.count(F.lit(1)).alias("_run")
+    )
+    return (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("_run") + F.lit(k - 1)).cast("bigint").alias("max_span_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        )
+        .filter(F.col("max_span_tokens") >= min_span)
+    )

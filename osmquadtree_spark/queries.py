@@ -3824,6 +3824,62 @@ FROM g
 """.strip()
 
 
+SPAN_K = 5
+SPAN_MIN = 8
+
+
+def q_shared_spans(spark, sf_dir):
+    """ExactSubstr shared-span detection (docs.shared_span_pairs):
+    positional k-gram equi-join folded into diagonal runs — the longest
+    exact shared token span per document pair. k=5 / min_span=8 keeps the
+    fixture's planted near-dup overlaps (spans 11-93 tokens) and drops
+    the ~dozen chance single-gram matches a 40-word vocabulary produces."""
+    from .operators.docs import shared_span_pairs
+
+    return shared_span_pairs(
+        _load_fanned(spark, sf_dir, "documents"),
+        k=SPAN_K,
+        min_span=SPAN_MIN,
+        metrics_path=_scratch(sf_dir, "metrics"),
+    )
+
+
+def _shared_spans_sql() -> str:
+    """DuckDB twin over STRING grams (no hash — the hash is engine-side
+    shuffle compression; value parity proves it changed nothing)."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(words, i, i + {SPAN_K} - 1), ' ') AS gram
+  FROM (
+    SELECT doc_id, words, UNNEST(generate_series(1, len(words) - {SPAN_K} + 1)) AS i
+    FROM w WHERE len(words) >= {SPAN_K}
+  )
+),
+hits AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS diag
+  FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, diag,
+         pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+  FROM hits
+),
+spans AS (
+  SELECT doc_a, doc_b, COUNT(*) AS run FROM runs GROUP BY doc_a, doc_b, diag, isl
+)
+SELECT doc_a, doc_b,
+       CAST(MAX(run) + {SPAN_K} - 1 AS BIGINT) AS max_span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM spans GROUP BY 1, 2
+HAVING MAX(run) + {SPAN_K} - 1 >= {SPAN_MIN}
+""".strip()
+
+
 QUANTILE_PHIS = (10, 50, 250, 500, 750, 950, 990)  # phi × 1000
 # ≥ any per-partition (even single-core local[1]) row count at every
 # driver/fixture scale through sf0.1 — with a wide margin, so fixture
@@ -3984,6 +4040,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": q_source_quota,
         "embedding_outliers": q_embedding_outliers,
         "corpus_mix": q_corpus_mix,
+        "shared_spans": q_shared_spans,
         "events_stream_join": q_events_stream_join,
     }
 
@@ -4033,5 +4090,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "source_quota": _source_quota_sql(),
         "embedding_outliers": _embedding_outliers_sql(),
         "corpus_mix": _corpus_mix_sql(),
+        "shared_spans": _shared_spans_sql(),
         "events_stream_join": _events_stream_join_sql(),
     }
