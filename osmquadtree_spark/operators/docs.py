@@ -1010,3 +1010,72 @@ def shared_span_pairs(
         )
         .filter(F.col("max_span_tokens") >= min_span)
     )
+
+
+def token_shards(
+    docs: DataFrame,
+    shard_tokens: int,
+    band: int = 1 << 20,
+) -> DataFrame:
+    """(doc_id, n_tokens, shard_id, offset_in_shard): fixed-token-budget
+    shard assignment — the "pack the curated corpus into ~N-token training
+    shards" step. The spec is a GLOBAL exclusive prefix sum in doc_id
+    order: start(d) = Σ tokens of all docs with smaller id; the doc's
+    shard is start div shard_tokens and its position in it start mod
+    shard_tokens (documents straddle shard boundaries, as sequence
+    packing does).
+
+    A global ordered window is one task in Spark — useless at 10^12 docs.
+    This is the classic two-level distributed prefix sum, kept fully
+    declarative AND independent of physical partitioning (no
+    spark_partition_id, whose values depend on the sampled range
+    boundaries): rows band by VALUE (doc_id div band), so the grouping is
+    a pure function of the data.
+
+    1. per-band token totals — one map-side-combined aggregate,
+       |bands| = id_range/band rows;
+    2. exclusive band offsets — ONE unpartitioned window over the tiny
+       band table (10^6 rows at 10^12 docs / band 2^20: a single-task
+       sort of megabyte scale, the deliberate driver-bounded step exactly
+       like the qttree grouping collect);
+    3. within-band exclusive cumsum — a window partitioned by band
+       (groups ≤ band docs), plus the broadcast band offset.
+
+    All integer (sums < 2^63 at any plausible corpus), so div/mod on
+    nonnegative values are engine-exact. NULL doc_id rows are excluded
+    (the order spec needs a key); NULL text counts 0 tokens but still
+    occupies its ordered slot.
+    """
+    if shard_tokens <= 0:
+        raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")
+    from pyspark.sql import Window
+
+    base = docs.filter(F.col("doc_id").isNotNull()).select(
+        "doc_id",
+        F.coalesce(ws_token_count(F.col("text")), F.lit(0).cast("bigint")).alias(
+            "n_tokens"
+        ),
+        (F.col("doc_id") - (F.col("doc_id") % band)).alias("_band"),
+    )
+    sums = base.groupBy("_band").agg(F.sum("n_tokens").alias("_btotal"))
+    wo = Window.orderBy("_band").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sums.select(
+        "_band",
+        F.coalesce(F.sum("_btotal").over(wo), F.lit(0).cast("bigint")).alias("_boff"),
+    )
+    wl = Window.partitionBy("_band").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    start = F.col("_boff") + F.coalesce(
+        F.sum("n_tokens").over(wl), F.lit(0).cast("bigint")
+    )
+    return (
+        base.join(F.broadcast(offs), "_band")
+        .withColumn("_start", start)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"_start div {int(shard_tokens)}").alias("shard_id"),
+            (F.col("_start") % shard_tokens).cast("bigint").alias("offset_in_shard"),
+        )
+    )

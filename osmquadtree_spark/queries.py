@@ -3880,6 +3880,41 @@ HAVING MAX(run) + {SPAN_K} - 1 >= {SPAN_MIN}
 """.strip()
 
 
+SHARD_TOKENS = 1000
+
+
+def q_token_shards(spark, sf_dir):
+    """Fixed-token-budget shard packing (docs.token_shards): global
+    exclusive prefix sum in doc_id order via the banded two-level cumsum.
+    band=64 so the fixture's 500-5000 ids split across many bands — the
+    gate exercises the band-offset + within-band composition, not the
+    one-band degenerate case."""
+    from .operators.docs import token_shards
+
+    return token_shards(_load(spark, sf_dir, "documents"), SHARD_TOKENS, band=64)
+
+
+def _token_shards_sql() -> str:
+    """DuckDB twin: the SPEC form — one global ordered window (fine at
+    fixture scale; the banded engine decomposition must reproduce it)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, COALESCE(len(string_split(text, ' ')), 0)::BIGINT AS n_tokens
+  FROM documents WHERE doc_id IS NOT NULL
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(start // {SHARD_TOKENS} AS BIGINT) AS shard_id,
+       CAST(start % {SHARD_TOKENS} AS BIGINT) AS offset_in_shard
+FROM c
+""".strip()
+
+
 QUANTILE_PHIS = (10, 50, 250, 500, 750, 950, 990)  # phi × 1000
 # ≥ any per-partition (even single-core local[1]) row count at every
 # driver/fixture scale through sf0.1 — with a wide margin, so fixture
@@ -4041,6 +4076,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "corpus_mix": q_corpus_mix,
         "shared_spans": q_shared_spans,
+        "token_shards": q_token_shards,
         "events_stream_join": q_events_stream_join,
     }
 
@@ -4091,5 +4127,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "embedding_outliers": _embedding_outliers_sql(),
         "corpus_mix": _corpus_mix_sql(),
         "shared_spans": _shared_spans_sql(),
+        "token_shards": _token_shards_sql(),
         "events_stream_join": _events_stream_join_sql(),
     }
