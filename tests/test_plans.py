@@ -297,3 +297,66 @@ def test_bm25_probe_is_broadcast_inverted_index(spark, sf_dir):
     # the only BNLJs are the 1-row corpus-stats constants (n_docs x
     # total_len, then stats onto the hits) — any other BNLJ is a regression
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+# --------------------------------------------------------------------------
+# round-4 close additions: the new curation operators' scale claims
+
+
+def test_token_rarity_vocab_lookup_broadcasts(spark, sf_dir):
+    """The gate query passes small_vocab=True: the freq lookup must be a
+    BroadcastHashJoin (the exploded corpus is never shuffled on the
+    maximally-skewed token key), and nothing may degrade to nested-loop."""
+    plan = _plan(Q.q_token_rarity(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_quota_prunes_before_window(spark, sf_dir):
+    """source_quota_cap claims the rank window never sees the full corpus:
+    per-key stats join via broadcast, the survivor filter sits below the
+    window sort, and no nested-loop anywhere."""
+    plan = _plan(Q.q_source_quota(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the mark-threshold prefilter must appear (survivors only reach the sort)
+    assert "_mark" in plan and "_thr" in plan
+
+
+def test_embedding_outliers_no_explode(spark, sf_dir):
+    """label_outlier_stats claims the centroid pass never explodes the
+    vectors (dim partially-aggregated sums, |labels| rows shuffled): no
+    Generate in the plan, and both stat lookups broadcast."""
+    plan = _plan(Q.q_embedding_outliers(spark, sf_dir))
+    assert "Generate" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_shared_spans_join_is_hashed_equi_join(spark, sf_dir):
+    """shared_span_pairs claims the gram self-join moves xxhash64 int64
+    keys (not k-word strings) and never degrades to a cartesian product."""
+    plan = _plan(Q.q_shared_spans(spark, sf_dir))
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_shards_corpus_window_is_banded(spark, sf_dir):
+    """token_shards claims the only unpartitioned window runs over the
+    tiny band table: exactly ONE single-partition exchange in the plan
+    (the band-offset window), the corpus window exchanges on the band
+    key, and the offset join broadcasts."""
+    plan = _plan(Q.q_token_shards(spark, sf_dir))
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "hashpartitioning(_band" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_mix_is_agg_only(spark, sf_dir):
+    """corpus_mix claims one grouped aggregate + a |groups|-row window:
+    no Generate (token counts come from size(split), never explode), no
+    joins at all."""
+    plan = _plan(Q.q_corpus_mix(spark, sf_dir))
+    assert "Generate" not in plan
+    assert "Join" not in plan
