@@ -978,6 +978,33 @@ def shared_span_pairs(
     from ..cache import cached
     from .dedup import cap_hot_buckets
 
+    spans = _diagonal_runs(docs, k, gram_cap, metrics_path, hash_grams)
+    return (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("_run") + F.lit(k - 1)).cast("bigint").alias("max_span_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        )
+        .filter(F.col("max_span_tokens") >= min_span)
+    )
+
+
+def _diagonal_runs(
+    docs: DataFrame,
+    k: int,
+    gram_cap: int | None,
+    metrics_path: str | None,
+    hash_grams: bool,
+) -> DataFrame:
+    """Shared maximal-run stage of shared_span_pairs / dedup_span_mask:
+    (doc_a < doc_b, diag, _pa0, _pb0, _run) — each row one maximal run of
+    ``_run`` consecutive matched k-grams starting at token _pa0 in doc_a /
+    _pb0 in doc_b, certifying a shared span of _run + k − 1 tokens."""
+    from pyspark.sql import Window
+
+    from ..cache import cached
+    from .dedup import cap_hot_buckets
+
     grams = cached(positional_grams(docs, k, hash_grams=hash_grams))
     capped = cached(
         cap_hot_buckets(grams, ["gram"], gram_cap, metrics_path, "shared_span")
@@ -999,16 +1026,10 @@ def shared_span_pairs(
         register_pair_volume(metrics_path, "shared_span", capped, ["gram"])
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     runs = hits.withColumn("_isl", F.col("pa") - F.row_number().over(w))
-    spans = runs.groupBy("doc_a", "doc_b", "diag", "_isl").agg(
-        F.count(F.lit(1)).alias("_run")
-    )
-    return (
-        spans.groupBy("doc_a", "doc_b")
-        .agg(
-            (F.max("_run") + F.lit(k - 1)).cast("bigint").alias("max_span_tokens"),
-            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
-        )
-        .filter(F.col("max_span_tokens") >= min_span)
+    return runs.groupBy("doc_a", "doc_b", "diag", "_isl").agg(
+        F.count(F.lit(1)).alias("_run"),
+        F.min("pa").alias("_pa0"),
+        (F.min("pa") - F.col("diag")).alias("_pb0"),
     )
 
 
@@ -1078,4 +1099,77 @@ def token_shards(
             F.expr(f"_start div {int(shard_tokens)}").alias("shard_id"),
             (F.col("_start") % shard_tokens).cast("bigint").alias("offset_in_shard"),
         )
+    )
+
+
+def dedup_span_mask(
+    docs: DataFrame,
+    k: int = 5,
+    min_span: int = 8,
+    gram_cap: int | None = 100_000,
+    metrics_path: str | None = None,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """(doc_id, n_tokens, dup_tokens, dup_intervals, dup_frac_x10000):
+    the REMOVAL half of ExactSubstr dedup (Lee et al. 2022) — for every
+    document, the merged union of token intervals that duplicate a span
+    of ≥ min_span tokens in some SMALLER-id document (the canonical
+    "keep the first copy" rule: the smallest id keeps its text, every
+    later copy is masked). A training pipeline drops or trims documents
+    on dup_frac; dup_intervals says whether the duplication is one
+    boilerplate block or scattered.
+
+    Built on the same diagonal-run stage as shared_span_pairs (one gram
+    self-join, document-frequency-capped and hash-compressed): each
+    maximal run yields doc_b's interval [pb0, pb0 + run + k − 2]; the
+    per-document merge is a second gaps-and-islands pass — cumulative
+    max of preceding interval ends marks island starts (overlapping OR
+    adjacent intervals merge, so every duplicated token is counted
+    exactly once). Window groups are bounded by a document's interval
+    count, never corpus size.
+
+    NULL-text documents carry NULL stats; clean documents (including
+    those shorter than k) carry zeros. Within-document repetitions are
+    NOT masked (the pair join is doc_a < doc_b; in-doc repetition is
+    repetition_stats' scope).
+    """
+    if min_span < k:
+        raise ValueError(f"min_span ({min_span}) must be >= k ({k})")
+    from pyspark.sql import Window
+
+    runs = _diagonal_runs(docs, k, gram_cap, metrics_path, hash_grams)
+    iv = runs.filter(F.col("_run") + F.lit(k - 1) >= min_span).select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("_pb0").alias("_s"),
+        (F.col("_pb0") + F.col("_run") + F.lit(k - 2)).alias("_e"),
+    )
+    wo = Window.partitionBy("doc_id").orderBy("_s", "_e")
+    prev_max = F.max("_e").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "_new",
+        F.when(prev_max.isNull() | (F.col("_s") > prev_max + 1), 1).otherwise(0),
+    )
+    grp = F.sum("_new").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    merged = (
+        marked.withColumn("_g", grp)
+        .groupBy("doc_id", "_g")
+        .agg((F.max("_e") - F.min("_s") + 1).alias("_len"))
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.sum("_len").cast("bigint").alias("_dup"),
+        F.count(F.lit(1)).cast("bigint").alias("_niv"),
+    )
+    nt = ws_token_count(F.col("text"))
+    base = docs.select("doc_id", nt.alias("n_tokens"))
+    zero = F.lit(0).cast("bigint")
+    has = F.col("n_tokens").isNotNull()
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.when(has, F.coalesce(F.col("_dup"), zero)).alias("dup_tokens"),
+        F.when(has, F.coalesce(F.col("_niv"), zero)).alias("dup_intervals"),
+        F.when(
+            has,
+            F.expr("coalesce(_dup, cast(0 as bigint)) * 10000 div n_tokens"),
+        ).alias("dup_frac_x10000"),
     )

@@ -3915,6 +3915,78 @@ FROM c
 """.strip()
 
 
+def q_span_mask(spark, sf_dir):
+    """ExactSubstr removal mask (docs.dedup_span_mask): merged duplicated
+    token intervals per document vs all smaller-id documents — same
+    k/min_span as shared_spans so the two gates pin both halves of the
+    Lee-et-al pipeline over the same planted overlaps."""
+    from .operators.docs import dedup_span_mask
+
+    return dedup_span_mask(
+        _load_fanned(spark, sf_dir, "documents"),
+        k=SPAN_K,
+        min_span=SPAN_MIN,
+        metrics_path=_scratch(sf_dir, "metrics"),
+    )
+
+
+def _span_mask_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(words, i, i + {SPAN_K} - 1), ' ') AS gram
+  FROM (
+    SELECT doc_id, words, UNNEST(generate_series(1, len(words) - {SPAN_K} + 1)) AS i
+    FROM w WHERE len(words) >= {SPAN_K}
+  )
+),
+hits AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS diag
+  FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, diag, pa,
+         pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+  FROM hits
+),
+spans AS (
+  SELECT doc_a, doc_b, diag, isl, COUNT(*) AS run, MIN(pa) AS pa0
+  FROM runs GROUP BY 1, 2, 3, 4
+),
+iv AS (
+  SELECT doc_b AS doc_id, pa0 - diag AS s, pa0 - diag + run + {SPAN_K} - 2 AS e
+  FROM spans WHERE run + {SPAN_K} - 1 >= {SPAN_MIN}
+),
+m AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM iv
+),
+gi AS (
+  SELECT doc_id, s, e,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM m
+),
+mg AS (SELECT doc_id, MAX(e) - MIN(s) + 1 AS len FROM gi GROUP BY doc_id, grp),
+pd AS (SELECT doc_id, SUM(len) AS dup, COUNT(*) AS niv FROM mg GROUP BY 1)
+SELECT d.doc_id,
+       len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+       CASE WHEN d.text IS NOT NULL THEN COALESCE(pd.dup, 0)::BIGINT END AS dup_tokens,
+       CASE WHEN d.text IS NOT NULL THEN COALESCE(pd.niv, 0)::BIGINT END AS dup_intervals,
+       CASE WHEN d.text IS NOT NULL
+            THEN (COALESCE(pd.dup, 0) * 10000 // len(string_split(d.text, ' ')))::BIGINT
+       END AS dup_frac_x10000
+FROM documents d LEFT JOIN pd USING (doc_id)
+""".strip()
+
+
 QUANTILE_PHIS = (10, 50, 250, 500, 750, 950, 990)  # phi × 1000
 # ≥ any per-partition (even single-core local[1]) row count at every
 # driver/fixture scale through sf0.1 — with a wide margin, so fixture
@@ -4077,6 +4149,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "shared_spans": q_shared_spans,
         "token_shards": q_token_shards,
+        "span_mask": q_span_mask,
         "events_stream_join": q_events_stream_join,
     }
 
@@ -4128,5 +4201,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "corpus_mix": _corpus_mix_sql(),
         "shared_spans": _shared_spans_sql(),
         "token_shards": _token_shards_sql(),
+        "span_mask": _span_mask_sql(),
         "events_stream_join": _events_stream_join_sql(),
     }

@@ -360,3 +360,14 @@ def test_corpus_mix_is_agg_only(spark, sf_dir):
     plan = _plan(Q.q_corpus_mix(spark, sf_dir))
     assert "Generate" not in plan
     assert "Join" not in plan
+
+
+def test_span_mask_join_is_hashed_equi_join(spark, sf_dir):
+    """dedup_span_mask shares the diagonal-run stage: hashed int64 gram
+    keys, no cartesian/nested-loop, and the interval-merge windows
+    partition by doc (never a global sort of the corpus)."""
+    plan = _plan(Q.q_span_mask(spark, sf_dir))
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan

@@ -94,3 +94,101 @@ def test_spans_empty_and_short(spark):
         [(1, "a b"), (2, None)], "doc_id bigint, text string"
     )
     assert shared_span_pairs(df, k=3, min_span=3, gram_cap=None).collect() == []
+
+
+# --------------------------------------------------------------------------
+# dedup_span_mask (removal half; sweep gate `span_mask` carries value parity)
+
+from osmquadtree_spark.operators.docs import dedup_span_mask  # noqa: E402
+
+
+def _mask_reference(rows, k, min_span):
+    """Independent spec: brute-force all shared >=min_span substrings via
+    the DP table, mark doc_b token positions, merge by set-union."""
+    out = {}
+    docs = [(i, t) for i, t in rows if t is not None]
+    masked = {i: set() for i, _ in docs}
+    for ai in range(len(docs)):
+        for bi in range(len(docs)):
+            ida, ta = docs[ai]
+            idb, tb = docs[bi]
+            if ida >= idb:
+                continue
+            aw, bw = ta.split(" "), tb.split(" ")
+            # every maximal common run; mark b positions when run >= min_span
+            for s_b in range(len(bw)):
+                for s_a in range(len(aw)):
+                    if s_a > 0 and s_b > 0 and aw[s_a - 1] == bw[s_b - 1]:
+                        continue  # not maximal
+                    ln = 0
+                    while (
+                        s_a + ln < len(aw)
+                        and s_b + ln < len(bw)
+                        and aw[s_a + ln] == bw[s_b + ln]
+                    ):
+                        ln += 1
+                    if ln >= min_span and ln >= k:
+                        masked[idb].update(range(s_b, s_b + ln))
+    for doc_id, text in rows:
+        if text is None:
+            out[doc_id] = (None, None, None, None)
+            continue
+        n = len(text.split(" "))
+        pos = sorted(masked.get(doc_id, ()))
+        niv, prev = 0, None
+        for p in pos:
+            if prev is None or p > prev + 1:
+                niv += 1
+            prev = p
+        out[doc_id] = (n, len(pos), niv, len(pos) * 10000 // n)
+    return out
+
+
+MASK_DOCS = [
+    (0, "q w e r t y u i o p a s d f g"),
+    (1, "z x q w e r t y u i c v b n m"),
+    (2, "h j k l q w e r t y u i o p m n b v c x"),  # two overlaps w/ 0,1
+    (3, "clean words only nothing shared"),
+    (4, None),
+]
+
+
+def test_span_mask_matches_reference(spark):
+    df = spark.createDataFrame(MASK_DOCS, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["dup_tokens"], r["dup_intervals"], r["dup_frac_x10000"]
+        )
+        for r in dedup_span_mask(df, k=3, min_span=4, gram_cap=None).collect()
+    }
+    assert got == _mask_reference(MASK_DOCS, 3, 4)
+
+
+def test_span_mask_first_copy_untouched(spark):
+    # exact duplicate trio: only ids 1 and 2 are masked, id 0 keeps its text
+    rows = [(i, "a b c d e f g h") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["dup_tokens"], r["dup_frac_x10000"])
+        for r in dedup_span_mask(df, k=3, min_span=3, gram_cap=None).collect()
+    }
+    assert got[0] == (0, 0)
+    assert got[1] == (8, 10000)
+    assert got[2] == (8, 10000)
+
+
+def test_span_mask_merges_overlapping_intervals(spark):
+    # doc 2 shares a prefix with 0 and a suffix with 1 that overlap in the
+    # middle — merged must count the union once
+    rows = [
+        (0, "a b c d e f"),
+        (1, "d e f g h i"),
+        (2, "a b c d e f g h i"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["dup_tokens"], r["dup_intervals"])
+        for r in dedup_span_mask(df, k=3, min_span=3, gram_cap=None).collect()
+    }
+    assert got[2] == (9, 1)   # [0..5] ∪ [3..8] = [0..8]
+    assert got[1][0] == 3     # 'd e f' shared with doc 0
