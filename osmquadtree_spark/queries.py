@@ -3987,6 +3987,58 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """.strip()
 
 
+def q_exact_dedup_stream(spark, sf_dir):
+    """TTL-bounded streaming exact dedup (streaming/dedup.
+    exact_dedup_stream): the events table replayed in event order as 3
+    per-batch-deduplicated micro-batches (min-event row per user per
+    batch — batch-unique keys make the value deterministic; the
+    cross-batch state is what's under test). TTL 100 days ≫ the corpus
+    span, so no eviction fires and the survivors converge to the batch
+    spec: the min-event row per user. Eviction/re-admission semantics are
+    pinned in tests/test_streaming.py with crafted watermark timelines."""
+    from pyspark.sql import Window
+
+    from .streaming.dedup import exact_dedup_stream
+
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id"
+    )
+    n = base.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    batches = [
+        base.filter(
+            (F.col("event_id") >= cuts[i]) & (F.col("event_id") < cuts[i + 1])
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        for i in range(3)
+    ]
+    return _replay_stream(
+        spark,
+        batches,
+        "event_id bigint, ts timestamp, user_id bigint",
+        lambda stream: exact_dedup_stream(stream, ttl_seconds=100 * 86400),
+        "append",
+        "event_id bigint, ts timestamp, user_id bigint",
+        "oqt_exact_dedup_stream_",
+        pin_mtimes=True,
+    )
+
+
+def _exact_dedup_stream_sql() -> str:
+    """Batch spec the converged stream must equal: the min-event row per
+    user (ts is monotone in event_id, so first-in-event-order = min id)."""
+    return """
+SELECT event_id, ts, user_id FROM (
+  SELECT event_id, ts, user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""".strip()
+
+
 QUANTILE_PHIS = (10, 50, 250, 500, 750, 950, 990)  # phi × 1000
 # ≥ any per-partition (even single-core local[1]) row count at every
 # driver/fixture scale through sf0.1 — with a wide margin, so fixture
@@ -4150,6 +4202,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_spans": q_shared_spans,
         "token_shards": q_token_shards,
         "span_mask": q_span_mask,
+        "exact_dedup_stream": q_exact_dedup_stream,
         "events_stream_join": q_events_stream_join,
     }
 
@@ -4202,5 +4255,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "shared_spans": _shared_spans_sql(),
         "token_shards": _token_shards_sql(),
         "span_mask": _span_mask_sql(),
+        "exact_dedup_stream": _exact_dedup_stream_sql(),
         "events_stream_join": _events_stream_join_sql(),
     }

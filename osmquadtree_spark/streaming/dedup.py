@@ -142,3 +142,39 @@ def minhash_pairs_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def exact_dedup_stream(
+    rows: DataFrame,
+    ttl_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """First-occurrence-wins EXACT streaming dedup with TTL-bounded state —
+    the streaming twin of ``operators.docs.dedup_exact`` and the third
+    dedup state policy in this engine (batch cap: retroactive drop;
+    minhash stream: saturating buckets; here: watermark eviction).
+
+    Built on the engine-native primitive (``withWatermark`` +
+    ``dropDuplicatesWithinWatermark``) rather than a custom stateful
+    operator: Spark keeps ONE state row per key and evicts it when the
+    watermark passes the stored event time + TTL — exactly the bound a
+    10^12-row stream needs (state ∝ distinct keys per TTL horizon, not
+    corpus size; the state store shards by key hash across executors).
+    A duplicate arriving while its key is in state is dropped AND extends
+    the state's expiry to its own event time + TTL (the primitive's
+    guarantee is dedup against the LAST occurrence, so a steady drizzle
+    of duplicates keeps the key live); once the watermark passes that
+    expiry the state is evicted and the next arrival is ADMITTED AGAIN —
+    the deliberate state/recall trade of every TTL deduper, pinned in
+    tests/test_streaming.py with a crafted watermark timeline.
+
+    Within one micro-batch Spark keeps an arbitrary row per duplicated
+    key, so exact VALUE determinism requires batch-unique keys; the
+    driver gate feeds per-batch-deduplicated micro-batches (its replay
+    constructor takes the min-event row per key per batch), making the
+    cross-batch streaming state the thing under test.
+    """
+    return rows.withWatermark(ts_col, f"{ttl_seconds} seconds").dropDuplicatesWithinWatermark(
+        [key_col]
+    )

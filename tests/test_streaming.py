@@ -603,3 +603,69 @@ def test_stream_stream_join_semantics(spark, tmp_path):
         assert got == {(102, 103), (105, 104)}
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz_prev)
+
+
+def test_exact_dedup_ttl_eviction_and_readmission(spark, tmp_path):
+    """exact_dedup_stream TTL semantics over a controlled watermark
+    timeline (TTL 10 s): a duplicate arriving while its key's state is
+    live is DROPPED; once the watermark passes stored-ts + TTL the state
+    is evicted and the next arrival of the key is ADMITTED AGAIN — the
+    deliberate state/recall trade documented in streaming/dedup.py."""
+    import os
+
+    from osmquadtree_spark.streaming.dedup import exact_dedup_stream
+
+    tz_prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        src = str(tmp_path / "src")
+        batches = [
+            # b0: first A and B -> both emitted; watermark = 00:00:05 - 10s
+            [("A", "00:00:00"), ("B", "00:00:05")],
+            # b1: duplicate A at t=100 while A's state is live (wm < 10s)
+            #     -> dropped, AND it extends A's state expiry to 110s (the
+            #     within-watermark guarantee is dedup vs the LAST
+            #     occurrence); its ts advances the watermark to 90s
+            [("A", "00:01:40")],
+            # b2: fresh key C at t=300 -> emitted; watermark -> 290s,
+            #     evicting A (expiry 110) and B (15)
+            [("C", "00:05:00")],
+            # b3: A again at t=400, AFTER eviction -> admitted again
+            [("A", "00:06:40")],
+        ]
+        for i, rows in enumerate(batches):
+            vals = ", ".join(f"('{k}', timestamp'2024-01-01 {t}')" for k, t in rows)
+            spark.sql(f"SELECT * FROM (VALUES {vals}) AS v(user_id, ts)").coalesce(
+                1
+            ).write.parquet(f"{src}/b{i}")
+            d = f"{src}/b{i}"
+            for f_ in os.listdir(d):
+                os.utime(os.path.join(d, f_), (1_700_000_000 + i * 10,) * 2)
+
+        stream = (
+            spark.readStream.schema("user_id string, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        q = (
+            exact_dedup_stream(stream, ttl_seconds=10, key_col="user_id")
+            .writeStream.format("memory")
+            .queryName("exact_dedup_ttl")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        got = sorted(
+            (r["user_id"], r["ts"].strftime("%H:%M:%S"))
+            for r in spark.table("exact_dedup_ttl").collect()
+        )
+        assert got == [
+            ("A", "00:00:00"),
+            ("A", "00:06:40"),
+            ("B", "00:00:05"),
+            ("C", "00:05:00"),
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_prev)
