@@ -1173,3 +1173,25 @@ def dedup_span_mask(
             F.expr("coalesce(_dup, cast(0 as bigint)) * 10000 div n_tokens"),
         ).alias("dup_frac_x10000"),
     )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    shard_tokens: int,
+    band: int = 1 << 20,
+) -> DataFrame:
+    """(shard_id, n_docs, n_tokens, min_doc, max_doc): the per-shard
+    manifest over :func:`token_shards` — the text-side twin of the tile
+    sink's lineage table (operators/sortblocks.py): a resuming writer
+    reads the manifest, sees which shard ids are committed, and restarts
+    from the first absent one; min/max doc bound each shard's id range so
+    a shard can be re-derived (and audited) from the source table alone.
+    One extra groupBy(shard_id) over the assignment — map-side combined,
+    |shards| output rows."""
+    s = token_shards(docs, shard_tokens, band)
+    return s.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

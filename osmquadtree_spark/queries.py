@@ -4039,6 +4039,35 @@ SELECT event_id, ts, user_id FROM (
 """.strip()
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Per-shard manifest (docs.shard_manifest): the resume/lineage table
+    over token_shards — doc/token counts + id bounds per shard."""
+    from .operators.docs import shard_manifest
+
+    return shard_manifest(_load(spark, sf_dir, "documents"), SHARD_TOKENS, band=64)
+
+
+def _shard_manifest_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, COALESCE(len(string_split(text, ' ')), 0)::BIGINT AS n_tokens
+  FROM documents WHERE doc_id IS NOT NULL
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM t
+)
+SELECT CAST(start // {SHARD_TOKENS} AS BIGINT) AS shard_id,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_tokens)::BIGINT AS n_tokens,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM c GROUP BY 1
+""".strip()
+
+
 QUANTILE_PHIS = (10, 50, 250, 500, 750, 950, 990)  # phi × 1000
 # ≥ any per-partition (even single-core local[1]) row count at every
 # driver/fixture scale through sf0.1 — with a wide margin, so fixture
@@ -4203,6 +4232,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards": q_token_shards,
         "span_mask": q_span_mask,
         "exact_dedup_stream": q_exact_dedup_stream,
+        "shard_manifest": q_shard_manifest,
         "events_stream_join": q_events_stream_join,
     }
 
@@ -4256,5 +4286,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "token_shards": _token_shards_sql(),
         "span_mask": _span_mask_sql(),
         "exact_dedup_stream": _exact_dedup_stream_sql(),
+        "shard_manifest": _shard_manifest_sql(),
         "events_stream_join": _events_stream_join_sql(),
     }

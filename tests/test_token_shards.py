@@ -58,3 +58,27 @@ def test_shards_validation_and_empty(spark):
     with pytest.raises(ValueError):
         token_shards(df, 0)
     assert token_shards(df, 10).collect() == []
+
+
+# --------------------------------------------------------------------------
+# shard_manifest (sweep gate `shard_manifest` carries value parity)
+
+from osmquadtree_spark.operators.docs import shard_manifest  # noqa: E402
+
+
+def test_manifest_conserves_totals_and_bounds(spark):
+    df = spark.createDataFrame(ROWS, "doc_id bigint, text string")
+    man = {
+        r["shard_id"]: (r["n_docs"], r["n_tokens"], r["min_doc"], r["max_doc"])
+        for r in shard_manifest(df, 50, band=16).collect()
+    }
+    ref = _reference(ROWS, 50)
+    # totals conserve
+    assert sum(v[0] for v in man.values()) == len(ref)
+    assert sum(v[1] for v in man.values()) == sum(v[0] for v in ref.values())
+    # per-shard membership matches the assignment spec; id ranges disjoint
+    for sid, (n_docs, n_tok, lo, hi) in man.items():
+        members = [d for d, (n, s, _) in ref.items() if s == sid]
+        assert (len(members), min(members), max(members)) == (n_docs, lo, hi)
+    ranges = sorted((v[2], v[3]) for v in man.values())
+    assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
