@@ -523,8 +523,10 @@ def label_outlier_stats(
     tasks, not rows·dim); both stat lookups broadcast (|labels| rows).
     Two scans of the input (centroid pass, distance pass) — caching the
     quantized corpus is a corpus-sized footprint, recomputing the
-    projection is cheaper. NULL embeddings are excluded (no codes); NULL
-    labels form their own group (struct-wrapped join keys).
+    projection is cheaper; the SLIM per-row distance frame IS cached so
+    the mean aggregate and the final join share one distance pass. NULL
+    embeddings are excluded (no codes); NULL labels form their own group
+    (struct-wrapped join keys).
     """
     s = float(OUTLIER_SCALE)
     q = [
@@ -555,8 +557,18 @@ def label_outlier_stats(
             for i in range(dim)
         ],
     )
-    d = base.join(F.broadcast(cm), "_k").select(
-        id_col, label_col, "_k", diff2.cast("bigint").alias("dist2")
+    from ..cache import cached
+
+    # the slim (id, label, _k, dist2) frame feeds BOTH the mean aggregate
+    # and the returned join — without the cache the quantization
+    # projection + centroid join over the full corpus runs twice (a whole
+    # extra input scan at 10^12 vectors); caching 4 columns is cheap,
+    # unlike the corpus-sized quantized vectors (which stay uncached by
+    # the recompute-over-cache argument above)
+    d = cached(
+        base.join(F.broadcast(cm), "_k").select(
+            id_col, label_col, "_k", diff2.cast("bigint").alias("dist2")
+        )
     )
     m = d.groupBy("_k").agg(
         F.expr("sum(dist2) div count(*)").cast("bigint").alias("mean_dist2")

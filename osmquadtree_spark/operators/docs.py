@@ -314,18 +314,29 @@ def distinct_grams(
     seed); collision odds and diagnostics are discussed in ngram_pairs."""
     words = F.split(F.col(text_col), " ")
     exploded = docs.filter(F.size(words) >= n).select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(words) - F.lit(n)),
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-            )
-        ).alias("_g"),
+        id_col, F.explode(_gram_array(words, n)).alias("_g")
     )
     return exploded.select(
-        id_col,
-        (F.xxhash64("_g") if hash_grams else F.col("_g")).alias("gram"),
+        id_col, _gram_key(hash_grams).alias("gram")
     ).distinct()
+
+
+def _gram_array(words, n: int) -> "F.Column":
+    """Word n-gram string array for a (pre-length-filtered) words column —
+    THE gram construction, shared by distinct_grams and positional_grams
+    so the negative-stop sequence guard and any future hashing/seed
+    change live in one place. Callers MUST filter size(words) >= n first
+    (see the guard note on distinct_grams)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+
+
+def _gram_key(hash_grams: bool) -> "F.Column":
+    """The exploded gram column ``_g`` as the join key: xxhash64 int64
+    (shuffle compression, default) or the raw string."""
+    return F.xxhash64("_g") if hash_grams else F.col("_g")
 
 
 def ngram_pairs(
@@ -762,9 +773,16 @@ def token_rarity(docs: DataFrame, small_vocab: bool = False) -> DataFrame:
             "n_tokens",
             "min_freq",
             "n_hapax",
-            F.expr("sum_freq * cast(100 as bigint) div n_tokens").alias(
-                "mean_freq_x100"
-            ),
+            # floor(sum·100/n) decomposed as (sum div n)·100 +
+            # (sum mod n)·100 div n — an exact identity that never forms
+            # sum·100 (which overflows int64 when a boilerplate doc holds
+            # ~10^5 copies of a ~10^12-frequency token at corpus scale,
+            # precisely the documents this screen exists to flag); the
+            # HUGEINT oracle computes sum·100//n directly, same value
+            F.expr(
+                "(sum_freq div n_tokens) * cast(100 as bigint)"
+                " + ((sum_freq % n_tokens) * cast(100 as bigint)) div n_tokens"
+            ).alias("mean_freq_x100"),
         )
     )
 
@@ -918,20 +936,13 @@ def positional_grams(
     detection needs them). Same guards (docs shorter than k have no
     grams) and the same xxhash64-before-shuffle compression: every
     downstream exchange moves (id, int, int64) instead of k-word strings.
+    Construction is the shared :func:`_gram_array` / :func:`_gram_key`.
     """
     words = F.split(F.col(text_col), " ")
     ex = docs.filter(F.size(words) >= k).select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(words) - F.lit(k)),
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
-            )
-        ).alias("pos", "_g"),
+        id_col, F.posexplode(_gram_array(words, k)).alias("pos", "_g")
     )
-    return ex.select(
-        id_col, "pos", (F.xxhash64("_g") if hash_grams else F.col("_g")).alias("gram")
-    )
+    return ex.select(id_col, "pos", _gram_key(hash_grams).alias("gram"))
 
 
 def shared_span_pairs(
@@ -973,12 +984,9 @@ def shared_span_pairs(
     """
     if min_span < k:
         raise ValueError(f"min_span ({min_span}) must be >= k ({k})")
-    from pyspark.sql import Window
-
-    from ..cache import cached
-    from .dedup import cap_hot_buckets
-
-    spans = _diagonal_runs(docs, k, gram_cap, metrics_path, hash_grams)
+    spans = _diagonal_runs(
+        docs, k, gram_cap, metrics_path, hash_grams, operator="shared_span"
+    )
     return (
         spans.groupBy("doc_a", "doc_b")
         .agg(
@@ -995,11 +1003,16 @@ def _diagonal_runs(
     gram_cap: int | None,
     metrics_path: str | None,
     hash_grams: bool,
+    operator: str,
 ) -> DataFrame:
     """Shared maximal-run stage of shared_span_pairs / dedup_span_mask:
     (doc_a < doc_b, diag, _pa0, _pb0, _run) — each row one maximal run of
     ``_run`` consecutive matched k-grams starting at token _pa0 in doc_a /
-    _pb0 in doc_b, certifying a shared span of _run + k − 1 tokens."""
+    _pb0 in doc_b, certifying a shared span of _run + k − 1 tokens.
+    ``operator`` keys the cap-drop and pair-volume metrics: the two
+    callers must register under DISTINCT names (the pending-metrics
+    registry dedupes by (operator, metric), so a shared name would let
+    one caller's frame silently replace the other's)."""
     from pyspark.sql import Window
 
     from ..cache import cached
@@ -1007,7 +1020,7 @@ def _diagonal_runs(
 
     grams = cached(positional_grams(docs, k, hash_grams=hash_grams))
     capped = cached(
-        cap_hot_buckets(grams, ["gram"], gram_cap, metrics_path, "shared_span")
+        cap_hot_buckets(grams, ["gram"], gram_cap, metrics_path, operator)
     )
     a = capped.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "gram"
@@ -1023,7 +1036,7 @@ def _diagonal_runs(
     if metrics_path is not None:
         from .dedup import register_pair_volume
 
-        register_pair_volume(metrics_path, "shared_span", capped, ["gram"])
+        register_pair_volume(metrics_path, operator, capped, ["gram"])
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     runs = hits.withColumn("_isl", F.col("pa") - F.row_number().over(w))
     return runs.groupBy("doc_a", "doc_b", "diag", "_isl").agg(
@@ -1137,7 +1150,9 @@ def dedup_span_mask(
         raise ValueError(f"min_span ({min_span}) must be >= k ({k})")
     from pyspark.sql import Window
 
-    runs = _diagonal_runs(docs, k, gram_cap, metrics_path, hash_grams)
+    runs = _diagonal_runs(
+        docs, k, gram_cap, metrics_path, hash_grams, operator="span_mask"
+    )
     iv = runs.filter(F.col("_run") + F.lit(k - 1) >= min_span).select(
         F.col("doc_b").alias("doc_id"),
         F.col("_pb0").alias("_s"),

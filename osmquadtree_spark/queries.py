@@ -2487,18 +2487,25 @@ def q_dedup_stream(spark, sf_dir):
     )
 
 
-def _event_order_batches(spark, sf_dir, with_user: bool = False):
+def _event_order_batches(
+    spark, sf_dir, with_user: bool = False, cols=None, sentinel=True, per_batch=None
+):
     """The events table replayed IN EVENT ORDER as 3 micro-batches plus a
     far-future flush sentinel — the shared scaffold of every event-time
-    stream gate (windowed + session + stream-stream join). event_id-range
-    split preserves event-time order (ts is monotone in event_id in this
-    corpus, verified at all three scales); the sentinel sits 100 days past
-    the corpus at 00:30 of its day so its own window/session stays ahead
-    of the watermark and never emits. ``with_user`` adds the user_id
-    column (the stream-stream join key); the sentinel carries user_id -1,
-    which matches no real user and is filtered by the join's type
-    predicates anyway."""
-    cols = ["event_id", "ts"] + (["user_id"] if with_user else []) + ["event_type"]
+    stream gate (windowed + session + stream-stream join + exact dedup).
+    event_id-range split preserves event-time order (ts is monotone in
+    event_id in this corpus, verified at all three scales); the sentinel
+    sits 100 days past the corpus at 00:30 of its day so its own
+    window/session stays ahead of the watermark and never emits.
+    ``with_user`` adds the user_id column (the stream-stream join key);
+    the sentinel carries user_id -1, which matches no real user and is
+    filtered by the join's type predicates anyway. ``cols`` overrides the
+    projected columns (then no sentinel is synthesized unless its shape
+    is the default); ``per_batch`` maps each real batch (e.g. the exact
+    dedup gate's per-batch key dedup)."""
+    cols = cols or (
+        ["event_id", "ts"] + (["user_id"] if with_user else []) + ["event_type"]
+    )
     base = spark.read.parquet(f"{sf_dir}/events.parquet").select(*cols)
     n = base.count()
     cuts = [0, n // 3, 2 * n // 3, n]
@@ -2508,15 +2515,18 @@ def _event_order_batches(spark, sf_dir, with_user: bool = False):
         )
         for i in range(3)
     ]
-    user_col = "CAST(-1 AS BIGINT) AS user_id, " if with_user else ""
-    batches.append(
-        spark.sql(
-            "SELECT CAST(-1 AS BIGINT) AS event_id, "
-            "timestamp'2024-05-10 00:30:00' AS ts, "
-            f"{user_col}"
-            "CAST('__flush__' AS STRING) AS event_type"
+    if per_batch is not None:
+        batches = [per_batch(b) for b in batches]
+    if sentinel:
+        user_col = "CAST(-1 AS BIGINT) AS user_id, " if with_user else ""
+        batches.append(
+            spark.sql(
+                "SELECT CAST(-1 AS BIGINT) AS event_id, "
+                "timestamp'2024-05-10 00:30:00' AS ts, "
+                f"{user_col}"
+                "CAST('__flush__' AS STRING) AS event_type"
+            )
         )
-    )
     return batches
 
 
@@ -4000,21 +4010,18 @@ def q_exact_dedup_stream(spark, sf_dir):
 
     from .streaming.dedup import exact_dedup_stream
 
-    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "ts", "user_id"
-    )
-    n = base.count()
-    cuts = [0, n // 3, 2 * n // 3, n]
     w = Window.partitionBy("user_id").orderBy("event_id")
-    batches = [
-        base.filter(
-            (F.col("event_id") >= cuts[i]) & (F.col("event_id") < cuts[i + 1])
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        for i in range(3)
-    ]
+    batches = _event_order_batches(
+        spark,
+        sf_dir,
+        cols=["event_id", "ts", "user_id"],
+        sentinel=False,
+        per_batch=lambda b: (
+            b.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        ),
+    )
     return _replay_stream(
         spark,
         batches,
