@@ -68,6 +68,7 @@ def _converged_star(
     id_b: str,
     max_rounds: int,
     metrics_path: str | None = None,
+    operator: str = "connected_components",
 ) -> DataFrame:
     """Run the alternation to its fixpoint and return the star forest as
     checkpointed (u=non-root node, v=component root) edges — exactly one
@@ -131,13 +132,9 @@ def _converged_star(
             (f"edges_round_{i}", c) for i, c in enumerate(edge_counts)
         ]
         frame = spark.createDataFrame(rows, "k string, v bigint").select(
-            *metrics.metric_frame(
-                "connected_components", "convergence", F.col("k"), F.col("v")
-            )
+            *metrics.metric_frame(operator, "convergence", F.col("k"), F.col("v"))
         )
-        metrics.register(
-            metrics_path, frame, key=("connected_components", "convergence")
-        )
+        metrics.register(metrics_path, frame, key=(operator, "convergence"))
     return e
 
 
@@ -147,6 +144,7 @@ def connected_components(
     id_b: str = "id_b",
     max_rounds: int = 30,
     metrics_path: str | None = None,
+    operator: str = "connected_components",
 ) -> DataFrame:
     """(node, component_id) for every node appearing in ``edges``;
     component_id = the smallest node id in the component (the canonical
@@ -156,7 +154,7 @@ def connected_components(
     at that point the edge list IS the star forest (each non-root node has
     exactly the edge (node, root)); see _converged_star for the loop and
     convergence machinery."""
-    star = _converged_star(edges, id_a, id_b, max_rounds, metrics_path)
+    star = _converged_star(edges, id_a, id_b, max_rounds, metrics_path, operator)
     # node set off the CHECKPOINTED star input is not enough — roots of
     # singleton-free components appear only on the v side, isolated
     # self-loop-only inputs were filtered; rebuild from the original edges
@@ -182,6 +180,7 @@ def dup_clusters(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     metrics_path: str | None = None,
+    operator: str = "connected_components",
 ) -> DataFrame:
     """Full-corpus cluster table: (doc_id, component_id, component_size,
     is_representative) — singletons (docs in no pair) map to themselves
@@ -198,7 +197,7 @@ def dup_clusters(
     never silently delete a whole cluster. One left join + one
     groupBy(min, count) + one re-join."""
     star = _converged_star(edges, id_a, id_b, max_rounds=30,
-                           metrics_path=metrics_path)
+                           metrics_path=metrics_path, operator=operator)
     labels = star.select(F.col("u").alias("node"), F.col("v").alias("_root"))
     base = (
         docs.select(F.col(id_col).alias("node"))

@@ -2792,12 +2792,13 @@ def q_image_phash_dedup(spark, sf_dir):
     )
 
 
-def _image_phash_dedup_sql() -> str:
-    """All-pairs hamming ≤ 3 over the splitmix64-restated phash catalog
-    (HUGEINT domain for the bit flips, two's-complement reinterpretation
-    to BIGINT to match Spark's signed phash)."""
-    return f"""
-WITH u AS MATERIALIZED (
+def _phash_catalog_cte(materialized: bool = True) -> str:
+    """The splitmix64-restated phash catalog as a CTE chain ending in
+    ``s`` (img_idx, phash) — shared by the phash pair and cluster oracles
+    so the planted-variant catalog spec exists once. ``materialized``
+    off for WITH RECURSIVE contexts (DuckDB disallows the hint there)."""
+    m = " MATERIALIZED" if materialized else ""
+    return f"""u AS{m} (
   SELECT p_partkey AS i, {so.splitmix64_sql('p_partkey')} AS u FROM part
 ),
 cat AS (
@@ -2811,17 +2812,85 @@ cat AS (
              (1::HUGEINT << ((i * 29 + 11) % 64)))
   FROM u WHERE i % 11 = 5
 ),
-s AS MATERIALIZED (
+s AS{m} (
   SELECT img_idx,
          (CASE WHEN u >= 9223372036854775808::HUGEINT
                THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS phash
   FROM cat
-)
+)""".strip()
+
+
+def _image_phash_dedup_sql() -> str:
+    """All-pairs hamming ≤ 3 over the splitmix64-restated phash catalog
+    (HUGEINT domain for the bit flips, two's-complement reinterpretation
+    to BIGINT to match Spark's signed phash)."""
+    return f"""
+WITH {_phash_catalog_cte()}
 SELECT a.img_idx AS img_a, b.img_idx AS img_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
 FROM s a JOIN s b
   ON a.img_idx < b.img_idx
 WHERE bit_count(xor(a.phash, b.phash)) <= 3
+""".strip()
+
+
+def q_image_phash_clusters(spark, sf_dir):
+    """Image near-dup cluster canonicalization: the image-payload twin of
+    dedup_components — phash hamming ≤ 3 pairs (pigeonhole block join)
+    feed the same large-star/small-star components, yielding one row per
+    catalog image with its canonical representative (smallest img_idx),
+    cluster size and keep/drop flag. The planted re-encode variants
+    (1-bit and 3-bit perturbations) must land in their source image's
+    cluster. Convergence metrics register under their own operator key
+    so a pipeline running doc AND image clustering commits both."""
+    from .operators.components import dup_clusters
+    from .sources.images import phash_catalog
+
+    n = _load(spark, sf_dir, "part").count()
+    cat = phash_catalog(spark, n, partitions=spark.sparkContext.defaultParallelism)
+    pairs = img_ops.phash_near_dup(
+        cat, max_hamming=3, metrics_path=_scratch(sf_dir, "metrics")
+    )
+    return dup_clusters(
+        cat.select("img_idx"),
+        pairs.select("img_a", "img_b"),
+        id_col="img_idx",
+        id_a="img_a",
+        id_b="img_b",
+        metrics_path=_scratch(sf_dir, "metrics"),
+        operator="image_phash_components",
+    )
+
+
+def _image_phash_clusters_sql() -> str:
+    """Recursive-CTE twin: the shared catalog spec + hamming pair spec +
+    min-label propagation to a fixpoint (same walk shape as the document
+    components oracle)."""
+    return f"""
+WITH RECURSIVE {_phash_catalog_cte(materialized=False)},
+pairs AS (
+  SELECT a.img_idx AS ia, b.img_idx AS ib
+  FROM s a JOIN s b ON a.img_idx < b.img_idx
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+),
+edges AS (
+  SELECT ia AS src, ib AS dst FROM pairs
+  UNION
+  SELECT ib, ia FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT img_idx, img_idx FROM s
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.lbl < e.dst
+),
+comp AS (SELECT node AS img_idx, MIN(lbl) AS component_id FROM walk GROUP BY node),
+csize AS (
+  SELECT component_id, COUNT(*) AS component_size FROM comp GROUP BY component_id
+)
+SELECT c.img_idx, c.component_id, z.component_size,
+       c.img_idx = c.component_id AS is_representative
+FROM comp c JOIN csize z USING (component_id)
 """.strip()
 
 
@@ -4240,6 +4309,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_mask": q_span_mask,
         "exact_dedup_stream": q_exact_dedup_stream,
         "shard_manifest": q_shard_manifest,
+        "image_phash_clusters": q_image_phash_clusters,
         "events_stream_join": q_events_stream_join,
     }
 
@@ -4294,5 +4364,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "span_mask": _span_mask_sql(),
         "exact_dedup_stream": _exact_dedup_stream_sql(),
         "shard_manifest": _shard_manifest_sql(),
+        "image_phash_clusters": _image_phash_clusters_sql(),
         "events_stream_join": _events_stream_join_sql(),
     }

@@ -177,3 +177,30 @@ def test_cluster_split_leakage_safety_and_determinism(spark):
     assert {r.split for r in out} == {"train", "val", "test"}
     with pytest.raises(ValueError):
         cc.cluster_split(clusters, train_per_mille=950, val_per_mille=100)
+
+
+def test_image_phash_clusters_variants_join_source(spark, sf_dir):
+    """Every planted re-encode variant (1-bit id -1-i, 3-bit id
+    -1000000001-i; sources/images.phash_catalog) must land in its source
+    image's cluster, and that cluster's representative must be the
+    smallest member id (the variant, since planted ids are negative) —
+    the semantic claim behind the image_phash_clusters value gate."""
+    from osmquadtree_spark.queries import q_image_phash_clusters
+
+    rows = q_image_phash_clusters(spark, sf_dir).collect()
+    comp = {r["img_idx"]: r["component_id"] for r in rows}
+    reps = {r["img_idx"]: r["is_representative"] for r in rows}
+    checked = 0
+    for idx in comp:
+        if idx < 0:
+            src = (-1 - idx) if idx > -1000000001 else (-1000000001 - idx)
+            assert comp[idx] == comp[src], (idx, src)
+            checked += 1
+    assert checked > 0
+    # exactly one representative per component, and it is the min member
+    by_comp = {}
+    for idx, c in comp.items():
+        by_comp.setdefault(c, []).append(idx)
+    for c, members in by_comp.items():
+        assert c == min(members)
+        assert sum(1 for m in members if reps[m]) == 1
