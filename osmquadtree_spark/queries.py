@@ -2894,6 +2894,52 @@ FROM comp c JOIN csize z USING (component_id)
 """.strip()
 
 
+TILE_SAMPLE_LEVEL = 5
+TILE_SAMPLE_CAP = 3
+
+
+def q_tile_sample(spark, sf_dir):
+    """K preview images per map tile (source_quota_cap keyed by the
+    level-5 cell): the deterministic "thumbnails for the tile browser"
+    sample, joining the curation operator to the tiling engine — same
+    mark, same prefilter+fallback exactness argument, the key is just a
+    rounded quadtree cell instead of a domain. oversample high enough
+    that fixture tiles (tens of images each) skip the prefilter; the
+    prefilter regime is covered by source_quota's own gate."""
+    from .operators.docs import source_quota_cap
+
+    _load(spark, sf_dir, "part")  # register the oracle view
+    df = img_ops.with_footprint(_images(spark, sf_dir)).select(
+        F.substring("image_id", 4, 12).cast("bigint").alias("img_idx"),
+        round_qt_col(F.col("qt"), TILE_SAMPLE_LEVEL).alias("tile"),
+    )
+    return source_quota_cap(
+        df, TILE_SAMPLE_CAP, key_col="tile", id_col="img_idx"
+    )
+
+
+def _tile_sample_sql() -> str:
+    qt_cte = so.calculate_cte(
+        so.image_elements_sql("SELECT p_partkey AS i FROM part"), "img_idx"
+    )
+    sm = so.splitmix64_sql("img_idx")
+    return f"""
+WITH qts AS ({qt_cte}),
+marked AS (
+  SELECT img_idx, {so.round_sql('qt', TILE_SAMPLE_LEVEL)} AS tile,
+         CAST(({sm}) % 9223372036854775808 AS BIGINT) AS mark
+  FROM qts WHERE img_idx IS NOT NULL
+),
+ranked AS (
+  SELECT img_idx, tile,
+         ROW_NUMBER() OVER (PARTITION BY tile ORDER BY mark, img_idx) AS rk
+  FROM marked
+)
+SELECT img_idx, tile, CAST(rk AS BIGINT) AS quota_rank
+FROM ranked WHERE rk <= {TILE_SAMPLE_CAP}
+""".strip()
+
+
 ASOF_TOLERANCE = "24 hours"  # ~36% of probes match at sf0.01 — both the
 _ASOF_TOLERANCE_US = 24 * 3600 * 1_000_000  # matched and nulled branches real
 
@@ -4310,6 +4356,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_stream": q_exact_dedup_stream,
         "shard_manifest": q_shard_manifest,
         "image_phash_clusters": q_image_phash_clusters,
+        "tile_sample": q_tile_sample,
         "events_stream_join": q_events_stream_join,
     }
 
@@ -4365,5 +4412,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "exact_dedup_stream": _exact_dedup_stream_sql(),
         "shard_manifest": _shard_manifest_sql(),
         "image_phash_clusters": _image_phash_clusters_sql(),
+        "tile_sample": _tile_sample_sql(),
         "events_stream_join": _events_stream_join_sql(),
     }
