@@ -1210,3 +1210,57 @@ def shard_manifest(
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# quality_gate reason bits (stable public contract: downstream reporting
+# aggregates on the bitmask, so bit positions are part of the operator spec)
+QG_SHORT, QG_REPETITIVE, QG_COMMON, QG_GIBBERISH = 1, 2, 4, 8
+
+
+def quality_gate(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_dup_x10000: int = 5000,
+    max_top_bigram_x10000: int = 1800,
+    max_mean_freq_x100: int = 91000,
+    small_vocab: bool = False,
+) -> DataFrame:
+    """(doc_id, n_tokens, reasons, keep): the composite Gopher-style
+    keep/drop decision — the single surface a curation pipeline filters
+    on, with WHY preserved as a bitmask (1 = too short, 2 = repetitive:
+    duplicate-word or top-bigram fraction, 4 = too common: mean corpus
+    token frequency above threshold i.e. boilerplate, 8 = gibberish:
+    majority corpus-hapax tokens i.e. OCR noise/mojibake). Keeping the
+    reasons is what makes drop-rate dashboards and threshold tuning
+    possible; ``keep`` is simply reasons == 0.
+
+    Composes the row-local repetition stage (one shuffle-free projection)
+    with the corpus-frequency stage (vocab agg + broadcast lookup) and
+    joins them on doc_id — each input stat is computed by exactly the
+    operator that already gates it, so this adds one join and a bitmask
+    projection, no new kernels. NULL-text documents carry NULL
+    reasons/keep (they need a manual-inspection queue, not a silent
+    drop/keep).
+    """
+    rep = repetition_stats(docs)
+    rar = token_rarity(docs, small_vocab=small_vocab).select(
+        "doc_id", "n_hapax", "mean_freq_x100"
+    )
+    j = rep.join(rar, "doc_id")
+    nw = F.col("n_words")
+    reasons = (
+        F.when(nw < min_tokens, QG_SHORT).otherwise(0)
+        + F.when(
+            (F.col("dup_word_x10000") > max_dup_x10000)
+            | (F.col("top_bigram_x10000") > max_top_bigram_x10000),
+            QG_REPETITIVE,
+        ).otherwise(0)
+        + F.when(F.col("mean_freq_x100") > max_mean_freq_x100, QG_COMMON).otherwise(0)
+        + F.when(F.col("n_hapax") * 2 > nw, QG_GIBBERISH).otherwise(0)
+    ).cast("bigint")
+    return j.select(
+        "doc_id",
+        nw.alias("n_tokens"),
+        F.when(nw.isNotNull(), reasons).alias("reasons"),
+        F.when(nw.isNotNull(), reasons == 0).alias("keep"),
+    )

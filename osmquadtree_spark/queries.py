@@ -4190,6 +4190,72 @@ FROM c GROUP BY 1
 """.strip()
 
 
+def q_quality_gate(spark, sf_dir):
+    """Composite Gopher-style keep/drop decision (docs.quality_gate):
+    short/repetitive/common/gibberish reason bitmask + keep flag. The
+    default thresholds split the fixture corpus on three of the four
+    rules (token count 10-99 vs min 20; dup-word fraction 0-7234 vs max
+    5000; mean corpus frequency 83k-92.5k vs max 91k); the gibberish
+    rule never fires on the hapax-free word-salad corpus and is
+    pinned by pytest on synthetic documents instead."""
+    from .operators.docs import quality_gate
+
+    return quality_gate(_load(spark, sf_dir, "documents"), small_vocab=True)
+
+
+def _quality_gate_sql() -> str:
+    from .operators.docs import QG_COMMON, QG_GIBBERISH, QG_REPETITIVE, QG_SHORT
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+rep AS (
+  SELECT b.doc_id, len(b.words) AS n_words,
+         (len(b.words) - len(list_distinct(b.words))) * 10000 // len(b.words)
+           AS dup_x,
+         COALESCE(t.c * 10000 // (len(b.words) - 1), 0) AS topbg_x
+  FROM base b LEFT JOIN (
+    SELECT doc_id, c FROM (
+      SELECT doc_id, bigram, COUNT(*) AS c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, bigram ASC) AS rn
+      FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(words)),
+                                     i -> words[i] || ' ' || words[i + 1])) AS bigram
+        FROM base WHERE len(words) >= 2
+      ) GROUP BY doc_id, bigram
+    ) WHERE rn = 1
+  ) t USING (doc_id)
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+vocab AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1),
+rar AS (
+  SELECT t.doc_id,
+         SUM(v.freq) * 100 // COUNT(*) AS mean_x,
+         SUM(CASE WHEN v.freq = 1 THEN 1 ELSE 0 END) AS hapax
+  FROM toks t JOIN vocab v USING (token) GROUP BY 1
+),
+j AS (SELECT rep.*, rar.mean_x, rar.hapax FROM rep JOIN rar USING (doc_id)),
+scored AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words < 20 THEN {QG_SHORT} ELSE 0 END
+         + CASE WHEN dup_x > 5000 OR topbg_x > 1800 THEN {QG_REPETITIVE} ELSE 0 END
+         + CASE WHEN mean_x > 91000 THEN {QG_COMMON} ELSE 0 END
+         + CASE WHEN hapax * 2 > n_words THEN {QG_GIBBERISH} ELSE 0 END AS r
+  FROM j
+)
+SELECT d.doc_id,
+       CAST(s.n_words AS BIGINT) AS n_tokens,
+       CAST(s.r AS BIGINT) AS reasons,
+       s.r = 0 AS keep
+FROM documents d LEFT JOIN scored s USING (doc_id)
+""".strip()
+
+
 QUANTILE_PHIS = (10, 50, 250, 500, 750, 950, 990)  # phi × 1000
 # ≥ any per-partition (even single-core local[1]) row count at every
 # driver/fixture scale through sf0.1 — with a wide margin, so fixture
@@ -4357,6 +4423,7 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "image_phash_clusters": q_image_phash_clusters,
         "tile_sample": q_tile_sample,
+        "quality_gate": q_quality_gate,
         "events_stream_join": q_events_stream_join,
     }
 
@@ -4413,5 +4480,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "shard_manifest": _shard_manifest_sql(),
         "image_phash_clusters": _image_phash_clusters_sql(),
         "tile_sample": _tile_sample_sql(),
+        "quality_gate": _quality_gate_sql(),
         "events_stream_join": _events_stream_join_sql(),
     }

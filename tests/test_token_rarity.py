@@ -105,3 +105,52 @@ def test_corpus_mix_hand_values(spark):
 def test_corpus_mix_empty(spark):
     df = spark.createDataFrame([], "doc_id bigint, text string, lang string, source string")
     assert corpus_mix(df).collect() == []
+
+
+# --------------------------------------------------------------------------
+# quality_gate (sweep gate `quality_gate` carries value parity)
+
+from osmquadtree_spark.operators.docs import (  # noqa: E402
+    QG_COMMON,
+    QG_GIBBERISH,
+    QG_REPETITIVE,
+    QG_SHORT,
+    quality_gate,
+)
+
+
+def test_quality_gate_reason_bits(spark):
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(30))),          # clean: 30 distinct rare tokens
+        (1, "short doc"),                                    # short + gibberish (2 hapax)
+        (2, " ".join(["dup"] * 30)),                         # repetitive (+common: 'dup' freq 30+)
+        (3, None),                                           # NULL -> NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["reasons"], r["keep"])
+        for r in quality_gate(
+            df, min_tokens=20, max_dup_x10000=5000,
+            max_top_bigram_x10000=1800, max_mean_freq_x100=500,
+        ).collect()
+    }
+    # doc 0: 30 hapax tokens -> gibberish bit only (mean freq 100 <= 500)
+    assert got[0] == (QG_GIBBERISH, False)
+    # doc 1: 2 tokens (<20), both hapax, and its single bigram is 100% of
+    # its bigrams (10000 > 1800) -> short + repetitive + gibberish
+    assert got[1] == (QG_SHORT | QG_REPETITIVE | QG_GIBBERISH, False)
+    # doc 2: 30x 'dup' -> repetitive + common (freq 30*100=3000 > 500)
+    assert got[2] == (QG_REPETITIVE | QG_COMMON, False)
+    assert got[3] == (None, None)
+
+
+def test_quality_gate_clean_doc_keeps(spark):
+    # a long doc of moderately-frequent tokens passes every rule
+    rows = [(i, " ".join(f"t{j % 25}" for j in range(j0, j0 + 25))) for i, j0 in enumerate([0, 3, 7, 11])]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = quality_gate(
+        df, min_tokens=20, max_dup_x10000=10000,
+        max_top_bigram_x10000=10000, max_mean_freq_x100=10**9,
+    ).collect()
+    assert all(r["keep"] for r in got)
+    assert all(r["reasons"] == 0 for r in got)
