@@ -371,3 +371,32 @@ def test_span_mask_join_is_hashed_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_image_phash_clusters_no_cartesian(spark, sf_dir):
+    """The cluster build must inherit the pigeonhole equi-join shape (no
+    all-pairs scan) and the star rounds' hash aggregates — never a
+    cartesian/nested-loop anywhere in the composed plan."""
+    plan = _plan(Q.q_image_phash_clusters(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tile_sample_reuses_quota_shape(spark, sf_dir):
+    """tile_sample is source_quota_cap keyed by rounded cell: broadcast
+    stat joins, mark prefilter present, no nested-loop."""
+    plan = _plan(Q.q_tile_sample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "_mark" in plan and "_thr" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_gate_single_corpus_join_chain(spark, sf_dir):
+    """quality_gate composes the row-local repetition projection with the
+    broadcast-vocab rarity stage: broadcast joins only (the doc_id
+    stat join may shuffle: both sides are corpus-scale), no generate
+    beyond the rarity explode, no nested-loop."""
+    plan = _plan(Q.q_quality_gate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
