@@ -2783,13 +2783,8 @@ def q_image_phash_dedup(spark, sf_dir):
     (sources/images.phash_catalog). The DuckDB twin is the all-pairs
     hamming spec over the SQL-restated catalog, so a match proves block
     completeness AND catalog parity."""
-    from .sources.images import phash_catalog
-
-    n = _load(spark, sf_dir, "part").count()  # also registers the oracle view
-    cat = phash_catalog(spark, n, partitions=spark.sparkContext.defaultParallelism)
-    return img_ops.phash_near_dup(
-        cat, max_hamming=3, metrics_path=_scratch(sf_dir, "metrics")
-    )
+    _, pairs = _phash_pairs(spark, sf_dir)
+    return pairs
 
 
 def _phash_catalog_cte(materialized: bool = True) -> str:
@@ -2820,17 +2815,36 @@ s AS{m} (
 )""".strip()
 
 
+_PHASH_PAIRS_CTE = """pairs AS (
+  SELECT a.img_idx AS img_a, b.img_idx AS img_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+  FROM s a JOIN s b
+    ON a.img_idx < b.img_idx
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+)"""  # THE hamming ≤ 3 pair spec — one copy, consumed by both phash oracles
+
+
+def _phash_pairs(spark, sf_dir):
+    """Shared Spark-side construction: catalog → pigeonhole hamming pairs
+    (one copy of the count/catalog/near-dup chain for the phash dedup and
+    cluster gates — an edit to the pair spec cannot desynchronize them)."""
+    from .sources.images import phash_catalog
+
+    n = _load(spark, sf_dir, "part").count()  # also registers the oracle view
+    cat = phash_catalog(spark, n, partitions=spark.sparkContext.defaultParallelism)
+    return cat, img_ops.phash_near_dup(
+        cat, max_hamming=3, metrics_path=_scratch(sf_dir, "metrics")
+    )
+
+
 def _image_phash_dedup_sql() -> str:
     """All-pairs hamming ≤ 3 over the splitmix64-restated phash catalog
     (HUGEINT domain for the bit flips, two's-complement reinterpretation
     to BIGINT to match Spark's signed phash)."""
     return f"""
-WITH {_phash_catalog_cte()}
-SELECT a.img_idx AS img_a, b.img_idx AS img_b,
-       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-FROM s a JOIN s b
-  ON a.img_idx < b.img_idx
-WHERE bit_count(xor(a.phash, b.phash)) <= 3
+WITH {_phash_catalog_cte()},
+{_PHASH_PAIRS_CTE}
+SELECT img_a, img_b, hamming FROM pairs
 """.strip()
 
 
@@ -2844,13 +2858,8 @@ def q_image_phash_clusters(spark, sf_dir):
     cluster. Convergence metrics register under their own operator key
     so a pipeline running doc AND image clustering commits both."""
     from .operators.components import dup_clusters
-    from .sources.images import phash_catalog
 
-    n = _load(spark, sf_dir, "part").count()
-    cat = phash_catalog(spark, n, partitions=spark.sparkContext.defaultParallelism)
-    pairs = img_ops.phash_near_dup(
-        cat, max_hamming=3, metrics_path=_scratch(sf_dir, "metrics")
-    )
+    cat, pairs = _phash_pairs(spark, sf_dir)
     return dup_clusters(
         cat.select("img_idx"),
         pairs.select("img_a", "img_b"),
@@ -2868,15 +2877,11 @@ def _image_phash_clusters_sql() -> str:
     components oracle)."""
     return f"""
 WITH RECURSIVE {_phash_catalog_cte(materialized=False)},
-pairs AS (
-  SELECT a.img_idx AS ia, b.img_idx AS ib
-  FROM s a JOIN s b ON a.img_idx < b.img_idx
-  WHERE bit_count(xor(a.phash, b.phash)) <= 3
-),
+{_PHASH_PAIRS_CTE},
 edges AS (
-  SELECT ia AS src, ib AS dst FROM pairs
+  SELECT img_a AS src, img_b AS dst FROM pairs
   UNION
-  SELECT ib, ia FROM pairs
+  SELECT img_b, img_a FROM pairs
 ),
 walk(node, lbl) AS (
   SELECT img_idx, img_idx FROM s
@@ -2903,9 +2908,10 @@ def q_tile_sample(spark, sf_dir):
     level-5 cell): the deterministic "thumbnails for the tile browser"
     sample, joining the curation operator to the tiling engine — same
     mark, same prefilter+fallback exactness argument, the key is just a
-    rounded quadtree cell instead of a domain. oversample high enough
-    that fixture tiles (tens of images each) skip the prefilter; the
-    prefilter regime is covered by source_quota's own gate."""
+    rounded quadtree cell instead of a domain. oversample is EXPLICITLY
+    huge so every fixture tile (tens to hundreds of images) skips the
+    prefilter and this gate pins the pass-everything branch; the
+    prefilter + deficit-fallback regime is source_quota's own gate."""
     from .operators.docs import source_quota_cap
 
     _load(spark, sf_dir, "part")  # register the oracle view
@@ -2914,7 +2920,7 @@ def q_tile_sample(spark, sf_dir):
         round_qt_col(F.col("qt"), TILE_SAMPLE_LEVEL).alias("tile"),
     )
     return source_quota_cap(
-        df, TILE_SAMPLE_CAP, key_col="tile", id_col="img_idx"
+        df, TILE_SAMPLE_CAP, key_col="tile", id_col="img_idx", oversample=1e9
     )
 
 
@@ -3814,11 +3820,20 @@ def q_token_rarity(spark, sf_dir):
     return token_rarity(injected, small_vocab=True)
 
 
-def _token_rarity_sql() -> str:
-    return """
+def _token_rarity_sql(inject: bool = True) -> str:
+    """``inject``: append the per-doc hapax decoration (the token_rarity
+    gate's fixture twist); the quality_gate oracle reuses this SAME spec
+    over the plain corpus (inject=False) — one rarity formulation, two
+    consumers."""
+    inj = (
+        "SELECT doc_id, text || ' uniq' || CAST(doc_id AS VARCHAR) AS text"
+        " FROM documents"
+        if inject
+        else "SELECT doc_id, text FROM documents"
+    )
+    return f"""
 WITH inj AS (
-  SELECT doc_id, text || ' uniq' || CAST(doc_id AS VARCHAR) AS text
-  FROM documents
+  {inj}
 ),
 toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -4204,49 +4219,33 @@ def q_quality_gate(spark, sf_dir):
 
 
 def _quality_gate_sql() -> str:
+    """Composes the two EXISTING per-stat oracles as CTEs — the
+    repetition formulation (_doc_repetition_sql) and the rarity
+    formulation (_token_rarity_sql, uninjected) each exist ONCE; this
+    oracle only adds the bitmask, so a spec fix to either stat oracle
+    flows into the composite automatically."""
     from .operators.docs import QG_COMMON, QG_GIBBERISH, QG_REPETITIVE, QG_SHORT
 
     return f"""
-WITH base AS (
-  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+WITH rep AS (
+  {_doc_repetition_sql()}
 ),
-rep AS (
-  SELECT b.doc_id, len(b.words) AS n_words,
-         (len(b.words) - len(list_distinct(b.words))) * 10000 // len(b.words)
-           AS dup_x,
-         COALESCE(t.c * 10000 // (len(b.words) - 1), 0) AS topbg_x
-  FROM base b LEFT JOIN (
-    SELECT doc_id, c FROM (
-      SELECT doc_id, bigram, COUNT(*) AS c,
-             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, bigram ASC) AS rn
-      FROM (
-        SELECT doc_id,
-               UNNEST(list_transform(range(1, len(words)),
-                                     i -> words[i] || ' ' || words[i + 1])) AS bigram
-        FROM base WHERE len(words) >= 2
-      ) GROUP BY doc_id, bigram
-    ) WHERE rn = 1
-  ) t USING (doc_id)
-),
-toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS token
-  FROM documents WHERE text IS NOT NULL
-),
-vocab AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1),
 rar AS (
-  SELECT t.doc_id,
-         SUM(v.freq) * 100 // COUNT(*) AS mean_x,
-         SUM(CASE WHEN v.freq = 1 THEN 1 ELSE 0 END) AS hapax
-  FROM toks t JOIN vocab v USING (token) GROUP BY 1
+  {_token_rarity_sql(inject=False)}
 ),
-j AS (SELECT rep.*, rar.mean_x, rar.hapax FROM rep JOIN rar USING (doc_id)),
+j AS (
+  SELECT rep.doc_id, rep.n_words, rep.dup_word_x10000, rep.top_bigram_x10000,
+         rar.n_hapax, rar.mean_freq_x100
+  FROM rep JOIN rar USING (doc_id)
+),
 scored AS (
   SELECT doc_id, n_words,
          CASE WHEN n_words < 20 THEN {QG_SHORT} ELSE 0 END
-         + CASE WHEN dup_x > 5000 OR topbg_x > 1800 THEN {QG_REPETITIVE} ELSE 0 END
-         + CASE WHEN mean_x > 91000 THEN {QG_COMMON} ELSE 0 END
-         + CASE WHEN hapax * 2 > n_words THEN {QG_GIBBERISH} ELSE 0 END AS r
-  FROM j
+         + CASE WHEN dup_word_x10000 > 5000 OR top_bigram_x10000 > 1800
+                THEN {QG_REPETITIVE} ELSE 0 END
+         + CASE WHEN mean_freq_x100 > 91000 THEN {QG_COMMON} ELSE 0 END
+         + CASE WHEN n_hapax * 2 > n_words THEN {QG_GIBBERISH} ELSE 0 END AS r
+  FROM j WHERE n_words IS NOT NULL
 )
 SELECT d.doc_id,
        CAST(s.n_words AS BIGINT) AS n_tokens,
