@@ -221,3 +221,53 @@ def test_sketch_and_split_operators_on_empty(spark, empties):
         "is_representative boolean"
     )
     assert cluster_split(clusters).count() == 0
+
+
+def test_final_batch_operators_on_empty_and_all_null(spark, empties):
+    """Final round-4 batch: every new curation operator returns a
+    schema-stable result on an EMPTY corpus and on an ALL-NULL corpus
+    (NULL text / NULL ids / NULL labels everywhere a NULL is typable) —
+    the two degenerate shapes a partitioned 100-TB scan actually hands a
+    task (empty split; split of rows that failed upstream parsing)."""
+    from osmquadtree_spark.operators import docs as do
+    from osmquadtree_spark.operators.ann import label_outlier_stats
+
+    docs0 = empties["docs"]
+    mix0 = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string"
+    )
+    vec0 = spark.createDataFrame([], "vec_id bigint, label int, embedding array<float>")
+    assert do.token_rarity(docs0).count() == 0
+    assert do.source_quota_cap(mix0.select("doc_id", "source"), 5).count() == 0
+    assert do.corpus_mix(mix0).count() == 0
+    assert do.shared_span_pairs(docs0, k=3, min_span=3).count() == 0
+    assert do.dedup_span_mask(docs0, k=3, min_span=3).count() == 0
+    assert do.token_shards(docs0, 100).count() == 0
+    assert do.shard_manifest(docs0, 100).count() == 0
+    assert do.quality_gate(docs0).count() == 0
+    assert label_outlier_stats(vec0, dim=4).count() == 0
+
+    null_docs = spark.createDataFrame(
+        [(1, None, None, None), (2, None, None, None)],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    null_vecs = spark.createDataFrame(
+        [(1, None, None)], "vec_id bigint, label int, embedding array<float>"
+    )
+    # NULL text: stat ops keep the rows with NULL stats, pair/shard ops
+    # treat them as token-free
+    rar = do.token_rarity(null_docs.select("doc_id", "text")).collect()
+    assert {r["doc_id"] for r in rar} == {1, 2}
+    assert all(r["n_tokens"] is None for r in rar)
+    qg = do.quality_gate(null_docs.select("doc_id", "text")).collect()
+    assert all(r["keep"] is None and r["reasons"] is None for r in qg)
+    assert do.shared_span_pairs(null_docs.select("doc_id", "text"), k=3, min_span=3).count() == 0
+    mask = do.dedup_span_mask(null_docs.select("doc_id", "text"), k=3, min_span=3).collect()
+    assert all(r["dup_tokens"] is None for r in mask)
+    shards = do.token_shards(null_docs.select("doc_id", "text"), 100).collect()
+    assert sorted((r["doc_id"], r["n_tokens"]) for r in shards) == [(1, 0), (2, 0)]
+    mix = do.corpus_mix(null_docs).collect()
+    assert len(mix) == 1 and mix[0]["n_docs"] == 2 and mix[0]["n_tokens"] == 0
+    quota = do.source_quota_cap(null_docs.select("doc_id", "source"), 5).collect()
+    assert {(r["doc_id"], r["source"]) for r in quota} == {(1, None), (2, None)}
+    assert label_outlier_stats(null_vecs, dim=4).count() == 0  # NULL vec excluded
