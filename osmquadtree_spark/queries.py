@@ -2908,20 +2908,29 @@ def q_tile_sample(spark, sf_dir):
     level-5 cell): the deterministic "thumbnails for the tile browser"
     sample, joining the curation operator to the tiling engine — same
     mark, same prefilter+fallback exactness argument, the key is just a
-    rounded quadtree cell instead of a domain. oversample is EXPLICITLY
-    huge so every fixture tile (tens to hundreds of images) skips the
-    prefilter and this gate pins the pass-everything branch; the
-    prefilter + deficit-fallback regime is source_quota's own gate."""
+    rounded quadtree cell instead of a domain. Default oversample: with
+    cap 3 and fixture tiles holding tens-to-hundreds of images, the mark
+    prefilter is ACTIVE — exactly the hot-key regime it exists for — so
+    this gate exercises the pruned path over a second key shape (the
+    pass-everything branch is covered by the per-file quota tests)."""
     from .operators.docs import source_quota_cap
 
+    from .cache import cached
+
     _load(spark, sf_dir, "part")  # register the oracle view
-    df = img_ops.with_footprint(_images(spark, sf_dir)).select(
-        F.substring("image_id", 4, 12).cast("bigint").alias("img_idx"),
-        round_qt_col(F.col("qt"), TILE_SAMPLE_LEVEL).alias("tile"),
+    # cached: the quota operator scans its input twice (per-key counts,
+    # rank join) and the upstream here is the fused footprint→cell Arrow
+    # kernel — cache the SLIM (img_idx, tile) projection so the kernel
+    # runs once (the operator itself deliberately leaves input caching to
+    # callers: only they know whether upstream is a cheap scan or an
+    # expensive derivation)
+    df = cached(
+        img_ops.with_footprint(_images(spark, sf_dir)).select(
+            F.substring("image_id", 4, 12).cast("bigint").alias("img_idx"),
+            round_qt_col(F.col("qt"), TILE_SAMPLE_LEVEL).alias("tile"),
+        )
     )
-    return source_quota_cap(
-        df, TILE_SAMPLE_CAP, key_col="tile", id_col="img_idx", oversample=1e9
-    )
+    return source_quota_cap(df, TILE_SAMPLE_CAP, key_col="tile", id_col="img_idx")
 
 
 def _tile_sample_sql() -> str:
