@@ -131,6 +131,24 @@ def splitmix64_sql(x: str) -> str:
     return f"xor({z5}, ({z5}) >> 31)"
 
 
+POLYHASH_SEED = 1469598103934665603  # FNV-1a 64-bit offset basis
+
+
+def polyhash64_sql(s: str) -> str:
+    """polyhash64 (kernels/strhash.py — polynomial codepoint fold, public
+    Rabin-Karp/String.hashCode shape widened to 64 bits) restated over
+    DuckDB HUGEINT: exact uint64 wraparound, validated bit-for-bit against
+    the numpy kernel in tests/test_strhash.py. The list_filter drops the
+    lone '' element string_split('','') produces (unicode('') is -1, which
+    would perturb the empty-string hash away from the seed)."""
+    return (
+        f"list_reduce(list_prepend(CAST({POLYHASH_SEED} AS HUGEINT), "
+        f"list_transform(list_filter(string_split({s}, ''), c -> c <> ''), "
+        f"c -> CAST(unicode(c) AS HUGEINT))), "
+        f"(acc, cp) -> ((acc * 31 + cp) % {_M64}))"
+    )
+
+
 def image_elements_sql(i_source_sql: str) -> str:
     """DuckDB twin of sources/images.py: row index → (img_idx, minx, miny,
     maxx, maxy) via the FIXTURES.md §1 georeferencing rule (phash =

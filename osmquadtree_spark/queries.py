@@ -4383,6 +4383,148 @@ FROM (
 """.strip()
 
 
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 4
+
+
+def q_contaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (operators/bloom.py): the benchmark
+    side (every {DECON_BENCH_MOD}th doc) folds into a 2^20-bit sharded
+    Bloom bitmap; the training side is probed in ONE shuffle-free Arrow
+    pass (count of distinct word 3-grams testing positive, flag at
+    ≥ {DECON_MIN_HITS}). No false negatives by construction (pinned vs
+    benchmark_overlap in tests/test_bloom.py); false positives are exact
+    too — the oracle restates the identical polyhash64/double-hash bit
+    set in SQL, so the gate is full-value EQ, not a bound."""
+    from .operators import bloom as bl
+
+    docs = _load_fanned(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    bitmap = bl.collect_bloom(
+        bl.bloom_build(bench, n=3, m_bits=BLOOM_M_BITS, k=BLOOM_K),
+        BLOOM_M_BITS,
+    )
+    train = docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return bl.bloom_probe(
+        train, bitmap, n=3, k=BLOOM_K, min_hits=DECON_MIN_HITS
+    )
+
+
+def _contaminate_bloom_sql() -> str:
+    from .functions.sql_oracle import polyhash64_sql
+
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    poly = polyhash64_sql("gram")
+    return f"""
+WITH tg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(len(string_split(text, ' ')) - 2),
+           i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS gram
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), bh AS (
+  SELECT DISTINCT gram FROM tg WHERE doc_id % {DECON_BENCH_MOD} = 0
+), bhash AS (
+  SELECT ({poly}) AS h1 FROM bh
+), bpos AS (
+  SELECT DISTINCT (h1 + j.j * ((h2 // 2) * 2 + 1)) % {m64} % {BLOOM_M_BITS} AS pos
+  FROM (SELECT h1, {so.splitmix64_sql('h1')} AS h2 FROM bhash)
+  CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS j) j
+), dh AS (
+  SELECT doc_id, ({poly}) AS h1 FROM tg WHERE doc_id % {DECON_BENCH_MOD} <> 0
+), dpos AS (
+  SELECT doc_id, h1, (h1 + j.j * ((h2 // 2) * 2 + 1)) % {m64} % {BLOOM_M_BITS} AS pos
+  FROM (SELECT doc_id, h1, {so.splitmix64_sql('h1')} AS h2 FROM dh)
+  CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS j) j
+), memb AS (
+  SELECT doc_id, h1, BOOL_AND(b.pos IS NOT NULL) AS hit
+  FROM dpos d LEFT JOIN bpos b USING (pos)
+  GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         COUNT(*) FILTER (WHERE hit) AS bloom_hits
+  FROM memb GROUP BY 1
+)
+SELECT d.doc_id,
+  CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(a.n_grams, 0) END AS n_grams,
+  CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(a.bloom_hits, 0) END AS bloom_hits,
+  CASE WHEN d.text IS NULL THEN NULL
+       ELSE COALESCE(a.bloom_hits, 0) >= {DECON_MIN_HITS} END AS contaminated
+FROM documents d LEFT JOIN agg a USING (doc_id)
+WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
+""".strip()
+
+
+DSIR_BUCKETS = 512
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py): hashed-bigram bucket
+    log-likelihood-ratio weights of every raw doc vs the synthetic target
+    set (every {DECON_BENCH_MOD}th doc). Integer-exact: λ·2^20 from the
+    committed B-row artifact, weight = Σ c_b·λ_int (int64). The oracle
+    re-derives every bucket count from raw text, verifies the committed
+    (t_cnt, r_cnt) per bucket, and recomputes the dot product; the
+    B-element glibc log table is pytest-pinned (tests/test_dsir.py)."""
+    from .operators import dsir as ds
+
+    docs = _load_fanned(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("doc_id") % DECON_BENCH_MOD == 0
+    )
+    return ds.dsir_weights(
+        docs,
+        n=2,
+        n_buckets=DSIR_BUCKETS,
+        lambda_path=_scratch(sf_dir, "dsir_lambda"),
+    )
+
+
+def _dsir_weights_sql() -> str:
+    from .functions.sql_oracle import polyhash64_sql
+
+    lam_path = os.path.join(_scratch(_ORACLE_SF_DIR(), "dsir_lambda"), "*.parquet")
+    poly = polyhash64_sql("gram")
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(len(string_split(text, ' ')) - 1),
+           i -> array_to_string(string_split(text, ' ')[i+1:i+2], ' '))) AS gram
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), feats AS (
+  SELECT doc_id, CAST(({poly}) % {DSIR_BUCKETS} AS BIGINT) AS bucket,
+         COUNT(*) AS c
+  FROM g GROUP BY 1, 2
+), rc AS (
+  SELECT bucket,
+         SUM(c) FILTER (WHERE doc_id % {DECON_BENCH_MOD} = 0) AS t_cnt,
+         SUM(c) FILTER (WHERE doc_id % {DECON_BENCH_MOD} <> 0) AS r_cnt
+  FROM feats GROUP BY 1
+), lam AS (
+  -- committed artifact, admitted only where its counts match the
+  -- re-derived ones: a wrong distributed aggregation drops rows and
+  -- fails the value compare
+  SELECT l.bucket, l.lambda_x
+  FROM read_parquet('{lam_path}') l
+  LEFT JOIN rc ON rc.bucket = l.bucket
+  WHERE l.t_cnt = COALESCE(rc.t_cnt, 0) AND l.r_cnt = COALESCE(rc.r_cnt, 0)
+), w AS (
+  SELECT f.doc_id, CAST(SUM(f.c) AS BIGINT) AS n_feats,
+         CAST(SUM(f.c * l.lambda_x) AS BIGINT) AS weight_x
+  FROM feats f JOIN lam l USING (bucket)
+  WHERE f.doc_id % {DECON_BENCH_MOD} <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+  CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(w.n_feats, 0) END AS n_feats,
+  CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(w.weight_x, 0) END AS weight_x
+FROM documents d LEFT JOIN w USING (doc_id)
+WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
+""".strip()
+
+
 def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -4433,6 +4575,8 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_sample": q_tile_sample,
         "quality_gate": q_quality_gate,
         "events_stream_join": q_events_stream_join,
+        "contaminate_bloom": q_contaminate_bloom,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -4490,4 +4634,6 @@ def sweep_oracle_sql() -> dict[str, str]:
         "tile_sample": _tile_sample_sql(),
         "quality_gate": _quality_gate_sql(),
         "events_stream_join": _events_stream_join_sql(),
+        "contaminate_bloom": _contaminate_bloom_sql(),
+        "dsir_weights": _dsir_weights_sql(),
     }
