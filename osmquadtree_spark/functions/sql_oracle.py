@@ -131,7 +131,7 @@ def splitmix64_sql(x: str) -> str:
     return f"xor({z5}, ({z5}) >> 31)"
 
 
-POLYHASH_SEED = 1469598103934665603  # FNV-1a 64-bit offset basis
+from ..kernels.strhash import SEED as POLYHASH_SEED  # single source of truth
 
 
 def polyhash64_sql(s: str) -> str:

@@ -38,14 +38,14 @@ SQL (queries.py:_contaminate_bloom_sql).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 from ..kernels.strhash import polyhash64
 from ..sources.images import splitmix64
-
-_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def _positions(h1: np.ndarray, k: int, m_bits: int) -> np.ndarray:
@@ -108,30 +108,35 @@ def bloom_build(
 
     def fold(batches):
         local = np.zeros(m_bits // 8, dtype=np.uint8)
-        seen = False
         for pdf in batches:
             g = pdf["gram"].to_numpy(dtype=object)
             if not len(g):
                 continue
-            seen = True
             pos = _positions(polyhash64(list(g)), k, m_bits).ravel()
             np.bitwise_or.at(
                 local, (pos >> np.uint64(3)).astype(np.int64),
                 np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)),
             )
-        if seen:
-            yield pd.DataFrame(
-                {
-                    "shard_id": np.arange(n_shards, dtype=np.int32),
-                    "bitmap": [
-                        local[i * shard_bytes : (i + 1) * shard_bytes].tobytes()
-                        for i in range(n_shards)
-                    ],
-                }
-            )
+        # always yield (even all-zero) so (n, k) survive an EMPTY benchmark
+        yield pd.DataFrame(
+            {
+                "shard_id": np.arange(n_shards, dtype=np.int32),
+                "bitmap": [
+                    local[i * shard_bytes : (i + 1) * shard_bytes].tobytes()
+                    for i in range(n_shards)
+                ],
+                "n": np.full(n_shards, n, dtype=np.int32),
+                "k": np.full(n_shards, k, dtype=np.int32),
+            }
+        )
 
-    partials = grams.mapInPandas(fold, "shard_id int, bitmap binary")
+    partials = grams.mapInPandas(
+        fold, "shard_id int, bitmap binary, n int, k int"
+    )
     return _or_shards(partials)
+
+
+_SHARD_SCHEMA = "shard_id int, bitmap binary, n int, k int"
 
 
 def _or_shards(partials: DataFrame) -> DataFrame:
@@ -140,50 +145,83 @@ def _or_shards(partials: DataFrame) -> DataFrame:
         for b in pdf["bitmap"]:
             a = np.frombuffer(b, dtype=np.uint8)
             acc = a.copy() if acc is None else acc | a
-        return pd.DataFrame({"shard_id": [key[0]], "bitmap": [acc.tobytes()]})
+        ns, ks = set(pdf["n"]), set(pdf["k"])
+        # merging filters built with different (n, k) silently breaks the
+        # no-false-negative guarantee — refuse
+        assert len(ns) == 1 and len(ks) == 1, f"mixed bloom params: n={ns} k={ks}"
+        return pd.DataFrame(
+            {
+                "shard_id": [key[0]],
+                "bitmap": [acc.tobytes()],
+                "n": [ns.pop()],
+                "k": [ks.pop()],
+            }
+        )
 
-    return partials.groupBy("shard_id").applyInPandas(
-        orfold, "shard_id int, bitmap binary"
-    )
+    return partials.groupBy("shard_id").applyInPandas(orfold, _SHARD_SCHEMA)
 
 
 def bloom_or(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Merge two Bloom filters (same m/k/shards): bitwise OR per shard —
-    plain unionByName through the same fold, like the sketch trio."""
+    """Merge two Bloom filters (same m/k/n — enforced per shard group):
+    bitwise OR per shard — plain unionByName through the same fold, like
+    the sketch trio."""
     return _or_shards(a.unionByName(b))
 
 
-def collect_bloom(bloom: DataFrame, m_bits: int, n_shards: int = 8) -> np.ndarray:
-    """Assemble the sharded bitmap into one m_bits/8-byte uint8 array.
-    Bounded driver collect BY CONSTRUCTION: n_shards rows, m/8 bytes total
-    regardless of benchmark size (the same bounded-artifact argument as
-    the qttree group table)."""
-    out = np.zeros(m_bits // 8, dtype=np.uint8)
-    shard_bytes = m_bits // 8 // n_shards
-    for row in bloom.collect():
+@dataclass(frozen=True)
+class BloomFilter:
+    """Collected Bloom filter: the bitmap PLUS the (n, k) it was built
+    with, so a probe can never run with mismatched parameters (a k or n
+    drift between build and probe would silently void the
+    no-false-negative guarantee)."""
+
+    bitmap: np.ndarray
+    n: int
+    k: int
+
+    @property
+    def m_bits(self) -> int:
+        return int(self.bitmap.shape[0]) * 8
+
+
+def collect_bloom(bloom: DataFrame) -> BloomFilter:
+    """Assemble the sharded table into one BloomFilter. Bounded driver
+    collect BY CONSTRUCTION: n_shards rows, m/8 bytes total regardless of
+    benchmark size (the same bounded-artifact argument as the qttree
+    group table). Works on empty tables only via bloom_probe's empty
+    handling — an empty build (no bench docs) yields zero shards, which
+    collapses to a 0-bit filter; callers probing with it get 0 hits."""
+    rows = bloom.collect()
+    if not rows:
+        return BloomFilter(np.zeros(1 << 13, dtype=np.uint8), n=3, k=4)
+    n_shards = len(rows)
+    shard_bytes = max(len(bytes(r["bitmap"])) for r in rows)
+    out = np.zeros(n_shards * shard_bytes, dtype=np.uint8)
+    for row in rows:
         s = int(row["shard_id"])
         out[s * shard_bytes : (s + 1) * shard_bytes] = np.frombuffer(
             row["bitmap"], dtype=np.uint8
         )
-    return out
+    return BloomFilter(out, n=int(rows[0]["n"]), k=int(rows[0]["k"]))
 
 
 def bloom_probe(
     docs: DataFrame,
-    bitmap: np.ndarray,
-    n: int = 3,
-    k: int = 4,
+    bf: BloomFilter,
     min_hits: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Probe every document's distinct word n-grams against the bitmap:
-    (doc_id, n_grams, bloom_hits, contaminated). NULL text propagates
-    NULLs; a doc with < n words has 0 grams and is clean. ZERO shuffle:
-    one mapInPandas over the scan, bitmap broadcast via the task closure
-    (m/8 bytes — use a sparkContext.broadcast wrapper if m grows to the
-    multi-GB planet setting so executors hold one copy per JVM)."""
-    m_bits = int(bitmap.shape[0]) * 8
+    """Probe every document's distinct word n-grams against the filter:
+    (doc_id, n_grams, bloom_hits, contaminated). n and k come FROM the
+    filter (build-time values — no way to probe with drifted params).
+    NULL text propagates NULLs; a doc with < n words has 0 grams and is
+    clean. ZERO shuffle: one mapInPandas over the scan, bitmap broadcast
+    via the task closure (m/8 bytes — use a sparkContext.broadcast
+    wrapper if m grows to the multi-GB planet setting so executors hold
+    one copy per JVM)."""
+    bitmap, n, k = bf.bitmap, bf.n, bf.k
+    m_bits = bf.m_bits
     assert m_bits & (m_bits - 1) == 0
 
     def probe(batches):

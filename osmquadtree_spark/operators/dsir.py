@@ -39,7 +39,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..kernels.strhash import polyhash64
 from .bloom import _gram_strings
@@ -150,7 +150,7 @@ def dsir_weights(
     if lambda_path is not None:
         t = {int(r["bucket"]): int(r["t_cnt"]) for r in stats}
         r_ = {int(r["bucket"]): int(r["r_cnt"]) for r in stats}
-        art = SparkSession.getActiveSession().createDataFrame(
+        art = spark.createDataFrame(
             [
                 (b, t.get(b, 0), r_.get(b, 0), int(lam[b]))
                 for b in range(n_buckets)

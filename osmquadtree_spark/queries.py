@@ -4400,14 +4400,11 @@ def q_contaminate_bloom(spark, sf_dir):
 
     docs = _load_fanned(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
-    bitmap = bl.collect_bloom(
-        bl.bloom_build(bench, n=3, m_bits=BLOOM_M_BITS, k=BLOOM_K),
-        BLOOM_M_BITS,
+    bf = bl.collect_bloom(
+        bl.bloom_build(bench, n=3, m_bits=BLOOM_M_BITS, k=BLOOM_K)
     )
     train = docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
-    return bl.bloom_probe(
-        train, bitmap, n=3, k=BLOOM_K, min_hits=DECON_MIN_HITS
-    )
+    return bl.bloom_probe(train, bf, min_hits=DECON_MIN_HITS)
 
 
 def _contaminate_bloom_sql() -> str:

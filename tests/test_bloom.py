@@ -29,10 +29,9 @@ def corpus(spark):
 
 def _probe(spark, corpus, bench_pred, train_pred, min_hits=1):
     bench = corpus.filter(bench_pred)
-    bitmap = bl.collect_bloom(bl.bloom_build(bench, n=3, m_bits=M_BITS, k=K), M_BITS)
-    return bl.bloom_probe(
-        corpus.filter(train_pred), bitmap, n=3, k=K, min_hits=min_hits
-    )
+    bf = bl.collect_bloom(bl.bloom_build(bench, n=3, m_bits=M_BITS, k=K))
+    assert (bf.n, bf.k, bf.m_bits) == (3, K, M_BITS)
+    return bl.bloom_probe(corpus.filter(train_pred), bf, min_hits=min_hits)
 
 
 def test_no_false_negatives(spark, corpus):
@@ -84,7 +83,7 @@ def test_mergeability(spark, corpus):
     b = bl.bloom_build(corpus.filter(F.col("doc_id") == 4), n=3, m_bits=M_BITS, k=K)
     merged = bl.bloom_or(a, b)
     np.testing.assert_array_equal(
-        bl.collect_bloom(whole, M_BITS), bl.collect_bloom(merged, M_BITS)
+        bl.collect_bloom(whole).bitmap, bl.collect_bloom(merged).bitmap
     )
 
 
@@ -104,10 +103,10 @@ def test_empty_probe_side(spark, corpus):
 
 def test_bitmap_bounded_and_deterministic(spark, corpus):
     bench = corpus.filter(F.col("doc_id").isin(1, 2))
-    b1 = bl.collect_bloom(bl.bloom_build(bench, n=3, m_bits=M_BITS, k=K), M_BITS)
+    b1 = bl.collect_bloom(bl.bloom_build(bench, n=3, m_bits=M_BITS, k=K)).bitmap
     b2 = bl.collect_bloom(
-        bl.bloom_build(bench.repartition(5), n=3, m_bits=M_BITS, k=K), M_BITS
-    )
+        bl.bloom_build(bench.repartition(5), n=3, m_bits=M_BITS, k=K)
+    ).bitmap
     assert b1.shape == (M_BITS // 8,)
     np.testing.assert_array_equal(b1, b2)  # partitioning-invariant
     assert b1.any()

@@ -2,11 +2,8 @@
 λ-table pin, exclusion/NULL semantics, artifact commit."""
 
 import math
-import os
 
-import numpy as np
 import pytest
-from pyspark.sql import functions as F
 
 from osmquadtree_spark.kernels.strhash import polyhash64_one
 from osmquadtree_spark.operators import dsir as ds
