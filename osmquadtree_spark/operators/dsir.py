@@ -150,14 +150,19 @@ def dsir_weights(
     if lambda_path is not None:
         t = {int(r["bucket"]): int(r["t_cnt"]) for r in stats}
         r_ = {int(r["bucket"]): int(r["r_cnt"]) for r in stats}
+        from .. import metrics
+
         art = spark.createDataFrame(
             [
                 (b, t.get(b, 0), r_.get(b, 0), int(lam[b]))
                 for b in range(n_buckets)
             ],
             "bucket bigint, t_cnt bigint, r_cnt bigint, lambda_x bigint",
-        )
-        art.coalesce(1).write.mode("overwrite").parquet(lambda_path)
+        ).coalesce(1)
+        # same tmp+swap discipline as the LSH candidate exports: the
+        # artifact is a deterministic function of the corpus, and a reader
+        # (the DuckDB oracle) must never see a half-written directory
+        metrics.atomic_export(art, lambda_path)
 
     def probe(batches):
         for pdf in batches:
