@@ -31,14 +31,14 @@ def _zip_package(tmp_path) -> str:
     return zpath
 
 
-def _submit(zpath, *cli_args) -> dict:
+def _submit(zpath, *cli_args, job="tile_pipeline.py") -> dict:
     cmd = [
         SPARK_SUBMIT,
         "--master", "local[4]",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.sql.shuffle.partitions=8",
         "--py-files", zpath,
-        os.path.join(REPO, "jobs", "tile_pipeline.py"),
+        os.path.join(REPO, "jobs", job),
         *cli_args,
     ]
     env = dict(os.environ)
@@ -66,3 +66,26 @@ def test_spark_submit_pipeline_runs_and_resumes(tmp_path):
     assert m2["total"]["rows_per_sec"] > 0
     # the resumed qts manifest is the ORIGINAL commit (stage skipped)
     assert m2["qts"]["elapsed_sec"] == m1["qts"]["elapsed_sec"]
+
+
+def test_spark_submit_curation_runs_and_resumes(tmp_path):
+    """Same contract for the curation chain: submitted via --py-files,
+    killed between stage commits, resumed to completion."""
+    zpath = _zip_package(tmp_path)
+    out = str(tmp_path / "curated")
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    qp = '{"max_mean_freq_x100": 100000, "max_dup_x10000": 10000, "small_vocab": true}'
+
+    m1 = _submit(zpath, "--out-dir", out, "--input", docs,
+                 "--quality-params", qp, "--stop-after", "dedup",
+                 job="curation_pipeline.py")
+    assert set(m1) == {"quality", "dedup"}
+    assert m1["quality"]["rows"] == 500
+
+    m2 = _submit(zpath, "--out-dir", out, "--input", docs,
+                 "--quality-params", qp, job="curation_pipeline.py")
+    assert m2["shards"]["docs"] == m2["weights"]["rows"] > 0
+    assert m2["total"]["final_docs"] == m2["shards"]["docs"]
+    # committed stages were skipped, not recomputed
+    assert m2["quality"]["elapsed_sec"] == m1["quality"]["elapsed_sec"]
+    assert m2["dedup"]["elapsed_sec"] == m1["dedup"]["elapsed_sec"]
