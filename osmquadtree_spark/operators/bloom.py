@@ -211,20 +211,30 @@ def bloom_probe(
     min_hits: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    use_broadcast: bool = True,
 ) -> DataFrame:
     """Probe every document's distinct word n-grams against the filter:
     (doc_id, n_grams, bloom_hits, contaminated). n and k come FROM the
     filter (build-time values — no way to probe with drifted params).
     NULL text propagates NULLs; a doc with < n words has 0 grams and is
-    clean. ZERO shuffle: one mapInPandas over the scan, bitmap broadcast
-    via the task closure (m/8 bytes — use a sparkContext.broadcast
-    wrapper if m grows to the multi-GB planet setting so executors hold
-    one copy per JVM)."""
-    bitmap, n, k = bf.bitmap, bf.n, bf.k
+    clean. ZERO shuffle: one mapInPandas over the scan; the bitmap ships
+    as a sparkContext.broadcast variable (one torrent-distributed copy
+    per executor — at the multi-GB planet-bench setting a plain closure
+    would re-ship m/8 bytes with EVERY task's serialized function).
+    ``use_broadcast=False`` falls back to closure capture for
+    environments without a live SparkContext on the driver path."""
+    n, k = bf.n, bf.k
     m_bits = bf.m_bits
     assert m_bits & (m_bits - 1) == 0
+    bvar = (
+        docs.sparkSession.sparkContext.broadcast(bf.bitmap)
+        if use_broadcast
+        else None
+    )
+    plain = None if use_broadcast else bf.bitmap
 
     def probe(batches):
+        bitmap = bvar.value if bvar is not None else plain
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             isnull = pdf[text_col].isna().to_numpy()
