@@ -96,10 +96,14 @@ def stage_quality(
     )
 
 
-def stage_dedup(spark, quality_path: str, path: str) -> dict:
+def stage_dedup(
+    spark, quality_path: str, path: str, metrics_path: str | None = None
+) -> dict:
     """Near-dup clusters over the quality survivors; output = survivors
     with (component_id, is_canonical). Non-clustered docs are their own
-    canonical."""
+    canonical. ``metrics_path`` commits the hot-bucket drop counts and
+    component-convergence rounds alongside (the production observability
+    surface — silent caps are how recall loss hides)."""
     if is_committed(path):
         return _read_manifest(path)
     t0 = time.time()
@@ -107,12 +111,12 @@ def stage_dedup(spark, quality_path: str, path: str) -> dict:
     from .operators.dedup import minhash_lsh_pairs
 
     docs = _data(spark, quality_path).filter(F.col("keep") == True)  # noqa: E712
-    pairs = minhash_lsh_pairs(docs.select("doc_id", "text")).select(
-        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
-    )
-    comp = connected_components(pairs).select(
-        F.col("node").alias("doc_id"), "component_id"
-    )
+    pairs = minhash_lsh_pairs(
+        docs.select("doc_id", "text"), metrics_path=metrics_path
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    comp = connected_components(
+        pairs, metrics_path=metrics_path, operator="curation_components"
+    ).select(F.col("node").alias("doc_id"), "component_id")
     out = (
         docs.join(comp, "doc_id", "left")
         .withColumn(
@@ -259,7 +263,9 @@ def run_curation(
     manifests["quality"] = stage_quality(spark, docs, q_p, quality_params)
     if stop_after == "quality":
         return manifests
-    manifests["dedup"] = stage_dedup(spark, q_p, d_p)
+    manifests["dedup"] = stage_dedup(
+        spark, q_p, d_p, metrics_path=os.path.join(out_dir, "metrics")
+    )
     if stop_after == "dedup":
         return manifests
     manifests["decon"] = stage_decon(spark, d_p, c_p, bench)
