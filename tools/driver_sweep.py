@@ -11,13 +11,14 @@ run it after touching any operator the registry exercises:
     python tools/driver_sweep.py --queries geom_ways   # subset
     python tools/driver_sweep.py --sf /root/testdata/sf0.001   # cross-scale
 
-Cross-scale runs: four oracles (group_assign_fine, image_tiles, and the
-two LSH soundness oracles) derive artifacts — the greedy group table and
-the engine-exported candidate sets — at the driver's fixed correctness
+Cross-scale runs: several oracles (group_assign_fine, image_tiles, the
+LSH/IVF/semantic soundness oracles, and dsir_weights' λ table) derive
+artifacts — the greedy group table, the engine-exported candidate sets
+and the committed DSIR λ parquet — at the driver's fixed correctness
 scale, because ``oracle_sql()`` takes no sf argument per the contract.
 When sweeping at any scale other than sf0.01 this script points them at
-the swept scale via SPARK_GRAFT_ORACLE_SF_DIR; verified 50/50 green at
-both sf0.01 and sf0.001.
+the swept scale via SPARK_GRAFT_ORACLE_SF_DIR; verified 100/100 green
+(50 driver gates + 50 sweep extensions) at both sf0.01 and sf0.001.
 
 Comparison pitfalls this script gets right (learned the hard way):
 - NULL sorting: raw ``sorted()`` on tuples containing None raises
