@@ -41,6 +41,19 @@ def main() -> None:
         '\'{"min_tokens": 50, "max_mean_freq_x100": 91000}\'',
     )
     ap.add_argument("--stop-after", default=None, help=argparse.SUPPRESS)
+    ap.add_argument(
+        "--verify", action="store_true",
+        help="re-read every stage's committed parquet and cross-check the "
+        "observed row counts (doubles stage IO; manifests gain "
+        "verified_rows). Default off: counts come from the write job's "
+        "own observation metrics.",
+    )
+    ap.add_argument(
+        "--no-exclude-bench", action="store_true",
+        help="do NOT anti-join the benchmark doc_ids out of the corpus at "
+        "the decon stage — only for an external eval set whose doc_id "
+        "namespace is unrelated to the corpus",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -67,6 +80,8 @@ def main() -> None:
         if args.quality_params
         else None,
         stop_after=args.stop_after,
+        exclude_bench=not args.no_exclude_bench,
+        verify=args.verify,
     )
     from osmquadtree_spark import metrics
 

@@ -12,7 +12,11 @@ operators a training-data pipeline actually runs:
                     operators/components.connected_components)
   stage "decon"    Bloom-filter benchmark decontamination over the
                    surviving canonicals (operators/bloom — the
-                   shuffle-free probe path)
+                   shuffle-free probe path); benchmark doc_ids are
+                   anti-joined out of the corpus FIRST (train =
+                   doc_id % mod != 0, the q_contaminate_bloom
+                   convention) so bench docs can never leak into the
+                   final shards as training rows
   stage "weights"  DSIR importance weights vs the benchmark target
                    (operators/dsir, λ artifact committed inside)
   stage "shards"   fixed-token-budget shard packing + per-shard
@@ -28,11 +32,21 @@ lineage on resume. NULL-text documents are counted into a
 keep for them — they need inspection, not a silent drop) and excluded
 from every downstream stage.
 
+Commit-cost shape (round 5): stage row counts come from the WRITE job
+itself via the observation API (``DataFrame.observe`` — accumulator-
+backed, exactly-once per successful job), not a read-back ``count()``;
+at 100 TB a per-stage re-listing + footer scan of every output file
+would double the pipeline's IO for numbers the write already knows. The
+only post-write reads are bounded summaries a write-side aggregate
+cannot express (the ≤ 2^4-combination quality reason histogram — one
+column-pruned aggregate over the ``reasons`` column). ``verify=True``
+restores the read-back as an explicit integrity mode: each stage
+re-counts its committed parquet and the manifest records
+``verified_rows``.
+
 Scale shape: every stage is the library operator (each individually
 plan-gated and value-gated in the sweep registry); the pipeline adds
-only parquet checkpoints between them. The quality reason histogram and
-shard manifest are the two driver-visible summaries, both bounded (≤ 16
-reason combos; |shards| rows).
+only parquet checkpoints between them.
 """
 
 from __future__ import annotations
@@ -40,7 +54,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from .pipeline import _commit, _read_manifest
 from .operators.sortblocks import is_committed
@@ -48,10 +62,29 @@ from .operators.sortblocks import is_committed
 BENCH_MOD_DEFAULT = 41  # every 41st doc is the synthetic benchmark set
 
 
-def _write(df: DataFrame, path: str) -> int:
+def _write(
+    df: DataFrame, path: str, extra: dict | None = None, verify: bool = False
+) -> dict:
+    """Write the stage output; row count (+ any extra aggregate columns)
+    is observed ON the write job — zero read-back. ``verify`` re-reads
+    the committed files and cross-checks the observed count (the old
+    always-on behavior, now an opt-in integrity mode)."""
     data = os.path.join(path, "data")
-    df.write.mode("overwrite").parquet(data)
-    return int(df.sparkSession.read.parquet(data).count())
+    obs = Observation()
+    aggs = [F.count(F.lit(1)).alias("rows")] + [
+        v.alias(k) for k, v in (extra or {}).items()
+    ]
+    df.observe(obs, *aggs).write.mode("overwrite").parquet(data)
+    got = {k: int(v) if v is not None else 0 for k, v in obs.get.items()}
+    if verify:
+        rb = int(df.sparkSession.read.parquet(data).count())
+        if rb != got["rows"]:
+            raise RuntimeError(
+                f"stage verify failed at {data}: wrote {got['rows']} rows, "
+                f"read back {rb}"
+            )
+        got["verified_rows"] = rb
+    return got
 
 
 def _data(spark: SparkSession, path: str) -> DataFrame:
@@ -59,7 +92,11 @@ def _data(spark: SparkSession, path: str) -> DataFrame:
 
 
 def stage_quality(
-    spark, docs: DataFrame, path: str, quality_params: dict | None = None
+    spark,
+    docs: DataFrame,
+    path: str,
+    quality_params: dict | None = None,
+    verify: bool = False,
 ) -> dict:
     """quality_gate over the full corpus; keeps the input columns beside
     (reasons, keep) so downstream stages read one table.
@@ -75,21 +112,29 @@ def stage_quality(
         "doc_id", "reasons", "keep"
     )
     joined = docs.join(qg, "doc_id")
-    rows = _write(joined, path)
-    out = _data(spark, path)
+    w = _write(
+        joined,
+        path,
+        extra={
+            "kept": F.count_if(F.col("keep") == True),  # noqa: E712
+            "manual_queue": F.count_if(F.col("keep").isNull()),
+        },
+        verify=verify,
+    )
+    # the one bounded post-write read: ≤ 16 reason-bitmask combos, and the
+    # aggregate prunes to the single `reasons` column
     hist = {
         str(r["reasons"]): int(r["c"])
-        for r in out.groupBy("reasons").agg(F.count(F.lit(1)).alias("c")).collect()
+        for r in _data(spark, path)
+        .groupBy("reasons")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
     }
-    kept = int(out.filter(F.col("keep") == True).count())  # noqa: E712
-    manual = int(out.filter(F.col("keep").isNull()).count())
     return _commit(
         path,
         {
-            "rows": rows,
-            "kept": kept,
-            "dropped": rows - kept - manual,
-            "manual_queue": manual,
+            **w,
+            "dropped": w["rows"] - w["kept"] - w["manual_queue"],
             "reason_histogram": hist,
             "elapsed_sec": time.time() - t0,
         },
@@ -97,11 +142,17 @@ def stage_quality(
 
 
 def stage_dedup(
-    spark, quality_path: str, path: str, metrics_path: str | None = None
+    spark,
+    quality_path: str,
+    path: str,
+    metrics_path: str | None = None,
+    verify: bool = False,
 ) -> dict:
     """Near-dup clusters over the quality survivors; output = survivors
     with (component_id, is_canonical). Non-clustered docs are their own
-    canonical. ``metrics_path`` commits the hot-bucket drop counts and
+    canonical. Nothing is dropped at this stage — ``non_canonical`` rows
+    are kept (flagged false) and excluded later, at decon.
+    ``metrics_path`` commits the hot-bucket drop counts and
     component-convergence rounds alongside (the production observability
     surface — silent caps are how recall loss hides)."""
     if is_committed(path):
@@ -124,50 +175,81 @@ def stage_dedup(
         )
         .withColumn("is_canonical", F.col("component_id") == F.col("doc_id"))
     )
-    rows = _write(out, path)
-    final = _data(spark, path)
-    canon = int(final.filter("is_canonical").count())
+    w = _write(
+        out, path, extra={"canonical": F.count_if(F.col("is_canonical"))},
+        verify=verify,
+    )
     return _commit(
         path,
         {
-            "rows": rows,
-            "canonical": canon,
-            "near_dup_dropped": rows - canon,
+            **w,
+            "non_canonical": w["rows"] - w["canonical"],
             "elapsed_sec": time.time() - t0,
         },
     )
 
 
 def stage_decon(
-    spark, dedup_path: str, path: str, bench: DataFrame, min_hits: int = 2,
-    m_bits: int = 1 << 20, k: int = 4, n: int = 3,
+    spark,
+    dedup_path: str,
+    path: str,
+    bench: DataFrame,
+    min_hits: int = 2,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    n: int = 3,
+    exclude_bench: bool = True,
+    verify: bool = False,
 ) -> dict:
     """Bloom probe of the canonical survivors against the benchmark set;
     output keeps only clean docs, manifest records the flagged count and
-    the filter's fill factor (the false-positive-rate driver)."""
+    the filter's fill factor (the false-positive-rate driver).
+
+    ``exclude_bench`` anti-joins the benchmark's doc_ids out of the
+    corpus BEFORE the probe (broadcast — the bench side is small by
+    definition): when bench is carved from the corpus itself (the
+    default every-Nth slice), the probe alone only removes bench docs
+    that self-flag with ≥ min_hits distinct grams, so short bench docs
+    would leak into the final shards as training rows AND be
+    double-counted as target+raw by the weights stage. Set False only
+    for an external eval set whose doc_id namespace is unrelated to the
+    corpus. The probe itself runs ONCE, in the same job as the stage
+    write (its flagged side feeds the anti-join; round 4 paid a second
+    full gram-extraction pass just to count probed rows — the count now
+    comes from an observation on the write's own scan)."""
     if is_committed(path):
         return _read_manifest(path)
     t0 = time.time()
     from .operators import bloom as bl
 
     bf = bl.collect_bloom(bl.bloom_build(bench, n=n, m_bits=m_bits, k=k))
+    canonical_total = int(_read_manifest(dedup_path)["canonical"])
     docs = _data(spark, dedup_path).filter("is_canonical")
-    probed = bl.bloom_probe(
-        docs.select("doc_id", "text"), bf, min_hits=min_hits
+    if exclude_bench:
+        docs = docs.join(
+            F.broadcast(bench.select("doc_id").distinct()), "doc_id", "left_anti"
+        )
+    flagged = (
+        bl.bloom_probe(docs.select("doc_id", "text"), bf, min_hits=min_hits)
+        .filter("contaminated")
+        .select("doc_id")
     )
-    flagged = probed.filter("contaminated").select("doc_id")
-    out = docs.join(flagged, "doc_id", "left_anti")
-    rows = _write(out, path)
+    probe_obs = Observation()
+    out = docs.observe(probe_obs, F.count(F.lit(1)).alias("probed")).join(
+        flagged, "doc_id", "left_anti"
+    )
+    w = _write(out, path, verify=verify)
+    probed_rows = int(probe_obs.get["probed"])
     import numpy as np
 
     set_bits = int(np.unpackbits(bf.bitmap).sum())
-    probed_rows = int(probed.count())
     return _commit(
         path,
         {
-            "rows": rows,
+            **w,
             "probed": probed_rows,
-            "flagged": probed_rows - rows,
+            "flagged": probed_rows - w["rows"],
+            "bench_excluded": canonical_total - probed_rows,
             "bloom_fill_x10000": set_bits * 10000 // bf.m_bits,
             "elapsed_sec": time.time() - t0,
         },
@@ -175,8 +257,12 @@ def stage_decon(
 
 
 def stage_weights(
-    spark, decon_path: str, path: str, bench: DataFrame,
+    spark,
+    decon_path: str,
+    path: str,
+    bench: DataFrame,
     n_buckets: int = 512,
+    verify: bool = False,
 ) -> dict:
     """DSIR weights of the clean survivors vs the benchmark target; the
     λ artifact commits under this stage's directory (atomic tmp+swap)."""
@@ -189,21 +275,25 @@ def stage_weights(
     both = docs.withColumn("is_target", F.lit(False)).unionByName(
         bench.select("doc_id", "text").withColumn("is_target", F.lit(True))
     )
-    w = dsir_weights(
+    w_df = dsir_weights(
         both, n_buckets=n_buckets,
         lambda_path=os.path.join(path, "lambda"),
     )
-    out = docs.join(w, "doc_id")
-    rows = _write(out, path)
+    out = docs.join(w_df, "doc_id")
+    w = _write(out, path, verify=verify)
     return _commit(
         path,
-        {"rows": rows, "n_buckets": n_buckets, "elapsed_sec": time.time() - t0},
+        {**w, "n_buckets": n_buckets, "elapsed_sec": time.time() - t0},
     )
 
 
-def stage_shards(spark, weights_path: str, path: str, shard_tokens: int) -> dict:
+def stage_shards(
+    spark, weights_path: str, path: str, shard_tokens: int, verify: bool = False
+) -> dict:
     """Token-budget shard packing of the final corpus + the per-shard
-    lineage manifest a resuming shard writer restarts from."""
+    lineage manifest a resuming shard writer restarts from. The manifest
+    totals (shards / docs / tokens) are observed on the manifest write —
+    the manifest is the |shards|-row summary table, so no read-back."""
     if is_committed(path):
         return _read_manifest(path)
     t0 = time.time()
@@ -213,19 +303,26 @@ def stage_shards(spark, weights_path: str, path: str, shard_tokens: int) -> dict
     shards = token_shards(docs, shard_tokens)
     shards.write.mode("overwrite").parquet(os.path.join(path, "data"))
     man = shard_manifest(docs, shard_tokens)
-    man.write.mode("overwrite").parquet(os.path.join(path, "manifest"))
-    man_r = spark.read.parquet(os.path.join(path, "manifest"))
-    n_shards = int(man_r.count())
-    tok = man_r.agg(F.sum("n_tokens").alias("t"), F.sum("n_docs").alias("d")).collect()[0]
+    obs = Observation()
+    man.observe(
+        obs,
+        F.count(F.lit(1)).alias("shards"),
+        F.sum("n_docs").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+    ).write.mode("overwrite").parquet(os.path.join(path, "manifest"))
+    got = {k: int(v) if v is not None else 0 for k, v in obs.get.items()}
+    if verify:
+        man_r = spark.read.parquet(os.path.join(path, "manifest"))
+        rb = int(man_r.count())
+        if rb != got["shards"]:
+            raise RuntimeError(
+                f"stage verify failed at {path}: wrote {got['shards']} "
+                f"manifest rows, read back {rb}"
+            )
+        got["verified_rows"] = rb
     return _commit(
         path,
-        {
-            "shards": n_shards,
-            "docs": int(tok["d"] or 0),
-            "tokens": int(tok["t"] or 0),
-            "shard_tokens": shard_tokens,
-            "elapsed_sec": time.time() - t0,
-        },
+        {**got, "shard_tokens": shard_tokens, "elapsed_sec": time.time() - t0},
     )
 
 
@@ -238,12 +335,17 @@ def run_curation(
     shard_tokens: int = 4096,
     quality_params: dict | None = None,
     stop_after: str | None = None,
+    exclude_bench: bool = True,
+    verify: bool = False,
 ) -> dict:
     """Run (or resume) the curation chain. ``docs`` may be None on resume
     when stage "quality" is already committed. ``bench`` defaults to the
     every-``bench_mod``-th synthetic benchmark slice of ``docs`` (the
     sweep-registry convention); pass a real eval-set DataFrame in
-    production. ``stop_after`` simulates a kill between stage commits."""
+    production (with ``exclude_bench=False`` if its doc_id namespace is
+    unrelated to the corpus). ``stop_after`` simulates a kill between
+    stage commits; ``verify`` re-reads every stage's committed output and
+    cross-checks the observed row counts."""
     t0 = time.time()
     q_p = os.path.join(out_dir, "quality")
     d_p = os.path.join(out_dir, "dedup")
@@ -260,21 +362,24 @@ def run_curation(
         )
 
     manifests: dict[str, dict] = {}
-    manifests["quality"] = stage_quality(spark, docs, q_p, quality_params)
+    manifests["quality"] = stage_quality(spark, docs, q_p, quality_params, verify)
     if stop_after == "quality":
         return manifests
     manifests["dedup"] = stage_dedup(
-        spark, q_p, d_p, metrics_path=os.path.join(out_dir, "metrics")
+        spark, q_p, d_p, metrics_path=os.path.join(out_dir, "metrics"),
+        verify=verify,
     )
     if stop_after == "dedup":
         return manifests
-    manifests["decon"] = stage_decon(spark, d_p, c_p, bench)
+    manifests["decon"] = stage_decon(
+        spark, d_p, c_p, bench, exclude_bench=exclude_bench, verify=verify
+    )
     if stop_after == "decon":
         return manifests
-    manifests["weights"] = stage_weights(spark, c_p, w_p, bench)
+    manifests["weights"] = stage_weights(spark, c_p, w_p, bench, verify=verify)
     if stop_after == "weights":
         return manifests
-    manifests["shards"] = stage_shards(spark, w_p, s_p, shard_tokens)
+    manifests["shards"] = stage_shards(spark, w_p, s_p, shard_tokens, verify)
     total = time.time() - t0
     manifests["total"] = {
         "input_rows": manifests["quality"]["rows"],

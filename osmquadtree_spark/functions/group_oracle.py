@@ -34,8 +34,12 @@ def oracle_sf_dir() -> str:
     )
 
 
-def _group_qts(sf_dir: str, target: int, minsize: int, tree_level: int, rollup: bool):
-    """Compute the group table from a DuckDB-derived histogram."""
+def _group_rows(
+    sf_dir: str, target: int, minsize: int, tree_level: int, rollup: bool
+) -> list[tuple[int, int, int]]:
+    """Full (qt, idx, weight) group table from a DuckDB-derived histogram
+    through the per-item reference greedy — the oracle side of the
+    group_scalable_equiv gate."""
     import duckdb
 
     from ..plans.qttree import QtTree, find_groups, group_table, tree_rollup
@@ -56,8 +60,13 @@ def _group_qts(sf_dir: str, target: int, minsize: int, tree_level: int, rollup: 
     if rollup:
         tree_rollup(tree, minsize)
     groups = find_groups(tree, target, minsize)
-    gqt, _, _ = group_table(groups)
-    return [int(q) for q in gqt]
+    gqt, gidx, gw = group_table(groups)
+    return [(int(q), int(i), int(w)) for q, i, w in zip(gqt, gidx, gw)]
+
+
+def _group_qts(sf_dir: str, target: int, minsize: int, tree_level: int, rollup: bool):
+    """Compute the group table from a DuckDB-derived histogram."""
+    return [r[0] for r in _group_rows(sf_dir, target, minsize, tree_level, rollup)]
 
 
 def find_tile_sql(qt_expr: str, group_qts: list[int]) -> str:

@@ -115,23 +115,37 @@ def pending_count() -> int:
 def commit_pending(run_id: str | None = None) -> dict:
     """Write all pending frames — ONE union + write per base path, under a
     fresh run-id subdirectory (append-by-directory: concurrent or repeated
-    runs never clobber each other; ADVICE r3). Returns
-    {"bases": n, "run_id": rid, "sec": t}; empty pending is a no-op."""
+    runs never clobber each other; ADVICE r3). Each base commits
+    independently: a frame whose lineage broke after registration (e.g. a
+    failed query, or an export a foreign process removed) fails ONLY its
+    own base — the error is returned in ``errors`` instead of aborting the
+    other bases' writes, so one poisoned frame cannot lose a whole run's
+    metrics. Returns {"bases": n, "run_id": rid, "sec": t, "errors":
+    {base: msg}}; empty pending is a no-op."""
     global _PENDING
     pend, _PENDING = _PENDING, []
     if not pend:
-        return {"bases": 0, "run_id": None, "sec": 0.0}
+        return {"bases": 0, "run_id": None, "sec": 0.0, "errors": {}}
     rid = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
     by_base: dict[str, list[DataFrame]] = {}
     for base, _key, fr in pend:
         by_base.setdefault(base, []).append(fr)
+    errors: dict[str, str] = {}
     for base, frames in by_base.items():
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
-        out.write.mode("overwrite").parquet(os.path.join(base, f"run_id={rid}"))
-    return {"bases": len(by_base), "run_id": rid, "sec": round(time.time() - t0, 3)}
+        try:
+            out.write.mode("overwrite").parquet(os.path.join(base, f"run_id={rid}"))
+        except Exception as ex:  # noqa: BLE001 — per-base isolation is the point
+            errors[base] = f"{type(ex).__name__}: {ex}"
+    return {
+        "bases": len(by_base),
+        "run_id": rid,
+        "sec": round(time.time() - t0, 3),
+        "errors": errors,
+    }
 
 
 def discard_pending() -> None:

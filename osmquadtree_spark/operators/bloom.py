@@ -133,7 +133,7 @@ def bloom_build(
     partials = grams.mapInPandas(
         fold, "shard_id int, bitmap binary, n int, k int"
     )
-    return _or_shards(partials)
+    return _with_build_params(_or_shards(partials), n, k)
 
 
 _SHARD_SCHEMA = "shard_id int, bitmap binary, n int, k int"
@@ -161,11 +161,36 @@ def _or_shards(partials: DataFrame) -> DataFrame:
     return partials.groupBy("shard_id").applyInPandas(orfold, _SHARD_SCHEMA)
 
 
+def _with_build_params(df: DataFrame, n: int, k: int) -> DataFrame:
+    """Pin the build-time (n, k) into the n/k columns' schema METADATA so
+    they survive even a zero-row collect (a bench frame with zero
+    PARTITIONS emits no fold tasks, hence no shard rows — the one case
+    the per-row n/k columns cannot cover). collect_bloom's empty fallback
+    reads them back instead of guessing literals."""
+    return df.withMetadata("n", {"build": int(n)}).withMetadata(
+        "k", {"build": int(k)}
+    )
+
+
+def _build_params(df: DataFrame) -> tuple[int, int] | None:
+    try:
+        n = df.schema["n"].metadata["build"]
+        k = df.schema["k"].metadata["build"]
+        return int(n), int(k)
+    except (KeyError, TypeError):
+        return None
+
+
 def bloom_or(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge two Bloom filters (same m/k/n — enforced per shard group):
     bitwise OR per shard — plain unionByName through the same fold, like
-    the sketch trio."""
-    return _or_shards(a.unionByName(b))
+    the sketch trio. Build-param metadata is re-attached (applyInPandas
+    rebuilds the schema from a bare DDL string, which would drop it)."""
+    out = _or_shards(a.unionByName(b))
+    pa, pb = _build_params(a), _build_params(b)
+    if pa is not None and pa == pb:
+        out = _with_build_params(out, *pa)
+    return out
 
 
 @dataclass(frozen=True)
@@ -190,10 +215,16 @@ def collect_bloom(bloom: DataFrame) -> BloomFilter:
     benchmark size (the same bounded-artifact argument as the qttree
     group table). Works on empty tables only via bloom_probe's empty
     handling — an empty build (no bench docs) yields zero shards, which
-    collapses to a 0-bit filter; callers probing with it get 0 hits."""
+    collapses to a 0-bit filter; callers probing with it get 0 hits. The
+    empty fallback's (n, k) come from the build frame's schema metadata
+    (pinned by bloom_build), so even a zero-partition bench cannot make a
+    later probe extract grams at the wrong gram order — contamination is
+    correctly false either way (zero bitmap), but the probe's n_grams
+    column must still count the grams the BUILD would have seen."""
     rows = bloom.collect()
     if not rows:
-        return BloomFilter(np.zeros(1 << 13, dtype=np.uint8), n=3, k=4)
+        params = _build_params(bloom) or (3, 4)
+        return BloomFilter(np.zeros(1 << 13, dtype=np.uint8), n=params[0], k=params[1])
     n_shards = len(rows)
     shard_bytes = max(len(bytes(r["bitmap"])) for r in rows)
     out = np.zeros(n_shards * shard_bytes, dtype=np.uint8)

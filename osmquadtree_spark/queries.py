@@ -15,6 +15,7 @@ libm-vs-StrictMath divergence.
 from __future__ import annotations
 
 import os
+import uuid
 
 from collections.abc import Callable
 
@@ -1376,13 +1377,59 @@ EMB_DUP_MIN_COS = 0.4  # synthetic embeddings top out at cos ≈ 0.51
 EMB_DIM = 64  # testdata embeddings dimensionality (TESTDATA.md)
 
 # run-local artifact root (exports + metrics): inside the repo, gitignored.
-# The LSH soundness oracles read the exported candidate sets back in DuckDB,
-# so the export path is fixed per sf (driver correctness runs at sf0.01).
+# The LSH soundness oracles read the exported candidate sets back in DuckDB;
+# the oracle SQL is generated in the SAME process as the Spark query, so
+# both sides resolve the path through _scratch below and always agree.
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+# Process-scoped run id: export-like artifacts (LSH/IVF/semantic candidate
+# sets, the DSIR λ table, gate fixtures like filelist_cat/tile_sink_gate)
+# land under .scratch/<sf>/run-<RUN_ID>/ so two concurrent sessions
+# sweeping the SAME sf never clobber each other's exports mid-read — the
+# round-4 fixed per-sf path let a concurrent pytest swap an export a
+# running sweep had already file-listed, failing its metrics commit with
+# FileNotFound (and, worse, would have served another run's candidate set
+# to the soundness oracle until the swap). Exception: the `metrics` base
+# stays run-SHARED because metrics.commit_pending already appends under
+# its own run_id=<rid> subdirectory (never overwrites).
+RUN_ID = uuid.uuid4().hex[:12]
+_RUN_SHARED = ("metrics",)
+# best-effort GC of abandoned run dirs: anything a concurrent LIVE session
+# could still be reading is far younger than this (full sweep ≈ 12 min,
+# full pytest ≈ 14 min)
+_STALE_RUN_DIR_SEC = 2 * 3600
+_PRUNED_BASES: set[str] = set()
+
+
+def _prune_stale_runs(base: str) -> None:
+    if base in _PRUNED_BASES:
+        return
+    _PRUNED_BASES.add(base)
+    import shutil
+    import time as _time
+
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    now = _time.time()
+    for e in entries:
+        if not e.startswith("run-") or e == f"run-{RUN_ID}":
+            continue
+        p = os.path.join(base, e)
+        try:
+            if now - os.path.getmtime(p) > _STALE_RUN_DIR_SEC:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
 
 
 def _scratch(sf_dir: str, name: str) -> str:
-    return os.path.join(_SCRATCH, os.path.basename(os.path.normpath(sf_dir)), name)
+    base = os.path.join(_SCRATCH, os.path.basename(os.path.normpath(sf_dir)))
+    if name in _RUN_SHARED:
+        return os.path.join(base, name)
+    _prune_stale_runs(base)
+    return os.path.join(base, f"run-{RUN_ID}", name)
 
 
 def _ORACLE_SF_DIR() -> str:
@@ -1896,7 +1943,12 @@ def clear_session_caches(keep_input_stores: bool = False) -> None:
 
     try:
         try:
-            _metrics.commit_pending()
+            _mc = _metrics.commit_pending()
+            if _mc["errors"]:
+                # commit_pending isolates failures per base and returns
+                # them instead of raising; surface them here so a live
+                # session still fails loudly ("no silent caps")
+                raise RuntimeError(f"metrics commit failed: {_mc['errors']}")
         except Exception:
             # teardown path with a stopped/dead session: drop rather than
             # mask the caller's own error. A LIVE session failing here is
@@ -2773,6 +2825,132 @@ SELECT group_qt,
        MAX(qt) AS max_cell
 FROM (SELECT qt, {grpo.find_tile_sql('qt', gqt)} AS group_qt FROM ({_qt_cte()}))
 GROUP BY 1
+""".strip()
+
+
+def q_sorted_layout(spark, sf_dir):
+    """Physical-layout gate over the committed tile sink (round-5 close of
+    the last plan-only §2.6 rows): restates the reference's strict-order
+    guard (splitbyid.cpp:54-65 — objects inside a tile must arrive in id
+    order) and the resort_objects layout contract (resortobjects.cpp:
+    112-140 — one tile never straddles partitions, partitions follow DFS
+    tile order) as a VALUE query. Per tile, from the committed parquet's
+    OWN physical order (`_metadata.file_path` / `_metadata.row_index` —
+    JVM-side file metadata columns, no driver tricks):
+
+      - ``order_sum`` — Σ (physical_position_in_tile × elem_id mod p), a
+        position-sensitive checksum the oracle recomputes with
+        ROW_NUMBER() OVER (ORDER BY elem_id): equal iff the physical row
+        order inside every tile IS elem_id order;
+      - ``n_files`` / ``n_parts`` — files/partitions holding the tile
+        (oracle says exactly 1: ranges disjoint);
+      - ``dfs_ok`` — this tile's partition id is ≥ every smaller tile's
+        (oracle says TRUE: range partitioning preserves global DFS order);
+      - row_count + cell extrema as in the lineage gate.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from .operators.sortblocks import compute_groups_scalable, write_tile_sorted
+
+    df = _elements_qt(spark, sf_dir)
+    gqt, _, _ = compute_groups_scalable(df, "qt", target=1000, minsize=500, tree_level=15)
+    path = _scratch(sf_dir, "sorted_layout_gate")
+    write_tile_sorted(df, path, np.asarray(gqt, dtype=np.int64), "qt", sort_cols=["elem_id"])
+    data = spark.read.parquet(os.path.join(path, "data")).select(
+        "group_qt",
+        "qt",
+        "elem_id",
+        "_part_id",
+        F.col("_metadata.file_path").alias("_file"),
+        F.col("_metadata.row_index").alias("_ri"),
+    )
+    w_tile = Window.partitionBy("group_qt").orderBy("_file", "_ri")
+    pos = data.withColumn("rn", F.row_number().over(w_tile))
+    per_tile = pos.groupBy("group_qt").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.min("qt").alias("min_cell"),
+        F.max("qt").alias("max_cell"),
+        F.countDistinct("_file").cast("int").alias("n_files"),
+        F.countDistinct("_part_id").cast("int").alias("n_parts"),
+        F.max("_part_id").alias("_maxp"),
+        F.sum((F.col("rn") - 1) * (F.col("elem_id") % F.lit(1000003)))
+        .cast("bigint")
+        .alias("order_sum"),
+    )
+    w_dfs = Window.orderBy("group_qt").rowsBetween(Window.unboundedPreceding, -1)
+    return per_tile.withColumn(
+        "dfs_ok",
+        F.coalesce(F.col("_maxp") >= F.max("_maxp").over(w_dfs), F.lit(True)),
+    ).drop("_maxp")
+
+
+def _sorted_layout_sql() -> str:
+    """DuckDB twin of q_sorted_layout: the EXPECTED layout — per-tile
+    position = rank by elem_id (the sink's sort key), every tile in
+    exactly one file/partition, DFS order holding — derived from base
+    tables via the independent SQL cell kernel + greedy + find_tile."""
+    gqt = grpo._group_qts(grpo.oracle_sf_dir(), 1000, 500, 15, rollup=True)
+    return f"""
+WITH pos AS (
+  SELECT group_qt, qt, elem_id,
+         ROW_NUMBER() OVER (PARTITION BY group_qt ORDER BY elem_id) AS rn
+  FROM (SELECT qt, elem_id, {grpo.find_tile_sql('qt', gqt)} AS group_qt
+        FROM ({_qt_cte()}))
+)
+SELECT group_qt,
+       COUNT(*) AS row_count,
+       MIN(qt) AS min_cell,
+       MAX(qt) AS max_cell,
+       CAST(1 AS INTEGER) AS n_files,
+       CAST(1 AS INTEGER) AS n_parts,
+       CAST(SUM((rn - 1) * (elem_id % 1000003)) AS BIGINT) AS order_sum,
+       TRUE AS dfs_ok
+FROM pos
+GROUP BY 1
+""".strip()
+
+
+def q_group_scalable_equiv(spark, sf_dir):
+    """Value restatement of the exact≡scalable grouping equivalence
+    (tests/test_qttree_groups.py, test_sortblocks.py) at sweep scale: the
+    dense-histogram driver greedy (compute_groups, rollup=True — the
+    reference find_groups_copy path, qttreegroups.cpp:200-264) and the
+    survivor-aggregate scalable grouping (compute_groups_scalable — the
+    10^12-row path whose driver collect is bounded by OUTPUT size) must
+    emit the IDENTICAL (group_qt, group_idx, weight) table. Both tables
+    return side by side under a ``path`` label; the oracle emits its own
+    independently derived table TWICE — EQ holds only if exact ≡ scalable
+    ≡ the DuckDB-histogram + per-item reference greedy."""
+    from .operators.sortblocks import compute_groups, compute_groups_scalable
+
+    df = _elements_qt(spark, sf_dir)
+    rows = []
+    for path_name, (gqt, gidx, gw) in (
+        ("exact", compute_groups(df, "qt", target=1000, minsize=500, tree_level=15, rollup=True)),
+        ("scalable", compute_groups_scalable(df, "qt", target=1000, minsize=500, tree_level=15)),
+    ):
+        rows += [
+            (path_name, int(q), int(i), int(w)) for q, i, w in zip(gqt, gidx, gw)
+        ]
+    # the group table is the driver-bounded broadcast artifact by design
+    # (≤ output-size rows — the same boundedness argument as the
+    # assignment kernel's broadcast side), so a createDataFrame is the
+    # honest representation, not a collect() smell
+    return spark.createDataFrame(
+        rows, "path string, group_qt bigint, group_idx bigint, weight bigint"
+    )
+
+
+def _group_scalable_equiv_sql() -> str:
+    rows = grpo._group_rows(grpo.oracle_sf_dir(), 1000, 500, 15, rollup=True)
+    vals = ", ".join(f"({q}, {i}, {w})" for q, i, w in rows)
+    return f"""
+WITH g(group_qt, group_idx, weight) AS (VALUES {vals})
+SELECT 'exact' AS path, group_qt, group_idx, weight FROM g
+UNION ALL
+SELECT 'scalable' AS path, group_qt, group_idx, weight FROM g
 """.strip()
 
 
@@ -3914,6 +4092,19 @@ def q_embedding_outliers(spark, sf_dir):
     return label_outlier_stats(_load_fanned(spark, sf_dir, "embeddings"), dim=EMB_DIM)
 
 
+def q_embedding_outliers_arrow(spark, sf_dir):
+    """The high-dim Arrow kernel twin (label_outlier_stats kernel="arrow",
+    the dim>128 auto path — numpy centroid/distance passes, construct
+    cost flat in dim) forced at the fixture's dim 64 and gated against
+    the SAME DuckDB oracle as the column path: bit-identical integers by
+    construction, value-proven here."""
+    from .operators.ann import label_outlier_stats
+
+    return label_outlier_stats(
+        _load_fanned(spark, sf_dir, "embeddings"), dim=EMB_DIM, kernel="arrow"
+    )
+
+
 def _embedding_outliers_sql() -> str:
     """DuckDB twin: deliberately different formulation — explode to
     (vec_id, pos, x) and aggregate per (label, pos), vs the engine's
@@ -4574,6 +4765,9 @@ def sweep_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join": q_events_stream_join,
         "contaminate_bloom": q_contaminate_bloom,
         "dsir_weights": q_dsir_weights,
+        "sorted_layout": q_sorted_layout,
+        "group_scalable_equiv": q_group_scalable_equiv,
+        "embedding_outliers_arrow": q_embedding_outliers_arrow,
     }
 
 
@@ -4633,4 +4827,7 @@ def sweep_oracle_sql() -> dict[str, str]:
         "events_stream_join": _events_stream_join_sql(),
         "contaminate_bloom": _contaminate_bloom_sql(),
         "dsir_weights": _dsir_weights_sql(),
+        "sorted_layout": _sorted_layout_sql(),
+        "group_scalable_equiv": _group_scalable_equiv_sql(),
+        "embedding_outliers_arrow": _embedding_outliers_sql(),
     }

@@ -101,6 +101,37 @@ def test_empty_probe_side(spark, corpus):
     assert got == []
 
 
+def test_build_params_survive_zero_row_collect(spark, corpus):
+    """ADVICE r4: a build whose shard table collects to ZERO rows (a
+    zero-partition bench emits no fold tasks) must still hand the probe
+    the build-time (n, k), not hardcoded literals — pinned through the
+    build frame's schema metadata."""
+    built = bl.bloom_build(corpus.filter(F.lit(False)), n=2, m_bits=M_BITS, k=3)
+    assert bl._build_params(built) == (2, 3)
+    # simulate the zero-partition collapse: same schema+metadata, no rows
+    empty = built.filter(F.lit(False))
+    assert empty.collect() == []
+    bf = bl.collect_bloom(empty)
+    assert (bf.n, bf.k) == (2, 3)
+    assert not bf.bitmap.any()
+    # and the n_grams accounting runs at the BUILD's gram order (n=2:
+    # "short doc" has exactly one 2-gram; at the old hardcoded n=3 it
+    # would read 0)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["contaminated"])
+        for r in bl.bloom_probe(
+            corpus.filter(F.col("doc_id") == 6), bf, min_hits=1
+        ).collect()
+    }
+    assert got == {6: (1, False)}
+
+
+def test_bloom_or_preserves_build_params(spark, corpus):
+    a = bl.bloom_build(corpus.filter(F.col("doc_id") == 1), n=2, m_bits=M_BITS, k=3)
+    b = bl.bloom_build(corpus.filter(F.col("doc_id") == 2), n=2, m_bits=M_BITS, k=3)
+    assert bl._build_params(bl.bloom_or(a, b)) == (2, 3)
+
+
 def test_bitmap_bounded_and_deterministic(spark, corpus):
     bench = corpus.filter(F.col("doc_id").isin(1, 2))
     b1 = bl.collect_bloom(bl.bloom_build(bench, n=3, m_bits=M_BITS, k=K)).bitmap

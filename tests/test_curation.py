@@ -37,11 +37,19 @@ def test_stage_conservation(spark, docs, full_run):
     assert q["rows"] == docs.count()
     assert q["kept"] + q["dropped"] + q["manual_queue"] == q["rows"]
     assert sum(q["reason_histogram"].values()) == q["rows"]
-    # dedup input = quality keeps; canonical + near-dup-dropped = input
+    # dedup input = quality keeps; canonical + non-canonical = input
+    # (nothing is dropped at the dedup stage — non-canonicals are kept
+    # flagged and excluded at decon)
     assert m["dedup"]["rows"] == q["kept"]
-    assert m["dedup"]["canonical"] + m["dedup"]["near_dup_dropped"] == m["dedup"]["rows"]
-    # decon probes exactly the canonicals
-    assert m["decon"]["probed"] == m["dedup"]["canonical"]
+    assert m["dedup"]["canonical"] + m["dedup"]["non_canonical"] == m["dedup"]["rows"]
+    # decon excludes the benchmark slice up front (ADVICE r4: bench docs
+    # must never reach the shards as training rows), then probes exactly
+    # the remaining canonicals
+    assert m["decon"]["bench_excluded"] >= 0
+    assert (
+        m["decon"]["probed"] + m["decon"]["bench_excluded"]
+        == m["dedup"]["canonical"]
+    )
     assert m["decon"]["rows"] + m["decon"]["flagged"] == m["decon"]["probed"]
     # weights and shards carry the clean survivors
     assert m["weights"]["rows"] == m["decon"]["rows"]
@@ -55,9 +63,11 @@ def test_no_contaminated_or_dup_in_output(spark, docs, full_run):
     out, m = full_run
     final = spark.read.parquet(os.path.join(out, "weights", "data"))
     ids = {r["doc_id"] for r in final.select("doc_id").collect()}
-    # no benchmark doc (bench side is excluded by construction: probe
-    # runs over canonicals only, and bench docs that survive quality are
-    # flagged by their own grams)
+    # NO benchmark doc in the final corpus — the decon stage anti-joins
+    # the bench slice out before the probe (ADVICE r4: a short bench doc
+    # with < min_hits distinct grams would otherwise leak through and be
+    # double-counted as target+raw by the weights stage)
+    assert not any(i % 41 == 0 for i in ids)
     dedup = spark.read.parquet(os.path.join(out, "dedup", "data"))
     non_canon = {r["doc_id"] for r in dedup.filter(~F.col("is_canonical")).collect()}
     assert not (ids & non_canon)
@@ -96,6 +106,34 @@ def test_kill_resume(spark, docs, tmp_path, full_run):
         a = {k: v for k, v in m[stage].items() if k != "elapsed_sec"}
         b = {k: v for k, v in ref[stage].items() if k != "elapsed_sec"}
         assert a == b, stage
+
+
+def test_mid_stage_kill_resume(spark, docs, tmp_path, full_run):
+    """A kill DURING a stage (data files written, manifest never
+    committed) must cause a full recompute of that stage on resume —
+    manifest-last is the commit point, partial data is not trusted.
+    Round-4's smoke only killed BETWEEN stage commits."""
+    _, ref = full_run
+    out = str(tmp_path / "midkill")
+    run_curation(spark, docs, out, quality_params=QP, stop_after="quality")
+    # simulate dying mid-write of the dedup stage: partial (wrong) data
+    # on disk, no _manifest.json
+    partial = docs.limit(3)
+    partial.write.mode("overwrite").parquet(os.path.join(out, "dedup", "data"))
+    assert not os.path.exists(os.path.join(out, "dedup", "_manifest.json"))
+    m = run_curation(spark, docs, out, quality_params=QP)
+    for stage in ("quality", "dedup", "decon", "weights", "shards"):
+        a = {k: v for k, v in m[stage].items() if k != "elapsed_sec"}
+        b = {k: v for k, v in ref[stage].items() if k != "elapsed_sec"}
+        assert a == b, stage
+
+
+def test_verify_mode_records_counts(spark, docs, tmp_path):
+    out = str(tmp_path / "verified")
+    m = run_curation(spark, docs, out, quality_params=QP, verify=True)
+    for stage in ("quality", "dedup", "decon", "weights"):
+        assert m[stage]["verified_rows"] == m[stage]["rows"], stage
+    assert m["shards"]["verified_rows"] == m["shards"]["shards"]
 
 
 def test_resume_without_input(spark, tmp_path, full_run, docs):

@@ -156,14 +156,16 @@ def main() -> int:
         mc = M.commit_pending()
         if mc["bases"]:
             print(f"metrics committed: run_id={mc['run_id']} in {mc['sec']}s")
+        # warn-and-skip, never stack-trace: a base whose registered frame
+        # lost its lineage (failed query, vanished export) fails only its
+        # own write; the sweep's EQ verdict is the per-query report above,
+        # so a bookkeeping miss is a warning, not a sweep failure
+        for base, msg in mc["errors"].items():
+            print(f"metrics_commit WARNING (skipped {base}): {msg}")
     except Exception as ex:
-        # a registered frame sharing a failed query's lineage re-raises at
-        # commit; record it, never eat the per-query report below
-        failures.append("metrics_commit")
-        print(f"metrics_commit: ERROR {type(ex).__name__}: {ex}")
+        print(f"metrics_commit WARNING (skipped all): {type(ex).__name__}: {ex}")
 
-    q_fail = [f for f in failures if f != "metrics_commit"]
-    print(f"\n{len(names) - len(q_fail)}/{len(names)} green; failures: {failures or 'none'}")
+    print(f"\n{len(names) - len(failures)}/{len(names)} green; failures: {failures or 'none'}")
     spark.stop()
     return 1 if failures else 0
 
