@@ -60,6 +60,29 @@ def stage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def release_stage_checkpoint(df: DataFrame) -> None:
+    """Drop the executor blocks behind a ``stage_checkpoint`` frame that
+    nothing can reference anymore (e.g. a superseded round of an
+    iterative loop, once its successor is materialized).
+
+    ``DataFrame.unpersist()`` cannot do this: localCheckpoint blocks
+    belong to the underlying RDD, not to the SQL CacheManager, and
+    otherwise live until the async reference-tracking cleaner notices
+    the RDD is unreachable after a JVM GC — in a checkpoint-per-round
+    loop that lag accumulates O(rounds × data) of MEMORY_AND_DISK
+    blocks and forces spill churn mid-loop. The checkpointed frame's
+    plan is a single LogicalRDD node whose ``rdd`` field IS the block
+    holder; unpersist it directly. Best-effort by design (a reliable
+    checkpoint reads from files, its unpersist is a no-op; a plan shape
+    we don't recognize is left to the async cleaner)."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getName().endswith(".LogicalRDD"):
+            node.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def release_all() -> None:
     global _PERSISTED
     frames, _PERSISTED = _PERSISTED, []

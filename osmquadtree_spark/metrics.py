@@ -142,6 +142,7 @@ def commit_pending(run_id: str | None = None) -> dict:
             errors[base] = f"{type(ex).__name__}: {ex}"
     return {
         "bases": len(by_base),
+        "base_paths": sorted(by_base),
         "run_id": rid,
         "sec": round(time.time() - t0, 3),
         "errors": errors,

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..cache import cached, stage_checkpoint
+from ..cache import cached, release_stage_checkpoint, stage_checkpoint
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -90,6 +90,7 @@ def _converged_star(
     rounds = 0
     edge_counts: list[int] = []
     for _ in range(max_rounds):
+        old = e
         # eager=False: the convergence aggregate right below is the
         # materializing action, so each round pays ONE pass over the new
         # edge set instead of two (eager checkpoint job + agg job) — the
@@ -107,6 +108,17 @@ def _converged_star(
                 F.lit(0).cast("decimal(38,0)"),
             ).alias("h"),
         ).first()
+        # the agg above fully materialized THIS round's checkpoint blocks
+        # (lineage is truncated — nothing downstream can reach the old
+        # round), so the previous round's blocks are dead weight: drop
+        # them NOW instead of leaving them to the async reference-tracking
+        # cleaner. Without this the loop accumulates O(rounds × edges) of
+        # MEMORY_AND_DISK blocks, which at the 2 GiB/core scaling-bench
+        # sizing forces spill-to-disk churn mid-loop — the graph job was
+        # the scaling trilogy's only IO-sensitive workload, and this was
+        # the IO. Storage is now bounded by the live round (+ its parent
+        # during the one pass that derives it).
+        release_stage_checkpoint(old)
         rounds += 1
         edge_counts.append(row["n"])
         sig = (row["n"], row["h"])

@@ -62,6 +62,14 @@ def main() -> int:
         "heap. This only sizes the comparison harness, not any operator.",
     )
     ap.add_argument("--queries", nargs="*", default=None, help="subset of registry keys")
+    ap.add_argument(
+        "--json-out",
+        default=None,
+        help="write a sweep artifact: per-gate status/rows/sec plus the "
+        "run's committed operator metrics (hot-bucket drops, candidate "
+        "counts) aggregated per (operator, metric) — the caps-active "
+        "evidence a full-scale sweep exists to record",
+    )
     args = ap.parse_args()
 
     # point the scale-derived oracles at the SWEPT scale unconditionally:
@@ -108,6 +116,7 @@ def main() -> int:
         return 2
 
     failures = []
+    gate_results: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -147,11 +156,17 @@ def main() -> int:
             status = f"ERROR {type(ex).__name__}: {ex}"
             srows = []
         print(f"{name}: {status} rows={len(srows)} {time.time() - t0:.1f}s", flush=True)
+        gate_results[name] = {
+            "status": status,
+            "rows": len(srows),
+            "sec": round(time.time() - t0, 1),
+        }
 
     # run endpoint: commit operator metrics registered during the sweep
     # (hot-bucket drops, candidate counts) once, against warm caches
     from osmquadtree_spark import metrics as M
 
+    committed_metrics: list[dict] = []
     try:
         mc = M.commit_pending()
         if mc["bases"]:
@@ -162,10 +177,55 @@ def main() -> int:
         # so a bookkeeping miss is a warning, not a sweep failure
         for base, msg in mc["errors"].items():
             print(f"metrics_commit WARNING (skipped {base}): {msg}")
+        if args.json_out and mc["bases"]:
+            from pyspark.sql import functions as F
+
+            for base in mc["base_paths"]:
+                if base in mc["errors"]:
+                    continue
+                agg = (
+                    spark.read.parquet(os.path.join(base, f"run_id={mc['run_id']}"))
+                    .groupBy("operator", "metric")
+                    .agg(
+                        F.sum("value").alias("total"),
+                        F.count(F.lit(1)).alias("rows"),
+                    )
+                    .collect()
+                )
+                committed_metrics += [
+                    {
+                        "operator": r["operator"],
+                        "metric": r["metric"],
+                        "total": int(r["total"]) if r["total"] is not None else None,
+                        "rows": int(r["rows"]),
+                    }
+                    for r in agg
+                ]
     except Exception as ex:
         print(f"metrics_commit WARNING (skipped all): {type(ex).__name__}: {ex}")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} green; failures: {failures or 'none'}")
+    if args.json_out:
+        import json
+
+        artifact = {
+            "metric": "driver_sweep_value_parity",
+            "sf": args.sf,
+            "cpus": args.cpus,
+            "gates": len(names),
+            "green": len(names) - len(failures),
+            "failures": failures,
+            "results": gate_results,
+            # caps-active evidence: every committed drop/candidate counter
+            # of THIS run (non-zero bucket_rows_dropped / df caps prove the
+            # capped regime was exercised, not idled through)
+            "committed_metrics": sorted(
+                committed_metrics, key=lambda r: (r["operator"], r["metric"])
+            ),
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"sweep artifact written: {args.json_out}")
     spark.stop()
     return 1 if failures else 0
 
