@@ -112,24 +112,26 @@ def stage_quality(
         "doc_id", "reasons", "keep"
     )
     joined = docs.join(qg, "doc_id")
+    # the reason histogram rides the write's observe too: `reasons` is a
+    # 4-bit mask, so its 16 possible values (+ the NULL-text bucket) are a
+    # FIXED set of count_if aggregates — no groupBy, no post-write read
+    hist_aggs = {
+        f"_r{k}": F.count_if(F.col("reasons") == k) for k in range(16)
+    }
     w = _write(
         joined,
         path,
         extra={
             "kept": F.count_if(F.col("keep") == True),  # noqa: E712
             "manual_queue": F.count_if(F.col("keep").isNull()),
+            **hist_aggs,
         },
         verify=verify,
     )
-    # the one bounded post-write read: ≤ 16 reason-bitmask combos, and the
-    # aggregate prunes to the single `reasons` column
-    hist = {
-        str(r["reasons"]): int(r["c"])
-        for r in _data(spark, path)
-        .groupBy("reasons")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
+    hist = {str(k): w.pop(f"_r{k}") for k in range(16)}
+    hist = {k: v for k, v in hist.items() if v}
+    if w["manual_queue"]:
+        hist["null"] = w["manual_queue"]
     return _commit(
         path,
         {
@@ -275,11 +277,14 @@ def stage_weights(
     both = docs.withColumn("is_target", F.lit(False)).unionByName(
         bench.select("doc_id", "text").withColumn("is_target", F.lit(True))
     )
-    w_df = dsir_weights(
+    # keep_text: the probe emits (doc_id, text, n_feats, weight_x)
+    # directly, so the stage write is the probe's own pass — no
+    # corpus-sized join-back of weights onto text
+    out = dsir_weights(
         both, n_buckets=n_buckets,
         lambda_path=os.path.join(path, "lambda"),
+        keep_text=True,
     )
-    out = docs.join(w_df, "doc_id")
     w = _write(out, path, verify=verify)
     return _commit(
         path,

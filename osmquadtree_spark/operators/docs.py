@@ -346,6 +346,7 @@ def ngram_pairs(
     gram_cap: int | None = 100_000,
     metrics_path: str | None = None,
     hash_grams: bool = True,
+    operator: str = "ngram_jaccard",
 ) -> DataFrame:
     """Word n-gram Jaccard near-dup pairs: explode distinct n-grams, self-join
     on gram, count intersections, compute |∩|/|∪|. Returns
@@ -387,7 +388,7 @@ def ngram_pairs(
     uncapped = cached(grams)
     sizes = uncapped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     grams = cached(
-        cap_hot_buckets(uncapped, ["gram"], gram_cap, metrics_path, "ngram_jaccard")
+        cap_hot_buckets(uncapped, ["gram"], gram_cap, metrics_path, operator)
     )
     a = grams.withColumnRenamed("doc_id", "doc_a")
     b = grams.withColumnRenamed("doc_id", "doc_b")
@@ -402,7 +403,7 @@ def ngram_pairs(
         # gram table (see dedup.register_pair_volume — no extra pair join)
         from .dedup import register_pair_volume
 
-        register_pair_volume(metrics_path, "ngram_jaccard", grams, ["gram"])
+        register_pair_volume(metrics_path, operator, grams, ["gram"])
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
     out = (
@@ -952,6 +953,7 @@ def shared_span_pairs(
     gram_cap: int | None = 100_000,
     metrics_path: str | None = None,
     hash_grams: bool = True,
+    operator: str = "ngram_jaccard",
 ) -> DataFrame:
     """(doc_a, doc_b, max_span_tokens, n_runs): exact shared-substring
     detection — for every document pair sharing a contiguous run of at
@@ -1122,6 +1124,7 @@ def dedup_span_mask(
     gram_cap: int | None = 100_000,
     metrics_path: str | None = None,
     hash_grams: bool = True,
+    operator: str = "ngram_jaccard",
 ) -> DataFrame:
     """(doc_id, n_tokens, dup_tokens, dup_intervals, dup_frac_x10000):
     the REMOVAL half of ExactSubstr dedup (Lee et al. 2022) — for every

@@ -133,6 +133,7 @@ def dsir_weights(
     lambda_path: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_text: bool = False,
 ) -> DataFrame:
     """Importance weight per RAW (non-target) document:
     (doc_id, n_feats, weight_x) with weight_x = Σ_b c_b·λ_int_b (int64,
@@ -178,6 +179,8 @@ def dsir_weights(
             out = pd.DataFrame(
                 {id_col: ids, "n_feats": n_feats, "weight_x": weight}
             )
+            if keep_text:
+                out.insert(1, text_col, texts)
             if isnull.any():
                 for col in ("n_feats", "weight_x"):
                     out[col] = out[col].astype("Int64")
@@ -186,6 +189,10 @@ def dsir_weights(
 
     raw = docs.filter(~F.coalesce(F.col(target_col), F.lit(False)))
     id_field = docs.schema[id_col].dataType.simpleString()
-    return raw.select(id_col, text_col).mapInPandas(
-        probe, f"{id_col} {id_field}, n_feats bigint, weight_x bigint"
-    )
+    # keep_text threads the text column THROUGH the probe so a caller
+    # that wants (id, text, weight) — the curation weights stage — pays
+    # zero extra scans and NO corpus-sized join-back; the probe already
+    # holds the text batch in hand
+    text_part = f", {text_col} string" if keep_text else ""
+    schema = f"{id_col} {id_field}{text_part}, n_feats bigint, weight_x bigint"
+    return raw.select(id_col, text_col).mapInPandas(probe, schema)
