@@ -1988,7 +1988,7 @@ def clear_session_caches(keep_input_stores: bool = False) -> None:
     calcqts queries) clears on every sweep like any other computation."""
     always = (
         _RESOLVED_CACHE, _EXTRACT_CACHE, _WAY_COORDS_CACHE, _ELEMENTS_QT_CACHE,
-        _OLD_QTS_CACHE, _CLUSTERS_CACHE,
+        _OLD_QTS_CACHE, _CLUSTERS_CACHE, _TILE_SINK_CACHE,
     )
     stores = (_FIXTURE_CACHE,)
     for cache in always:
@@ -2849,6 +2849,32 @@ def q_pruned_bbox_extract(spark, sf_dir):
     ).select("elem_id")
 
 
+_TILE_SINK_CACHE: dict = {}
+
+
+def _tile_sink(spark, sf_dir) -> str:
+    """Committed tile sink shared by the lineage gate and the
+    physical-layout gate (identical grouping params + sort key): built
+    once per (session, sf) under the run-scoped scratch, cleared with
+    the other session memos (clear_session_caches) so every bench sweep
+    still pays the full write — within one sweep the two gates verify
+    the SAME committed artifact from two angles (lineage table vs
+    physical row order), which is the point."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _TILE_SINK_CACHE:
+        return _TILE_SINK_CACHE[key]
+    import numpy as np
+
+    from .operators.sortblocks import compute_groups_scalable, write_tile_sorted
+
+    df = _elements_qt(spark, sf_dir)
+    gqt, _, _ = compute_groups_scalable(df, "qt", target=1000, minsize=500, tree_level=15)
+    path = _scratch(sf_dir, "tile_sink_gate")
+    write_tile_sorted(df, path, np.asarray(gqt, dtype=np.int64), "qt", sort_cols=["elem_id"])
+    _TILE_SINK_CACHE[key] = path
+    return path
+
+
 def q_tile_sink_lineage(spark, sf_dir):
     """Indexed tile sink value gate (SURVEY §2.1): run the REAL sink
     (write_tile_sorted — range-partition by group tile, sort within
@@ -2861,14 +2887,7 @@ def q_tile_sink_lineage(spark, sf_dir):
     duplicated rows, wrong extrema), exactly what a resume would then
     trust. Physical partition ids are summed out: they depend on range
     sampling, not on semantics."""
-    import numpy as np
-
-    from .operators.sortblocks import compute_groups_scalable, write_tile_sorted
-
-    df = _elements_qt(spark, sf_dir)
-    gqt, _, _ = compute_groups_scalable(df, "qt", target=1000, minsize=500, tree_level=15)
-    path = _scratch(sf_dir, "tile_sink_gate")
-    write_tile_sorted(df, path, np.asarray(gqt, dtype=np.int64), "qt", sort_cols=["elem_id"])
+    path = _tile_sink(spark, sf_dir)
     m = spark.read.parquet(os.path.join(path, "_metrics"))
     return m.groupBy("group_qt").agg(
         F.sum("row_count").cast("bigint").alias("row_count"),
@@ -2911,16 +2930,9 @@ def q_sorted_layout(spark, sf_dir):
         (oracle says TRUE: range partitioning preserves global DFS order);
       - row_count + cell extrema as in the lineage gate.
     """
-    import numpy as np
-
     from pyspark.sql import Window
 
-    from .operators.sortblocks import compute_groups_scalable, write_tile_sorted
-
-    df = _elements_qt(spark, sf_dir)
-    gqt, _, _ = compute_groups_scalable(df, "qt", target=1000, minsize=500, tree_level=15)
-    path = _scratch(sf_dir, "sorted_layout_gate")
-    write_tile_sorted(df, path, np.asarray(gqt, dtype=np.int64), "qt", sort_cols=["elem_id"])
+    path = _tile_sink(spark, sf_dir)
     data = spark.read.parquet(os.path.join(path, "data")).select(
         "group_qt",
         "qt",
