@@ -170,25 +170,37 @@ def atomic_export(df: DataFrame, path: str) -> None:
     not). Concurrent runs against the same sf scratch should set distinct
     scratch roots; a concurrent writer winning the swap race is accepted
     (identical content by determinism)."""
+    # Swap tolerance (see _swap_into): ONLY the concurrent-winner
+    # signature is swallowed — the final rename hitting a directory a
+    # concurrent builder just re-created (EEXIST/ENOTEMPTY, identical
+    # content by determinism). Any other OSError (EBUSY on a bind-mounted
+    # scratch, EACCES after a permission change) must surface — the
+    # destination may still hold a STALE export from other inputs, and
+    # the DuckDB soundness oracle re-scores the same exported bytes, so
+    # serving it silently would defeat the exact silent-failure class
+    # this surface exists to catch.
+    tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
+    try:
+        df.write.mode("overwrite").parquet(tmp)
+    except Exception:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    _swap_into(tmp, path)
+
+
+def _swap_into(tmp: str, path: str) -> None:
+    """Shared tmp→final swap with the concurrent-winner tolerance
+    documented on atomic_export."""
     import shutil
 
     from .fsutil import swap_dir
 
-    tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
     try:
-        df.write.mode("overwrite").parquet(tmp)
         try:
             swap_dir(tmp, path)
         except OSError as ex:
-            # Swallow ONLY the concurrent-winner signature: the final
-            # rename into place hitting a directory a concurrent builder
-            # just re-created (EEXIST/ENOTEMPTY, identical content by
-            # determinism). Any other OSError (EBUSY on a bind-mounted
-            # scratch, EACCES after a permission change) must surface —
-            # the destination may still hold a STALE export from other
-            # inputs, and the DuckDB soundness oracle re-scores the same
-            # exported bytes, so serving it silently would defeat the
-            # exact silent-failure class this surface exists to catch.
             if ex.errno not in (errno.EEXIST, errno.ENOTEMPTY) or not os.path.isdir(
                 path
             ):
@@ -196,6 +208,29 @@ def atomic_export(df: DataFrame, path: str) -> None:
     finally:
         if os.path.isdir(tmp):
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def atomic_export_local(pdf, path: str) -> None:
+    """Driver-side tmp+swap parquet export for BOUNDED artifacts whose
+    rows already live on the driver (the B≈512-row DSIR λ table: its
+    inputs were collect()ed to compute λ in the first place). The Spark
+    alternative — createDataFrame(rows).coalesce(1).write — exists only
+    to round-trip a few hundred rows through a Python-RDD scan and a
+    task launch; measured 4.5-7.5 s of pure overhead per export on the
+    bench host vs milliseconds for a direct pyarrow write of the SAME
+    single-file parquet (DuckDB and Spark read it identically). Use
+    atomic_export for anything distributed; this one asserts its input
+    is a pandas frame, i.e. already driver-resident by construction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(tmp, "part-00000.parquet"),
+    )
+    _swap_into(tmp, path)
 
 
 def export_candidates(

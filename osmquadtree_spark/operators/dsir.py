@@ -153,17 +153,20 @@ def dsir_weights(
         r_ = {int(r["bucket"]): int(r["r_cnt"]) for r in stats}
         from .. import metrics
 
-        art = spark.createDataFrame(
-            [
-                (b, t.get(b, 0), r_.get(b, 0), int(lam[b]))
-                for b in range(n_buckets)
-            ],
-            "bucket bigint, t_cnt bigint, r_cnt bigint, lambda_x bigint",
-        ).coalesce(1)
-        # same tmp+swap discipline as the LSH candidate exports: the
-        # artifact is a deterministic function of the corpus, and a reader
-        # (the DuckDB oracle) must never see a half-written directory
-        metrics.atomic_export(art, lambda_path)
+        # same tmp+swap discipline as the LSH candidate exports, but the
+        # write is DRIVER-side pyarrow: the B rows were just collect()ed
+        # to compute λ, so a Spark job here only round-trips them through
+        # a Python-RDD scan (measured ~5-8 s of pure overhead per export;
+        # the artifact is bounded at B≈512 rows by construction)
+        art = pd.DataFrame(
+            {
+                "bucket": np.arange(n_buckets, dtype=np.int64),
+                "t_cnt": np.array([t.get(b, 0) for b in range(n_buckets)], np.int64),
+                "r_cnt": np.array([r_.get(b, 0) for b in range(n_buckets)], np.int64),
+                "lambda_x": np.asarray(lam[:n_buckets], np.int64),
+            }
+        )
+        metrics.atomic_export_local(art, lambda_path)
 
     def probe(batches):
         for pdf in batches:
