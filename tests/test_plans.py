@@ -333,6 +333,18 @@ def test_embedding_outliers_no_explode(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_embedding_outliers_arrow_plan_shape(spark, sf_dir):
+    """The dim-flat Arrow twin claims its distance pass is ONE
+    mapInPandas over the scan (centroid table broadcast as a
+    sparkContext variable, not a join) with the mean lookup the single
+    broadcast join — still no explode anywhere."""
+    plan = _plan(Q.q_embedding_outliers_arrow(spark, sf_dir))
+    assert "Generate" not in plan
+    assert "MapInPandas" in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_shared_spans_join_is_hashed_equi_join(spark, sf_dir):
     """shared_span_pairs claims the gram self-join moves xxhash64 int64
     keys (not k-word strings) and never degrades to a cartesian product."""
